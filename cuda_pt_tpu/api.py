@@ -1,0 +1,151 @@
+"""High-level renderer API.
+
+Parity with the reference's Python surface (src/pyrender/python_bind.cu:61-70
+→ PythonRenderer{render, variance, counter, avg_frame_time, info, release})
+and the host TracerBase contract (src/renderer/tracer_base.cuh:84-159 →
+render/render_online/update_camera/reset_out_buffer/get_image_buffer).
+
+One class drives every renderer family; state (film + camera) lives on
+device between calls so the viewer/DDP-style incremental accumulation works
+the same way as the reference's persistent DeviceImage.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import camera as cam_mod
+from .core import film as film_mod
+from .core.config import MaxDepthParams, RendererType
+from .models import debug_renderers, light_tracer
+from .models import path_tracer as pt
+from .models import volume_pt, wavefront
+from .scene import types as T
+from .scene.xml_parser import ParsedScene, load_xml
+
+
+class Renderer:
+    """Stateful renderer over a compiled scene (any renderer family)."""
+
+    def __init__(self, source, renderer: RendererType | None = None,
+                 seed_offset: int = 0, override_res=None):
+        if isinstance(source, str):
+            self.parsed: ParsedScene = load_xml(source, override_res=override_res)
+        else:
+            self.parsed = source
+        self.scene: T.Scene = self.parsed.scene
+        self.camera: cam_mod.Camera = self.parsed.camera
+        self.config = self.parsed.config
+        self.rtype = renderer or self.config.renderer
+        self.md: MaxDepthParams = self.config.md
+        self.seed = int(self.config.seed) + int(seed_offset)
+        self.use_bvh = self.scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
+        self.film = film_mod.make_film(self.camera.height, self.camera.width)
+        self._frame_times = deque(maxlen=32)
+        self._render_1spp = self._build()
+
+    # -- compiled 1-spp pass ----------------------------------------------
+    def _build(self):
+        rt = self.rtype
+        md, use_bvh = self.md, self.use_bvh
+
+        if rt == RendererType.WAVEFRONT_PT:
+            def f(scene, cam, seed, idx):
+                return wavefront.render_sample(scene, cam, md, seed, idx, use_bvh)
+        elif rt == RendererType.VOLUME_PT:
+            def f(scene, cam, seed, idx):
+                B = cam.width * cam.height
+                from .core import rng as prng
+
+                lane = jnp.arange(B, dtype=jnp.int32)
+                rng = prng.seed(
+                    jnp.asarray(seed, jnp.uint32)
+                    + jnp.asarray(idx, jnp.uint32) * jnp.uint32(9781), lane)
+                o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+                L = volume_pt.trace_paths(scene, md, o, d, rng, use_bvh)
+                return L.reshape(cam.height, cam.width, 3)
+        elif rt == RendererType.MEGAKERNEL_LT:
+            cs = self.config.caustic_scaling
+            sc = max(self.config.specular_constraint, 0)
+            def f(scene, cam, seed, idx):
+                img = light_tracer.render_pass(
+                    scene, cam, md, seed, idx, use_bvh, sc, cs)
+                return img.reshape(cam.height, cam.width, 3)
+        elif rt == RendererType.DEPTH:
+            def f(scene, cam, seed, idx):
+                img, _ = debug_renderers.render_depth(scene, cam, use_bvh=use_bvh)
+                return img
+        elif rt == RendererType.BVH_COST:
+            def f(scene, cam, seed, idx):
+                img, _ = debug_renderers.render_bvh_cost(scene, cam)
+                return img
+        else:
+            def f(scene, cam, seed, idx):
+                return pt.render_sample(scene, cam, md, seed, idx, use_bvh)
+        return jax.jit(f)
+
+    # -- TracerBase-equivalent API ----------------------------------------
+    def render_raw(self) -> jnp.ndarray:
+        """One 1-spp pass folded into the film; returns the pass (H, W, 3)."""
+        t0 = time.perf_counter()
+        img = self._render_1spp(
+            self.scene, self.camera, self.seed, int(self.film.count)
+        )
+        img.block_until_ready()
+        self._frame_times.append((time.perf_counter() - t0) * 1e3)
+        self.film = film_mod.accumulate(self.film, img)
+        return img
+
+    def render(self, spp: int | None = None) -> np.ndarray:
+        """Accumulate spp passes; return the running-mean image (H, W, 3)."""
+        for _ in range(spp or 1):
+            self.render_raw()
+        return np.asarray(self.film.mean)
+
+    def variance(self) -> np.ndarray:
+        return np.asarray(film_mod.variance(self.film))
+
+    def counter(self) -> int:
+        return int(self.film.count)
+
+    def avg_frame_time(self) -> float:
+        return float(np.mean(self._frame_times)) if self._frame_times else 0.0
+
+    def info(self) -> dict:
+        return {
+            "renderer": str(self.rtype.value),
+            "width": self.camera.width,
+            "height": self.camera.height,
+            "num_prims": self.scene.geom.num_prims,
+            "num_nodes": self.scene.bvh.num_nodes,
+            "spp_accumulated": self.counter(),
+            "use_bvh": self.use_bvh,
+        }
+
+    def update_camera(self, camera: cam_mod.Camera):
+        self.camera = camera
+        self.reset_out_buffer()
+
+    def reset_out_buffer(self):
+        self.film = film_mod.make_film(self.camera.height, self.camera.width)
+
+    def set_seed_offset(self, off: int):
+        self.seed = int(self.config.seed) + int(off)
+
+    def get_image_buffer(self, gamma: bool | None = None) -> np.ndarray:
+        g = self.config.gamma if gamma is None else gamma
+        return film_mod.export_numpy(self.film, gamma=g)
+
+    def save(self, path: str, gamma: bool | None = None):
+        from .utils.image import save_png
+
+        save_png(path, self.get_image_buffer(gamma))
+
+    def release(self):
+        self.film = None
+        self._render_1spp = None

@@ -1,0 +1,127 @@
+"""Wavefront path tracer: per-bounce material sorting + SoA ray pool.
+
+TPU re-design of the reference WFPT (src/renderer/wavefront_pt.cuh,
+src/pt_impl/wf_path_tracer.cu): the giant PayLoadBufferSoA becomes the
+PTState pytree (SoA by construction); thrust::sort-by-material-key becomes a
+``jnp.argsort`` over (dead, material) keys with a gather of the whole state;
+the compaction boundary becomes the sorted prefix (dead lanes sink to the
+back, so shading gathers touch a dense prefix of live lanes). Control never
+returns to the host between bounces — the whole pipeline is one
+``lax.while_loop`` (SURVEY.md §3.3 notes the reference crosses host↔device
+every bounce; XLA keeps it on-device).
+
+Radiance is splatted back to pixels at the end via scatter-add (the lanes
+carry their pixel ids through the sorts), mirroring radiance_splat
+(src/pt_impl/wavefront_pt.cu:476-503).
+
+The per-lane RNG travels with the lane, so for a pure permutation the result
+is bit-identical to the megakernel renderer — which the tests assert.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam_mod
+from ..core import rng as prng
+from ..core.config import MaxDepthParams
+from ..scene import types as T
+from . import path_tracer as pt
+
+
+def _permute(tree, perm):
+    return jax.tree_util.tree_map(
+        lambda x: x[perm] if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == perm.shape[0] else x,
+        tree,
+    )
+
+
+def _sort_key(scene: T.Scene, s: pt.PTState, hit):
+    """Material-sort key: dead lanes last, then by hit BSDF type id
+    (reference index-buffer key packing, src/pt_impl/wavefront_pt.cu:41-69)."""
+    prim = jnp.maximum(hit["prim"], 0)
+    obj = scene.geom.obj_idx[prim]
+    bid = jnp.maximum(scene.objects.bsdf_id[obj], 0)
+    btype = scene.bsdfs.btype[bid]
+    live = s.active & hit["hit"]
+    return jnp.where(live, btype, jnp.int32(1 << 20))
+
+
+def trace_paths_wavefront(
+    scene: T.Scene,
+    md: MaxDepthParams,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    rng: jnp.ndarray,
+    use_bvh: bool,
+    sort_rays: bool = True,
+):
+    """Bounce loop with per-bounce sort; returns (L, pixel_perm) where L[i]
+    belongs to original lane pixel_perm[i]."""
+    B = o.shape[0]
+    state = pt.init_state(o, d, rng)
+    lane = jnp.arange(B, dtype=jnp.int32)
+
+    def cond(carry):
+        s, _ = carry
+        return jnp.any(s.active) & (s.bounce < md.max_depth)
+
+    def body(carry):
+        s, pix = carry
+        hit = pt.intersect_stage(scene, s, use_bvh)
+        if sort_rays:
+            key = _sort_key(scene, s, hit)
+            perm = jnp.argsort(key)
+            s = _permute(s, perm)
+            hit = {k: v[perm] for k, v in hit.items()}
+            pix = pix[perm]
+        s = pt.shade_stage(scene, md, use_bvh, s, hit)
+        return s, pix
+
+    final, pix = jax.lax.while_loop(cond, body, (state, lane))
+    return final.L, pix
+
+
+def render_sample(
+    scene: T.Scene,
+    cam: cam_mod.Camera,
+    md: MaxDepthParams,
+    seed,
+    sample_idx,
+    use_bvh: bool,
+    sort_rays: bool = True,
+):
+    """One 1-spp wavefront pass → (H, W, 3)."""
+    B = cam.width * cam.height
+    lane = jnp.arange(B, dtype=jnp.int32)
+    rng = prng.seed(
+        jnp.asarray(seed, jnp.uint32)
+        + jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(9781),
+        lane,
+    )
+    o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+    L, pix = trace_paths_wavefront(scene, md, o, d, rng, use_bvh, sort_rays)
+    img = jnp.zeros((B, 3), jnp.float32).at[pix].add(L)
+    return img.reshape(cam.height, cam.width, 3)
+
+
+def render(
+    scene: T.Scene,
+    cam: cam_mod.Camera,
+    md: MaxDepthParams,
+    spp: int,
+    seed: int = 0,
+    use_bvh=None,
+    sort_rays: bool = True,
+):
+    if use_bvh is None:
+        use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
+
+    def body(i, acc):
+        return acc + render_sample(scene, cam, md, seed, i, use_bvh, sort_rays)
+
+    acc = jax.lax.fori_loop(
+        0, spp, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+    )
+    return acc / spp

@@ -1,0 +1,210 @@
+"""Compiled scene: flat SoA device arrays (the TPU analogue of the reference's
+GPU scene upload).
+
+The reference scatters scene state across device vtables (c_material[48],
+c_emitter[9], constant memory — src/pt_impl/path_tracer.cu:35-36), SoA prim
+arrays (src/core/aos.cuh) and textures. On TPU there is no device-side
+polymorphism, so everything becomes dense parameter tables indexed by small
+integer type/id fields and dispatched with masked selects (SURVEY.md §7
+decision 1). All arrays are static-shape; all tables are differentiable
+pytree leaves unless noted.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Enums (host-side ints; mirror src/core/enums.cuh but TPU-dispatch oriented)
+# ---------------------------------------------------------------------------
+
+BSDF_LAMBERTIAN = 0
+BSDF_SPECULAR = 1
+BSDF_TRANSLUCENT = 2
+BSDF_PLASTIC = 3
+BSDF_PLASTIC_FORWARD = 4
+BSDF_GGX_CONDUCTOR = 5
+BSDF_DISPERSION = 6
+BSDF_FORWARD = 7
+NUM_BSDF_TYPES = 8
+
+EMITTER_NULL = 0
+EMITTER_POINT = 1
+EMITTER_AREA = 2
+EMITTER_AREA_SPOT = 3
+EMITTER_ENVMAP = 4
+
+PHASE_ISOTROPIC = 0
+PHASE_HG = 1
+PHASE_DUAL_HG = 2
+PHASE_RAYLEIGH = 3
+PHASE_SGGX = 4  # falls back to isotropic like the reference (scene.cu:762-766)
+
+MEDIUM_NONE = -1
+MEDIUM_HOMOGENEOUS = 0
+MEDIUM_GRID = 1
+
+# BSDF scalar param columns (BSDFTable.params[:, col])
+P_IOR = 0  # dielectric index of refraction
+P_ROUGH_X = 1  # GGX alpha_x
+P_ROUGH_Y = 2  # GGX alpha_y
+P_THICKNESS = 3  # plastic coating thickness
+P_CAUCHY_A = 4  # dispersion Cauchy A
+P_CAUCHY_B = 5  # dispersion Cauchy B (um^2)
+P_PENETRATION = 6  # lambertian transmission mix (reference lambert k_g usage)
+NUM_BSDF_PARAMS = 8
+
+# Texture slots per BSDF (reference: 5 slots, src/core/textures.cuh:64-170)
+TEX_DIFFUSE = 0
+TEX_SPECULAR = 1
+TEX_GLOSSY = 2
+TEX_NORMAL = 3
+TEX_ROUGHNESS = 4
+NUM_TEX_SLOTS = 5
+
+
+# ---------------------------------------------------------------------------
+# Pytree tables
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class Geometry:
+    """Per-primitive SoA. Spheres ride in triangle slots: p0 = center,
+    e1[...,0] = radius (reference packs spheres into one float4,
+    src/core/aos.cuh:146-152)."""
+
+    p0: jnp.ndarray  # (N, 3)
+    e1: jnp.ndarray  # (N, 3) p1 - p0
+    e2: jnp.ndarray  # (N, 3) p2 - p0
+    n0: jnp.ndarray  # (N, 3) shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # (N, 2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    obj_idx: jnp.ndarray  # (N,) int32 object id
+    is_sphere: jnp.ndarray  # (N,) bool
+
+    @property
+    def num_prims(self) -> int:
+        return self.p0.shape[0]
+
+
+@flax.struct.dataclass
+class ObjectTable:
+    """Per-object metadata (reference ObjInfo/CompactedObjInfo,
+    src/core/object.cuh:31-99)."""
+
+    bsdf_id: jnp.ndarray  # (O,) int32
+    emitter_id: jnp.ndarray  # (O,) int32; 0 = not an emitter (slot 0 = dummy)
+    medium_in: jnp.ndarray  # (O,) int32; MEDIUM_NONE = vacuum
+    cullable: jnp.ndarray  # (O,) bool — alpha/cullable interface flag
+    prim_base: jnp.ndarray  # (O,) int32 (into *reordered* Geometry)
+    prim_count: jnp.ndarray  # (O,) int32
+    inv_area: jnp.ndarray  # (O,) float32 1 / total surface area
+
+
+@flax.struct.dataclass
+class EmitterTable:
+    """Emitter parameter table; slot 0 is the null emitter (reference
+    c_emitter[0] dummy, src/core/emitter.cuh)."""
+
+    etype: jnp.ndarray  # (E,) int32
+    emission: jnp.ndarray  # (E, 3) float32 — Le / intensity (differentiable)
+    scaler: jnp.ndarray  # (E,) float32 — emission multiplier (differentiable)
+    pos: jnp.ndarray  # (E, 3) point/spot position
+    extra: jnp.ndarray  # (E, 4): spot {cos_min,...} | envmap {scale, azimuth, zenith}
+    obj_id: jnp.ndarray  # (E,) int32 bound object (-1 for point/envmap)
+    tex_id: jnp.ndarray  # (E,) int32 emission texture / envmap image (-1)
+    # Area-light primitive sampling: per-emitter padded CDF over its prims
+    # (area-weighted). prim_sel[e, k] is a global prim index.
+    prim_cdf: jnp.ndarray  # (E, K) float32 inclusive CDF, last = 1
+    prim_sel: jnp.ndarray  # (E, K) int32
+
+
+@flax.struct.dataclass
+class BSDFTable:
+    btype: jnp.ndarray  # (M,) int32
+    k_d: jnp.ndarray  # (M, 3) diffuse albedo
+    k_s: jnp.ndarray  # (M, 3) specular albedo / coating tint
+    k_g: jnp.ndarray  # (M, 3) glossy / global multiplier (reference k_g)
+    eta: jnp.ndarray  # (M, 3) conductor spectral eta
+    k: jnp.ndarray  # (M, 3) conductor spectral extinction
+    params: jnp.ndarray  # (M, NUM_BSDF_PARAMS) float32
+    tex_ids: jnp.ndarray  # (M, NUM_TEX_SLOTS) int32, -1 = none
+
+
+@flax.struct.dataclass
+class TextureAtlas:
+    """All images flattened into one texel pool + per-texture descriptors.
+
+    Variable-size images with static-shape gathers: texel (y, x) of texture t
+    lives at texels[offset[t] + y * width[t] + x].
+    """
+
+    texels: jnp.ndarray  # (T, 4) float32 RGBA
+    offset: jnp.ndarray  # (K,) int32
+    width: jnp.ndarray  # (K,) int32
+    height: jnp.ndarray  # (K,) int32
+
+
+@flax.struct.dataclass
+class MediumTable:
+    """Participating media (homogeneous now; grid handled by GridMediumData)."""
+
+    mtype: jnp.ndarray  # (V,) int32 MEDIUM_*
+    sigma_a: jnp.ndarray  # (V, 3) absorption (differentiable)
+    sigma_s: jnp.ndarray  # (V, 3) scattering (differentiable)
+    scale: jnp.ndarray  # (V,) density scale (differentiable)
+    phase_type: jnp.ndarray  # (V,) int32 PHASE_*
+    phase_g: jnp.ndarray  # (V, 2) HG g (two lobes for dual-HG)
+    phase_w: jnp.ndarray  # (V,) dual-HG lobe weight
+    emission_scale: jnp.ndarray  # (V,) blackbody emission scale
+    grid_id: jnp.ndarray  # (V,) int32 index into grid data (-1 = homogeneous)
+
+
+@flax.struct.dataclass
+class GridMediumData:
+    """Dense grids decoded from NanoVDB files (padded to a common shape)."""
+
+    density: jnp.ndarray  # (G, D, H, W) float32
+    emission: jnp.ndarray  # (G, D, H, W) float32 temperature
+    bbox_min: jnp.ndarray  # (G, 3) world-space
+    bbox_max: jnp.ndarray  # (G, 3)
+    majorant: jnp.ndarray  # (G,) max density (delta-tracking majorant)
+    avg_density: jnp.ndarray  # (G,) residual-ratio-tracking control
+
+
+@flax.struct.dataclass
+class BVHArrays:
+    """Stackless skip-encoded BVH in SoA form (reference LinearNode encoding,
+    src/core/bvh.cuh:154-177 & 345-359, re-laid-out for batched gathers)."""
+
+    node_min: jnp.ndarray  # (M, 3)
+    node_max: jnp.ndarray  # (M, 3)
+    node_skip: jnp.ndarray  # (M,) int32 — absolute next index on AABB miss
+    node_base: jnp.ndarray  # (M,) int32 — leaf prim base (0 for interior)
+    node_count: jnp.ndarray  # (M,) int32 — leaf prim count (0 for interior)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_min.shape[0]
+
+
+@flax.struct.dataclass
+class Scene:
+    """Everything the integrator needs, as one pytree."""
+
+    geom: Geometry
+    objects: ObjectTable
+    emitters: EmitterTable
+    bsdfs: BSDFTable
+    textures: TextureAtlas
+    media: MediumTable
+    grids: GridMediumData
+    bvh: BVHArrays
+    env_emitter: jnp.ndarray  # () int32 — envmap emitter id, 0 if none
+    cam_medium: jnp.ndarray  # () int32 — medium containing the camera
+    num_emitters: jnp.ndarray  # () int32 — real emitters (excluding slot 0)

@@ -1,0 +1,130 @@
+"""BSDF correctness: white-furnace energy tests per family + eval/sample
+consistency. The furnace is exact: any energy-preserving BSDF in a unit
+furnace must converge to radiance 1 at every pixel."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_pt_tpu.bsdf import eval as bsdf_eval
+from cuda_pt_tpu.core import math as vm
+from cuda_pt_tpu.core import rng as prng
+from cuda_pt_tpu.core.config import MaxDepthParams
+from cuda_pt_tpu.models import path_tracer as pt
+from cuda_pt_tpu.scene import testscenes
+from cuda_pt_tpu.scene import types as T
+
+
+def _furnace_mean(btype, spp=64, depth=48, **kw):
+    scene, cam, _ = testscenes.furnace(width=16, height=16, btype=btype, **kw)
+    md = MaxDepthParams(
+        max_depth=depth, max_diffuse=depth, max_specular=depth, max_transmit=depth
+    )
+    img = np.asarray(pt.render(scene, cam, md, spp=spp, seed=11, use_bvh=False))
+    assert np.isfinite(img).all()
+    return img.mean()
+
+
+def test_furnace_specular_mirror():
+    m = _furnace_mean(T.BSDF_SPECULAR, k_d=(1.0, 1.0, 1.0))
+    assert abs(m - 1.0) < 0.02, m
+
+
+def test_furnace_translucent():
+    m = _furnace_mean(T.BSDF_TRANSLUCENT, k_s=(1.0, 1.0, 1.0), ior=1.5)
+    assert abs(m - 1.0) < 0.05, m
+
+
+def test_furnace_forward():
+    m = _furnace_mean(T.BSDF_FORWARD)
+    assert abs(m - 1.0) < 0.02, m
+
+
+def test_furnace_dispersion_white():
+    """Also validates the spectral RGB normalization (mean-one weights)."""
+    m = _furnace_mean(T.BSDF_DISPERSION, k_s=(1.0, 1.0, 1.0), spp=128)
+    assert abs(m - 1.0) < 0.08, m
+
+
+def test_furnace_ggx_bounded():
+    m = _furnace_mean(
+        T.BSDF_GGX_CONDUCTOR,
+        k_g=(1.0, 1.0, 1.0),
+        eta=(0.14, 0.37, 1.44),
+        k=(3.98, 2.38, 1.60),
+        roughness_x=0.3,
+        roughness_y=0.3,
+    )
+    assert 0.5 < m < 1.02, m  # conductor absorbs, never amplifies
+
+
+def test_furnace_plastic_bounded():
+    m = _furnace_mean(
+        T.BSDF_PLASTIC, k_d=(1.0, 1.0, 1.0), k_s=(1.0, 1.0, 1.0), ior=1.5
+    )
+    assert 0.6 < m < 1.05, m
+
+
+def _ctx_single(btype, n, **kw):
+    from cuda_pt_tpu.scene.builder import BSDFSpec, SceneBuilder
+
+    b = SceneBuilder()
+    b.add_bsdf(BSDFSpec(btype=btype, **kw))
+    b.add_sphere((0, 0, 0), 1.0, 0)
+    scene = b.compile()
+    B = n.shape[0]
+    bid = jnp.zeros(B, jnp.int32)
+    uv = jnp.zeros((B, 2), jnp.float32)
+    return bsdf_eval.make_ctx(scene, bid, uv, n)
+
+
+def test_ggx_eval_sample_consistency():
+    """∫ f·cos dω estimated by BSDF sampling == estimate by uniform sphere."""
+    B = 1 << 15
+    rngs = np.random.default_rng(0)
+    n = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (B, 1)), jnp.float32)
+    wo = vm.normalize(jnp.asarray(np.tile([[0.4, 0.2, 0.8]], (B, 1)), jnp.float32))
+    kw = dict(
+        k_g=(1.0, 1.0, 1.0), eta=(1.0, 1.0, 1.0), k=(2.0, 2.0, 2.0),
+        roughness_x=0.4, roughness_y=0.4,
+    )
+    ctx = _ctx_single(T.BSDF_GGX_CONDUCTOR, n, **kw)
+    state = prng.seed(5, jnp.arange(B))
+    out, _ = bsdf_eval.sample_bsdf(ctx, wo, state)
+    est_is = np.asarray(out["weight"]).mean(axis=0)  # E[f cos / pdf]
+
+    # uniform-sphere estimate of the same integral via eval
+    u = rngs.uniform(size=(B, 2)).astype(np.float32)
+    z = 1 - 2 * u[:, 0]
+    r = np.sqrt(np.maximum(1 - z * z, 0))
+    phi = 2 * np.pi * u[:, 1]
+    wi = jnp.asarray(np.stack([r * np.cos(phi), r * np.sin(phi), z], -1))
+    f_cos, _ = bsdf_eval.eval_bsdf(ctx, wo, wi)
+    est_un = np.asarray(f_cos).mean(axis=0) * 4.0 * np.pi
+    np.testing.assert_allclose(est_is, est_un, rtol=0.08)
+
+
+def test_lambert_sample_weight_is_albedo():
+    B = 4096
+    n = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (B, 1)), jnp.float32)
+    wo = vm.normalize(jnp.asarray(np.tile([[0.1, 0.0, 1.0]], (B, 1)), jnp.float32))
+    ctx = _ctx_single(T.BSDF_LAMBERTIAN, n, k_d=(0.25, 0.5, 0.75))
+    out, _ = bsdf_eval.sample_bsdf(ctx, wo, prng.seed(1, jnp.arange(B)))
+    w = np.asarray(out["weight"])
+    np.testing.assert_allclose(w.mean(axis=0), [0.25, 0.5, 0.75], atol=1e-5)
+    wi = np.asarray(out["wi"])
+    assert (wi[:, 2] > 0).all()  # same hemisphere as the normal
+    pdf = np.asarray(out["pdf"])
+    np.testing.assert_allclose(pdf, wi[:, 2] / np.pi, atol=1e-5)
+
+
+@pytest.mark.parametrize("ior", [1.33, 1.5, 2.4])
+def test_fresnel_dielectric_limits(ior):
+    from cuda_pt_tpu.bsdf.fresnel import fresnel_dielectric
+
+    # normal incidence: ((n-1)/(n+1))^2
+    f0 = float(fresnel_dielectric(jnp.asarray([1.0]), jnp.asarray([ior]))[0])
+    assert abs(f0 - ((ior - 1) / (ior + 1)) ** 2) < 1e-4
+    # grazing → 1
+    fg = float(fresnel_dielectric(jnp.asarray([0.001]), jnp.asarray([ior]))[0])
+    assert fg > 0.98

@@ -1,0 +1,121 @@
+"""Geometry tests: primitive intersection, BVH build + traversal vs brute force."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_pt_tpu.accel import bvh_build, traverse
+from cuda_pt_tpu.core import math as vm
+from cuda_pt_tpu.ops import intersect as isect
+from cuda_pt_tpu.scene.builder import BSDFSpec, SceneBuilder
+
+
+def _random_tri_scene(n_tris=200, seed=0, with_spheres=True):
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    mat = b.add_bsdf(BSDFSpec())
+    center = rng.uniform(-1, 1, size=(n_tris, 1, 3))
+    tris = center + rng.normal(scale=0.1, size=(n_tris, 3, 3))
+    b.add_mesh(tris.astype(np.float32), mat)
+    if with_spheres:
+        for i in range(5):
+            b.add_sphere(rng.uniform(-1, 1, size=3), 0.15, mat)
+    return b.compile()
+
+
+def test_triangle_intersect_basic():
+    b = SceneBuilder()
+    mat = b.add_bsdf(BSDFSpec())
+    tri = np.array([[[0, 0, 1], [1, 0, 1], [0, 1, 1]]], np.float32)
+    b.add_mesh(tri, mat)
+    scene = b.compile()
+    o = jnp.asarray([[0.2, 0.2, 0.0], [0.9, 0.9, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 2, jnp.float32)
+    hit = isect.closest_hit_brute(scene.geom, o, d)
+    assert bool(hit["hit"][0]) and not bool(hit["hit"][1])
+    np.testing.assert_allclose(float(hit["t"][0]), 1.0, atol=1e-5)
+
+
+def test_sphere_intersect():
+    b = SceneBuilder()
+    mat = b.add_bsdf(BSDFSpec())
+    b.add_sphere((0, 0, 2), 0.5, mat)
+    scene = b.compile()
+    o = jnp.zeros((2, 3), jnp.float32)
+    d = jnp.asarray([[0, 0, 1.0], [0, 1.0, 0]], jnp.float32)
+    hit = isect.closest_hit_brute(scene.geom, o, d)
+    assert bool(hit["hit"][0]) and not bool(hit["hit"][1])
+    np.testing.assert_allclose(float(hit["t"][0]), 1.5, atol=1e-4)
+    p = o[0] + hit["t"][0] * d[0]
+    inter = isect.surface_interaction(
+        scene.geom, hit["prim"][:1], hit["b1"][:1], hit["b2"][:1], p[None], d[:1]
+    )
+    np.testing.assert_allclose(np.asarray(inter["n_s"][0]), [0, 0, -1], atol=1e-4)
+
+
+def test_bvh_structure():
+    rng = np.random.default_rng(1)
+    n = 500
+    lo = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.01, 0.1, size=(n, 3)).astype(np.float32)
+    cent = 0.5 * (lo + hi)
+    nodes = bvh_build.build_bvh(lo, hi, cent, max_leaf=4)
+    m = nodes["node_min"].shape[0]
+    # every prim appears exactly once in the reordering
+    assert sorted(nodes["order"].tolist()) == list(range(n))
+    # leaves cover all prims exactly once, in order
+    leaf = nodes["node_count"] > 0
+    total = nodes["node_count"][leaf].sum()
+    assert total == n
+    bases = nodes["node_base"][leaf]
+    counts = nodes["node_count"][leaf]
+    seg = np.argsort(bases)
+    covered = np.concatenate(
+        [np.arange(b, b + c) for b, c in zip(bases[seg], counts[seg])]
+    )
+    assert (covered == np.arange(n)).all()
+    # skip encoding: skip[i] > i, skip[root] == m
+    assert (nodes["node_skip"] > np.arange(m)).all()
+    assert nodes["node_skip"][0] == m
+    assert bvh_build.sah_cost(nodes) > 0
+
+
+def test_bvh_traversal_matches_brute_force():
+    scene = _random_tri_scene(300, seed=2)
+    rng = np.random.default_rng(3)
+    B = 512
+    o = jnp.asarray(rng.uniform(-2, 2, size=(B, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    d = vm.normalize(d)
+    brute = isect.closest_hit_brute(scene.geom, o, d)
+    bvh = traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d)
+    np.testing.assert_array_equal(np.asarray(brute["hit"]), np.asarray(bvh["hit"]))
+    hitm = np.asarray(brute["hit"])
+    np.testing.assert_allclose(
+        np.asarray(brute["t"])[hitm], np.asarray(bvh["t"])[hitm], rtol=1e-4
+    )
+    # prim ids may differ only for exactly-tied t; check hit points agree
+    np.testing.assert_array_equal(
+        np.asarray(brute["prim"])[hitm], np.asarray(bvh["prim"])[hitm]
+    )
+
+
+def test_occlusion_matches_brute_force():
+    scene = _random_tri_scene(300, seed=4)
+    rng = np.random.default_rng(5)
+    B = 512
+    o = jnp.asarray(rng.uniform(-2, 2, size=(B, 3)), jnp.float32)
+    d = vm.normalize(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    t_far = jnp.asarray(rng.uniform(0.5, 4.0, size=(B,)), jnp.float32)
+    a = isect.occlusion_brute(scene.geom, o, d, t_far)
+    b = traverse.occlusion_bvh(scene.geom, scene.bvh, o, d, t_far)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bvh_cost_counters():
+    scene = _random_tri_scene(300, seed=6)
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.uniform(-2, 2, size=(64, 3)), jnp.float32)
+    d = vm.normalize(jnp.asarray(rng.normal(size=(64, 3)), jnp.float32))
+    out = traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d, count_cost=True)
+    assert int(jnp.min(out["node_cnt"])) >= 1
+    assert int(jnp.max(out["node_cnt"])) < scene.bvh.num_nodes + 1

@@ -1,0 +1,130 @@
+"""Media layer tests: phase functions, homogeneous sampling, grid tracking."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_pt_tpu.core import rng as prng
+from cuda_pt_tpu.media import grid as grid_med
+from cuda_pt_tpu.media import homogeneous as homo
+from cuda_pt_tpu.media import phase as phase_mod
+from cuda_pt_tpu.scene import types as T
+from cuda_pt_tpu.scene.builder import BSDFSpec, MediumSpec, SceneBuilder
+
+
+def _sphere_dirs(n, seed=0):
+    r = np.random.default_rng(seed)
+    d = r.normal(size=(n, 3))
+    return jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+
+def test_phase_normalization():
+    """∫ p dω = 1 for every phase type (uniform-sphere MC)."""
+    B = 1 << 16
+    d_in = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (B, 1)), jnp.float32)
+    d_out = _sphere_dirs(B, 1)
+    for ptype, g in [
+        (T.PHASE_ISOTROPIC, 0.0),
+        (T.PHASE_HG, 0.6),
+        (T.PHASE_HG, -0.4),
+        (T.PHASE_DUAL_HG, 0.5),
+        (T.PHASE_RAYLEIGH, 0.0),
+    ]:
+        val = phase_mod.phase_eval(
+            jnp.full(B, ptype), jnp.full(B, g), jnp.full(B, -0.3),
+            jnp.full(B, 0.7), d_in, d_out,
+        )
+        integral = float(jnp.mean(val)) * 4.0 * np.pi
+        assert abs(integral - 1.0) < 0.03, (ptype, g, integral)
+
+
+def test_phase_sampling_matches_eval():
+    """E[cosθ] under HG sampling must equal g."""
+    B = 1 << 16
+    d_in = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (B, 1)), jnp.float32)
+    state = prng.seed(3, jnp.arange(B))
+    u2, state = prng.next2d(state)
+    u1, state = prng.next1d(state)
+    for g in [0.0, 0.3, 0.8, -0.5]:
+        d_out, pdf = phase_mod.phase_sample(
+            jnp.full(B, T.PHASE_HG), jnp.full(B, g), jnp.zeros(B),
+            jnp.ones(B), d_in, u2, u1,
+        )
+        mean_cos = float(jnp.mean(jnp.sum(d_in * d_out, -1)))
+        assert abs(mean_cos - g) < 0.02, (g, mean_cos)
+        assert np.isfinite(np.asarray(pdf)).all()
+
+
+def _media_table(sigma_a=(0.2, 0.3, 0.4), sigma_s=(0.5, 0.5, 0.5), scale=1.0):
+    b = SceneBuilder()
+    b.add_bsdf(BSDFSpec())
+    b.add_sphere((0, 0, 0), 1.0, 0)
+    b.add_medium(MediumSpec(sigma_a=sigma_a, sigma_s=sigma_s, scale=scale))
+    return b.compile()
+
+
+def test_homogeneous_unbiased_transmittance():
+    """Channel-MIS distance sampling: E[weight·𝟙surf] == transmittance and
+    the full estimator is energy-consistent."""
+    scene = _media_table()
+    B = 1 << 16
+    mid = jnp.zeros(B, jnp.int32)
+    t_surf = jnp.full(B, 2.0)
+    state = prng.seed(7, jnp.arange(B))
+    u, _ = prng.next2d(state)
+    out = homo.sample_distance(scene.media, mid, t_surf, u)
+    w = np.asarray(out["weight"])
+    is_med = np.asarray(out["is_medium"])
+    # surface-hit weights estimate Tr(t_surf) when averaged with indicator
+    est_tr = (w * (~is_med)[:, None]).mean(axis=0)
+    ref_tr = np.asarray(homo.transmittance(scene.media, mid[:1], t_surf[:1]))[0]
+    np.testing.assert_allclose(est_tr, ref_tr, rtol=0.05)
+    # medium-event weights estimate ∫ σs Tr = albedo·(1-Tr) per channel
+    est_med = (w * is_med[:, None]).mean(axis=0)
+    sa = np.array([0.2, 0.3, 0.4]); ss = np.array([0.5, 0.5, 0.5])
+    ref_med = ss / (sa + ss) * (1.0 - ref_tr)
+    np.testing.assert_allclose(est_med, ref_med, rtol=0.05)
+
+
+def test_grid_density_lookup_and_tracking():
+    b = SceneBuilder()
+    b.add_bsdf(BSDFSpec())
+    b.add_sphere((0, 0, 0), 1.0, 0)
+    dens = np.ones((8, 8, 8), np.float32) * 2.0
+    gid = b.add_grid(dens, (-1, -1, -1), (1, 1, 1))
+    b.add_medium(MediumSpec(mtype=T.MEDIUM_GRID, grid_id=gid, scale=1.0,
+                            sigma_s=(1.0, 1.0, 1.0)))
+    scene = b.compile()
+    # interior lookup = 2, outside = 0
+    p = jnp.asarray([[0.0, 0.0, 0.0], [5.0, 0.0, 0.0]], jnp.float32)
+    v = np.asarray(grid_med.density_lookup(scene.grids, jnp.zeros(2, jnp.int32), p))
+    np.testing.assert_allclose(v, [2.0, 0.0], atol=1e-5)
+
+    # ratio-tracking transmittance ≈ exp(-σ d) for a constant grid
+    B = 1 << 14
+    o = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (B, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (B, 1))
+    dist = jnp.full(B, 1.5)
+    state = prng.seed(9, jnp.arange(B))
+    tr, _ = grid_med.transmittance_grid(
+        scene, jnp.zeros(B, jnp.int32), o, d, dist, state, jnp.ones(B, bool)
+    )
+    est = float(jnp.mean(tr))
+    ref = float(np.exp(-2.0 * 1.5))
+    assert abs(est - ref) < 0.02, (est, ref)
+
+    # delta-tracking free flight: P(medium event before t) = 1 - exp(-σ t)
+    out, _ = grid_med.sample_distance_grid(
+        scene, jnp.zeros(B, jnp.int32), o, d, jnp.full(B, 1.0),
+        prng.seed(11, jnp.arange(B)), jnp.ones(B, bool),
+    )
+    p_med = float(jnp.mean(out["is_medium"].astype(jnp.float32)))
+    assert abs(p_med - (1.0 - np.exp(-2.0))) < 0.02, p_med
+
+
+def test_blackbody_rgb_monotone_hue():
+    t = jnp.asarray([1000.0, 3000.0, 6500.0])
+    rgb = np.asarray(grid_med.blackbody_rgb(t))
+    assert (rgb >= 0).all()
+    # low temp: red-dominant; 6500K ≈ white
+    assert rgb[0, 0] > rgb[0, 2] * 5
+    np.testing.assert_allclose(rgb[2], 1.0, rtol=1e-3)
