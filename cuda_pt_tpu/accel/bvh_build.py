@@ -50,14 +50,23 @@ def _surface_area(lo, hi):
 
 
 def build_bvh(lo: np.ndarray, hi: np.ndarray, centroid: np.ndarray, max_leaf: int = 4,
-              overlap_w: float = 1.0):
+              overlap_w: float = 1.0, use_native: bool = True):
     """Build the BVH.
 
     Returns dict of numpy arrays: node_min/max (M,3), node_skip/base/count
     (M,), and ``order`` (N,) — the primitive permutation (new order -> old
     index) the caller must apply to every per-prim array.
+
+    Dispatches to the native C++ builder (accel/native.py) when available;
+    the NumPy path below is the reference implementation and fallback.
     """
     n = lo.shape[0]
+    if use_native and n > 0:
+        from . import native
+
+        out = native.build_bvh_native(lo, hi, centroid, max_leaf, overlap_w)
+        if out is not None:
+            return out
     order = np.arange(n, dtype=np.int64)
 
     # Nodes collected in DFS order during an explicit-stack build.

@@ -59,14 +59,17 @@ def closest_hit_bvh(
     inv_d = 1.0 / safe_d
     karange = jnp.arange(max_leaf, dtype=jnp.int32)[None, :]
 
+    # init derived from o so the carry inherits shard_map varying axes
+    zero = o[:, 0] * 0.0
+    izero = zero.astype(jnp.int32)
     init = _TravState(
-        ptr=jnp.zeros((B,), jnp.int32),
-        t=jnp.full((B,), jnp.inf, jnp.float32),
-        prim=jnp.full((B,), -1, jnp.int32),
-        b1=jnp.zeros((B,), jnp.float32),
-        b2=jnp.zeros((B,), jnp.float32),
-        node_cnt=jnp.zeros((B,), jnp.int32),
-        prim_cnt=jnp.zeros((B,), jnp.int32),
+        ptr=izero,
+        t=zero + jnp.inf,
+        prim=izero - 1,
+        b1=zero,
+        b2=zero,
+        node_cnt=izero,
+        prim_cnt=izero,
     )
 
     def cond(s: _TravState):
@@ -157,7 +160,6 @@ def occlusion_bvh(
         ptr_next = jnp.where(occ, M, ptr_next)  # early-out
         return jnp.where(live, ptr_next, ptr), occ
 
-    _, occluded = jax.lax.while_loop(
-        cond, body, (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
-    )
+    izero = (o[:, 0] * 0.0).astype(jnp.int32)  # shard_map-varying init
+    _, occluded = jax.lax.while_loop(cond, body, (izero, izero > 0))
     return occluded

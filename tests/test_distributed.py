@@ -68,3 +68,19 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_tile_sharded_with_bvh():
+    """BVH traversal while_loops must compile inside shard_map (regression:
+    varying-axis carry init)."""
+    import numpy as np
+
+    from cuda_pt_tpu.scene import testscenes
+
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=3)
+    mesh = dist.make_mesh(sp=2)
+    img = np.asarray(
+        dist.render_distributed(scene, cam, md, spp=2, mesh=mesh, seed=1, use_bvh=True)
+    )
+    assert np.isfinite(img).all() and img.max() > 0.01

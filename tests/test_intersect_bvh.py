@@ -119,3 +119,53 @@ def test_bvh_cost_counters():
     out = traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d, count_cost=True)
     assert int(jnp.min(out["node_cnt"])) >= 1
     assert int(jnp.max(out["node_cnt"])) < scene.bvh.num_nodes + 1
+
+
+def test_native_builder_matches_numpy_semantics():
+    """C++ builder output satisfies the same structural invariants and
+    traversal equivalence as the NumPy builder."""
+    from cuda_pt_tpu.accel import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no g++ / native builder unavailable")
+    rng = np.random.default_rng(8)
+    n = 700
+    lo = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.01, 0.1, size=(n, 3)).astype(np.float32)
+    cent = 0.5 * (lo + hi)
+    nat = native.build_bvh_native(lo, hi, cent, max_leaf=4, overlap_w=0.5)
+    m = nat["node_min"].shape[0]
+    assert sorted(nat["order"].tolist()) == list(range(n))
+    leaf = nat["node_count"] > 0
+    assert nat["node_count"][leaf].sum() == n
+    assert (nat["node_skip"] > np.arange(m)).all()
+    assert nat["node_skip"][0] == m
+    # SAH cost in the same ballpark as the NumPy builder
+    ref = bvh_build.build_bvh(lo, hi, cent, max_leaf=4, overlap_w=0.5,
+                              use_native=False)
+    c_nat = bvh_build.sah_cost(nat)
+    c_ref = bvh_build.sah_cost(ref)
+    assert c_nat < c_ref * 1.3, (c_nat, c_ref)
+
+
+def test_native_builder_traversal_equivalence():
+    from cuda_pt_tpu.accel import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native builder unavailable")
+    scene = _random_tri_scene(250, seed=12)  # compiled via native by default
+    rng = np.random.default_rng(13)
+    B = 256
+    o = jnp.asarray(rng.uniform(-2, 2, size=(B, 3)), jnp.float32)
+    d = vm.normalize(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    brute = isect.closest_hit_brute(scene.geom, o, d)
+    bvh = traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d)
+    np.testing.assert_array_equal(np.asarray(brute["hit"]), np.asarray(bvh["hit"]))
+    hitm = np.asarray(brute["hit"])
+    np.testing.assert_allclose(
+        np.asarray(brute["t"])[hitm], np.asarray(bvh["t"])[hitm], rtol=1e-4
+    )
