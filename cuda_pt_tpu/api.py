@@ -146,6 +146,12 @@ class Renderer:
 
         save_png(path, self.get_image_buffer(gamma))
 
+    def save_checkpoint(self, path: str):
+        film_mod.save_checkpoint(self.film, path)
+
+    def load_checkpoint(self, path: str):
+        self.film = film_mod.load_checkpoint(path)
+
     def release(self):
         self.film = None
         self._render_1spp = None

@@ -70,6 +70,30 @@ def to_srgb(mean: jnp.ndarray, gamma: bool = True) -> jnp.ndarray:
     return jnp.clip(img, 0.0, 1.0)
 
 
+def save_checkpoint(film: Film, path: str):
+    """Persist film state (the renderer's de-facto checkpoint — SURVEY.md §5:
+    the reference's accumulated DeviceImage + accum_cnt persisting across
+    frames). Enables crash-resume at pass granularity like
+    scripts/serial_render.py's per-frame PNGs, but lossless."""
+    np.savez(
+        path,
+        mean=np.asarray(film.mean),
+        m2=np.asarray(film.m2),
+        weight=np.asarray(film.weight),
+        count=np.asarray(film.count),
+    )
+
+
+def load_checkpoint(path: str) -> Film:
+    z = np.load(path)
+    return Film(
+        mean=jnp.asarray(z["mean"]),
+        m2=jnp.asarray(z["m2"]),
+        weight=jnp.asarray(z["weight"]),
+        count=jnp.asarray(z["count"]),
+    )
+
+
 def export_numpy(film: Film, gamma: bool = True) -> np.ndarray:
     """Bring the tonemapped image to host as uint8 (H, W, 3)."""
     img = np.asarray(to_srgb(film.mean, gamma=gamma))

@@ -1,0 +1,224 @@
+"""Interactive web viewer with online accumulation and scene hot-reload.
+
+TPU re-design of the reference's imgui/GLFW/OpenGL viewer (app/viewer.cu +
+src/viewer_impl/imgui_utils.cu): the render loop is a background thread
+accumulating 1-spp passes into the film (render_online, 1 frame = 1 spp);
+the CUDA-GL PBO blit becomes a PNG endpoint polled by a browser canvas; the
+imgui settings panel becomes JSON POSTs that mutate the scene tables.
+
+Hot-reload parity (reference dirty-flag updates, app/viewer.cu:173-194):
+- camera WASD/mouse  → new Camera pytree, film reset
+- emitter emission/scale, BSDF colors/params, medium σa/σs/scale → new table
+  leaves. Because every material is a row in a dense table, an update is a
+  plain array swap: NO recompilation (the XLA program is scene-shape
+  generic), unlike the reference's device-new create_bsdf path for type
+  changes — even type changes are just an int write here.
+
+Endpoints: GET / (UI), GET /frame.png, GET /info, POST /update.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..api import Renderer
+from ..core import camera as cam_mod
+
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>cuda_pt_tpu viewer</title><style>
+body{background:#111;color:#ddd;font-family:monospace;display:flex;gap:16px;padding:12px}
+canvas{image-rendering:pixelated;border:1px solid #444}
+#panel{width:330px} input{width:70px;background:#222;color:#ddd;border:1px solid #555}
+.row{margin:4px 0} h3{margin:8px 0 4px;color:#8cf} #stats{color:#8f8;white-space:pre}
+</style></head><body>
+<div><canvas id="c" width="512" height="512" tabindex="0"></canvas>
+<div id="stats"></div></div>
+<div id="panel">
+<h3>Camera (WASD+RF move, drag rotate)</h3>
+<h3>Emitters</h3><div id="emitters"></div>
+<h3>Materials</h3><div id="materials"></div>
+<h3>Media</h3><div id="media"></div>
+</div>
+<script>
+const c = document.getElementById('c'), ctx = c.getContext('2d');
+const img = new Image();
+let drag = null;
+function tick(){ img.src = '/frame.png?' + Date.now(); }
+img.onload = () => { ctx.imageSmoothingEnabled = false;
+  ctx.drawImage(img, 0, 0, c.width, c.height); setTimeout(tick, 120); };
+img.onerror = () => setTimeout(tick, 500);
+tick();
+setInterval(async () => {
+  const r = await fetch('/info'); const j = await r.json();
+  document.getElementById('stats').textContent =
+    `spp ${j.spp}  ${j.ms_per_pass.toFixed(0)} ms/pass  var ${j.variance.toExponential(2)}`;
+}, 700);
+function post(o){ fetch('/update', {method:'POST', body: JSON.stringify(o)}); }
+const keymap = {w:[0,0,1], s:[0,0,-1], a:[-1,0,0], d:[1,0,0], r:[0,1,0], f:[0,-1,0]};
+c.addEventListener('keydown', e => { const m = keymap[e.key];
+  if (m) post({kind:'camera_move', delta:m.map(v=>v*0.1)}); });
+c.addEventListener('mousedown', e => drag = [e.clientX, e.clientY]);
+window.addEventListener('mouseup', () => drag = null);
+window.addEventListener('mousemove', e => { if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1]; drag = [e.clientX, e.clientY];
+  post({kind:'camera_rotate', yaw: dx*0.004, pitch: dy*0.004}); });
+async function buildPanel(){
+  const j = await (await fetch('/scene')).json();
+  const em = document.getElementById('emitters');
+  j.emitters.forEach((e,i) => { if (i===0) return;
+    em.insertAdjacentHTML('beforeend',
+      `<div class=row>#${i} scale <input value="${e.scaler}"
+        onchange="post({kind:'emitter',id:${i},field:'scaler',value:parseFloat(this.value)})"></div>`); });
+  const mt = document.getElementById('materials');
+  j.bsdfs.forEach((b,i) => mt.insertAdjacentHTML('beforeend',
+    `<div class=row>#${i} t${b.btype} kd <input value="${b.k_d}"
+      onchange="post({kind:'bsdf',id:${i},field:'k_d',value:this.value.split(',').map(parseFloat)})"></div>`));
+  const md = document.getElementById('media');
+  j.media.forEach((m,i) => { if (m.mtype < 0) return;
+    md.insertAdjacentHTML('beforeend',
+      `<div class=row>#${i} scale <input value="${m.scale}"
+        onchange="post({kind:'medium',id:${i},field:'scale',value:parseFloat(this.value)})"></div>`); });
+}
+buildPanel();
+</script></body></html>"""
+
+
+class ViewerState:
+    def __init__(self, renderer: Renderer):
+        self.renderer = renderer
+        self.lock = threading.Lock()
+        self.dirty = False
+        self.stop = threading.Event()
+        self.png = b""
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        self.thread.start()
+
+    def _loop(self):
+        from PIL import Image
+
+        while not self.stop.is_set():
+            with self.lock:
+                if self.dirty:
+                    self.renderer.reset_out_buffer()
+                    self.dirty = False
+            self.renderer.render_raw()  # 1 spp accumulate (render_online)
+            buf = io.BytesIO()
+            Image.fromarray(self.renderer.get_image_buffer()).save(buf, "PNG")
+            self.png = buf.getvalue()
+
+    # ---- hot-reload ops (called from HTTP handlers) ----------------------
+    def update(self, msg: dict):
+        r = self.renderer
+        kind = msg.get("kind")
+        with self.lock:
+            if kind == "camera_move":
+                r.camera = cam_mod.move(r.camera, msg["delta"])
+            elif kind == "camera_rotate":
+                r.camera = cam_mod.rotate(r.camera, msg.get("yaw", 0.0), msg.get("pitch", 0.0))
+            elif kind == "emitter":
+                em = r.scene.emitters
+                field, i, v = msg["field"], int(msg["id"]), msg["value"]
+                r.scene = r.scene.replace(
+                    emitters=em.replace(**{field: getattr(em, field).at[i].set(v)})
+                )
+            elif kind == "bsdf":
+                tb = r.scene.bsdfs
+                field, i, v = msg["field"], int(msg["id"]), msg["value"]
+                r.scene = r.scene.replace(
+                    bsdfs=tb.replace(**{field: getattr(tb, field).at[i].set(v)})
+                )
+            elif kind == "medium":
+                mt = r.scene.media
+                field, i, v = msg["field"], int(msg["id"]), msg["value"]
+                r.scene = r.scene.replace(
+                    media=mt.replace(**{field: getattr(mt, field).at[i].set(v)})
+                )
+            self.dirty = True
+
+    def scene_json(self) -> dict:
+        s = self.renderer.scene
+        return {
+            "emitters": [
+                {"etype": int(t), "scaler": float(sc)}
+                for t, sc in zip(np.asarray(s.emitters.etype), np.asarray(s.emitters.scaler))
+            ],
+            "bsdfs": [
+                {"btype": int(t), "k_d": ",".join(f"{x:.3f}" for x in kd)}
+                for t, kd in zip(np.asarray(s.bsdfs.btype), np.asarray(s.bsdfs.k_d))
+            ],
+            "media": [
+                {"mtype": int(t), "scale": float(sc)}
+                for t, sc in zip(np.asarray(s.media.mtype), np.asarray(s.media.scale))
+            ],
+        }
+
+
+def make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/":
+                self._send(200, _PAGE.encode(), "text/html")
+            elif path == "/frame.png":
+                png = state.png or b""
+                if not png:
+                    self._send(503, b"{}")
+                else:
+                    self._send(200, png, "image/png")
+            elif path == "/info":
+                r = state.renderer
+                body = json.dumps({
+                    "spp": r.counter(),
+                    "ms_per_pass": r.avg_frame_time(),
+                    "variance": float(np.mean(r.variance())) if r.counter() > 1 else 0.0,
+                    **r.info(),
+                }).encode()
+                self._send(200, body)
+            elif path == "/scene":
+                self._send(200, json.dumps(state.scene_json()).encode())
+            else:
+                self._send(404, b"{}")
+
+        def do_POST(self):
+            if self.path == "/update":
+                n = int(self.headers.get("Content-Length", 0))
+                msg = json.loads(self.rfile.read(n) or b"{}")
+                state.update(msg)
+                self._send(200, b"{}")
+            else:
+                self._send(404, b"{}")
+
+    return Handler
+
+
+def serve(source, port: int = 8000, host: str = "127.0.0.1", **renderer_kw):
+    """Start the viewer: source = xml path or ParsedScene."""
+    renderer = Renderer(source, **renderer_kw)
+    state = ViewerState(renderer)
+    state.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    print(f"[VIEWER] http://{host}:{port}  scene={renderer.info()}")
+    try:
+        httpd.serve_forever()
+    finally:
+        state.stop.set()
+    return httpd

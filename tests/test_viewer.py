@@ -1,0 +1,84 @@
+"""Viewer end-to-end test: serve, poll, hot-reload, observe accumulation."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from cuda_pt_tpu.api import Renderer
+from cuda_pt_tpu.core.config import RenderingConfig
+from cuda_pt_tpu.scene import testscenes
+from cuda_pt_tpu.scene.xml_parser import ParsedScene
+from cuda_pt_tpu.viewer.server import ThreadingHTTPServer, ViewerState, make_handler
+
+
+@pytest.fixture(scope="module")
+def viewer():
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    ps = ParsedScene(scene, cam, RenderingConfig(width=16, height=16), None)
+    renderer = Renderer(ps)
+    state = ViewerState(renderer)
+    state.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield state, port
+    state.stop.set()
+    httpd.shutdown()
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+        return r.read()
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(obj).encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.read()
+
+
+def test_viewer_accumulates_and_serves(viewer):
+    state, port = viewer
+    assert b"<canvas" in _get(port, "/")
+    deadline = time.time() + 120
+    while time.time() < deadline and state.renderer.counter() < 2:
+        time.sleep(0.5)
+    info = json.loads(_get(port, "/info"))
+    assert info["spp"] >= 2
+    png = _get(port, "/frame.png")
+    assert png[:4] == b"\x89PNG"
+    scene = json.loads(_get(port, "/scene"))
+    assert len(scene["bsdfs"]) >= 4
+
+
+def test_viewer_hot_reload_resets_film(viewer):
+    state, port = viewer
+    spp_before = state.renderer.counter()
+    _post(port, "/update", {"kind": "emitter", "id": 1, "field": "scaler", "value": 25.0})
+    time.sleep(0.2)
+    deadline = time.time() + 120
+    # after the dirty flag lands the counter must drop below its prior value
+    saw_reset = False
+    while time.time() < deadline:
+        if state.renderer.counter() < max(spp_before, 1):
+            saw_reset = True
+            break
+        time.sleep(0.2)
+    assert saw_reset
+    assert float(state.renderer.scene.emitters.scaler[1]) == 25.0
+
+
+def test_viewer_camera_move(viewer):
+    state, port = viewer
+    t_before = np.asarray(state.renderer.camera.t).copy()
+    _post(port, "/update", {"kind": "camera_move", "delta": [0.0, 0.0, 0.3]})
+    time.sleep(0.5)
+    t_after = np.asarray(state.renderer.camera.t)
+    assert not np.allclose(t_before, t_after)
