@@ -207,27 +207,45 @@ class SceneBuilder:
         uv0 = np.concatenate(uv0s); uv1 = np.concatenate(uv1s); uv2 = np.concatenate(uv2s)
         obj_idx = np.concatenate(obj_ids); is_sphere = np.concatenate(sph)
 
-        # BVH build + primitive reorder
-        lo, hi, cent = bvh_build.prim_bounds(p0, e1, e2, is_sphere)
-        nodes = bvh_build.build_bvh(
-            lo, hi, cent, max_leaf=cfg.max_prims_per_leaf, overlap_w=cfg.overlap_w
-        )
+        # per-prim area on ORIGINAL prims (pre-reorder: SBVH may duplicate
+        # references, which must not inflate sampling areas — reference
+        # emissive-prim dedup, src/impl/bvh_spatial.cu:996-1013)
+        tri_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        sph_area = 4.0 * np.pi * e1[:, 0] ** 2
+        orig_area = np.where(is_sphere, sph_area, tri_area)
+        inv_area = np.zeros(num_obj, np.float32)
+        for oi in range(num_obj):
+            a = orig_area[obj_idx == oi].sum()
+            inv_area[oi] = 1.0 / max(a, 1e-12)
+
+        # BVH / SBVH build + primitive reorder
+        nodes = None
+        if cfg.use_sbvh:
+            from . import types as _T  # noqa: F401  (readability)
+            from ..accel import native as _native
+
+            nodes = _native.build_sbvh_native(
+                p0, e1, e2, is_sphere,
+                max_leaf=cfg.max_prims_per_leaf, overlap_w=cfg.overlap_w,
+                dup_budget_frac=0.5 if cfg.use_ref_unsplit else 1.0,
+            )
+        if nodes is None:
+            lo, hi, cent = bvh_build.prim_bounds(p0, e1, e2, is_sphere)
+            nodes = bvh_build.build_bvh(
+                lo, hi, cent, max_leaf=cfg.max_prims_per_leaf,
+                overlap_w=cfg.overlap_w,
+            )
         order = nodes["order"]
         p0, e1, e2 = p0[order], e1[order], e2[order]
         n0, n1, n2 = n0[order], n1[order], n2[order]
         uv0, uv1, uv2 = uv0[order], uv1[order], uv2[order]
         obj_idx, is_sphere = obj_idx[order], is_sphere[order]
-
-        # per-prim area (post-reorder)
-        tri_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
-        sph_area = 4.0 * np.pi * e1[:, 0] ** 2
-        prim_area = np.where(is_sphere, sph_area, tri_area)
-
-        # object table
-        inv_area = np.zeros(num_obj, np.float32)
-        for oi in range(num_obj):
-            a = prim_area[obj_idx == oi].sum()
-            inv_area[oi] = 1.0 / max(a, 1e-12)
+        prim_area = orig_area[order]
+        # first-occurrence slots of each original prim (emitter sampling
+        # must count duplicated SBVH refs exactly once)
+        _, first_slots = np.unique(order, return_index=True)
+        is_first = np.zeros(order.shape[0], bool)
+        is_first[first_slots] = True
         objects = T.ObjectTable(
             bsdf_id=jnp.asarray([o.bsdf_id for o in self.objects], jnp.int32),
             emitter_id=jnp.asarray([o.emitter_id for o in self.objects], jnp.int32),
@@ -250,7 +268,9 @@ class SceneBuilder:
         sel_lists = []
         for e in range(E):
             if emitter_obj[e] >= 0:
-                sel = np.nonzero(obj_idx == emitter_obj[e])[0].astype(np.int32)
+                sel = np.nonzero((obj_idx == emitter_obj[e]) & is_first)[0].astype(
+                    np.int32
+                )
                 sel_lists.append(sel)
                 kmax = max(kmax, sel.size)
             else:
