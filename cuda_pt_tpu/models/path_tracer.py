@@ -54,16 +54,35 @@ class PTState:
     bounce: jnp.ndarray
 
 
+# Traversal backend: "xla" = batched gather loop (accel/traverse.py),
+# "pallas" = packet kernel (ops/pallas/traverse_kernel.py; scene must fit
+# VMEM). Module-level so benchmarks/tests can flip it without replumbing.
+TRAVERSAL_IMPL = "xla"
+
+
 def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int = 4):
-    if use_bvh:
-        return traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
-    return isect.closest_hit_brute(scene.geom, o, d)
+    if not use_bvh:
+        return isect.closest_hit_brute(scene.geom, o, d)
+    if TRAVERSAL_IMPL == "pallas":
+        from ..ops.pallas import traverse_kernel as tk
+
+        if tk.scene_fits_vmem(scene.geom, scene.bvh):
+            return tk.traverse_pallas(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
+    return traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
 
 
 def occluded(scene: T.Scene, o, d, t_far, use_bvh: bool, max_leaf: int = 4):
-    if use_bvh:
-        return traverse.occlusion_bvh(scene.geom, scene.bvh, o, d, t_far, max_leaf=max_leaf)
-    return isect.occlusion_brute(scene.geom, o, d, t_far)
+    if not use_bvh:
+        return isect.occlusion_brute(scene.geom, o, d, t_far)
+    if TRAVERSAL_IMPL == "pallas":
+        from ..ops.pallas import traverse_kernel as tk
+
+        if tk.scene_fits_vmem(scene.geom, scene.bvh):
+            out = tk.traverse_pallas(
+                scene.geom, scene.bvh, o, d, t_far, max_leaf=max_leaf, occlusion=True
+            )
+            return out["occluded"]
+    return traverse.occlusion_bvh(scene.geom, scene.bvh, o, d, t_far, max_leaf=max_leaf)
 
 
 def _tof_weight(md: MaxDepthParams, dist):

@@ -1,0 +1,58 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_pt_tpu.core import math as vm
+from cuda_pt_tpu.ops import intersect as isect
+from cuda_pt_tpu.ops.pallas.traverse_kernel import scene_fits_vmem, traverse_pallas
+from cuda_pt_tpu.scene.builder import BSDFSpec, SceneBuilder
+
+
+@pytest.fixture(scope="module")
+def scene_and_rays():
+    rng = np.random.default_rng(2)
+    b = SceneBuilder()
+    mat = b.add_bsdf(BSDFSpec())
+    center = rng.uniform(-1, 1, size=(300, 1, 3))
+    b.add_mesh(
+        (center + rng.normal(scale=0.1, size=(300, 3, 3))).astype(np.float32), mat
+    )
+    for _ in range(5):
+        b.add_sphere(rng.uniform(-1, 1, size=3), 0.15, mat)
+    scene = b.compile()
+    B = 1000  # deliberately not a multiple of the tile size (padding path)
+    o = jnp.asarray(rng.uniform(-2, 2, size=(B, 3)), jnp.float32)
+    d = vm.normalize(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    return scene, o, d
+
+
+def test_fits_vmem(scene_and_rays):
+    scene, _, _ = scene_and_rays
+    assert scene_fits_vmem(scene.geom, scene.bvh)
+
+
+def test_packet_closest_hit_matches_brute(scene_and_rays):
+    scene, o, d = scene_and_rays
+    brute = isect.closest_hit_brute(scene.geom, o, d)
+    pk = traverse_pallas(scene.geom, scene.bvh, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(brute["hit"]), np.asarray(pk["hit"]))
+    hm = np.asarray(brute["hit"])
+    np.testing.assert_allclose(
+        np.asarray(brute["t"])[hm], np.asarray(pk["t"])[hm], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(brute["prim"])[hm], np.asarray(pk["prim"])[hm]
+    )
+
+
+def test_packet_occlusion_matches_brute(scene_and_rays):
+    scene, o, d = scene_and_rays
+    rng = np.random.default_rng(3)
+    t_far = jnp.asarray(rng.uniform(0.5, 4.0, size=(o.shape[0],)), jnp.float32)
+    occ_b = isect.occlusion_brute(scene.geom, o, d, t_far)
+    occ_p = traverse_pallas(
+        scene.geom, scene.bvh, o, d, t_far, occlusion=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_p["occluded"]))
