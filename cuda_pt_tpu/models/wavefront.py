@@ -37,15 +37,24 @@ def _permute(tree, perm):
     )
 
 
-def _sort_key(scene: T.Scene, s: pt.PTState, hit):
-    """Material-sort key: dead lanes last, then by hit BSDF type id
-    (reference index-buffer key packing, src/pt_impl/wavefront_pt.cu:41-69)."""
+def _sort_key(scene: T.Scene, s: pt.PTState, hit, spatial: bool = True):
+    """Sort key: dead lanes last, material-type major (reference index-buffer
+    key packing, src/pt_impl/wavefront_pt.cu:41-69), Morton code of the hit
+    point minor — spatial coherence feeds the packet traversal kernel."""
+    from ..ops import morton
+
     prim = jnp.maximum(hit["prim"], 0)
     obj = scene.geom.obj_idx[prim]
     bid = jnp.maximum(scene.objects.bsdf_id[obj], 0)
-    btype = scene.bsdfs.btype[bid]
+    btype = scene.bsdfs.btype[bid].astype(jnp.uint32)
     live = s.active & hit["hit"]
-    return jnp.where(live, btype, jnp.int32(1 << 20))
+    key = btype << 27
+    if spatial:
+        t_safe = jnp.where(live, jnp.minimum(hit["t"], 1e7), 0.0)
+        p = s.o + t_safe[:, None] * s.d
+        code = morton.morton3d(p, scene.bvh.node_min[0], scene.bvh.node_max[0])
+        key = key | ((code >> 3) & jnp.uint32(0x07FFFFFF))
+    return jnp.where(live, key, jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)
 
 
 def trace_paths_wavefront(
