@@ -1,50 +1,88 @@
 """Benchmark: Mrays/s on the cornell-box megakernel PT (BASELINE.json PR1 config).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever jax.devices() provides (real TPU under the driver).
+
+Resilience: the measurement runs in a subprocess with a watchdog. If the TPU
+backend hangs or faults (tunnel outages happen), it retries on CPU and labels
+the metric accordingly — the driver always gets its JSON line.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against our own recorded round-1 figure (BASELINE.md will track it).
+ratio against our recorded round-1 TPU figure (None until first recorded).
 """
 
 import json
-import time
+import os
+import subprocess
+import sys
 
+BASELINE_MRAYS = None  # set after round 1 records a TPU number
+TIMEOUT_S = 480
+
+_CHILD_CODE = r"""
+import json, sys, time
+backend = sys.argv[1]
 import jax
+if backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
-BASELINE_MRAYS = None  # set after round 1 records a number
+from cuda_pt_tpu.core.config import MaxDepthParams
+from cuda_pt_tpu.models import path_tracer as pt
+from cuda_pt_tpu.scene import testscenes
+
+W = H = 512 if backend != "cpu" else 128
+SPP = 16 if backend != "cpu" else 2
+MAXD = 5
+scene, cam, _ = testscenes.cornell_box(width=W, height=H)
+md = MaxDepthParams(max_depth=MAXD)
+
+fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed, use_bvh=True))
+fn(scene, 0).block_until_ready()
+t0 = time.perf_counter()
+reps = 3
+for i in range(reps):
+    img = fn(scene, i + 1)
+img.block_until_ready()
+dt = (time.perf_counter() - t0) / reps
+
+# path segments + NEE shadow rays per camera sample (conservative estimate)
+rays = W * H * SPP * MAXD
+mrays = rays / dt / 1e6
+print(json.dumps({"mrays": mrays, "backend": jax.default_backend(),
+                  "w": W, "spp": SPP, "sec_per_frame": dt}))
+"""
+
+
+def _run(backend: str, timeout: int):
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD_CODE, backend],
+            capture_output=True, timeout=timeout, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
+    return None
 
 
 def main():
-    from cuda_pt_tpu.core.config import MaxDepthParams
-    from cuda_pt_tpu.models import path_tracer as pt
-    from cuda_pt_tpu.scene import testscenes
-
-    W = H = 512
-    SPP = 16
-    MAXD = 5
-    scene, cam, _ = testscenes.cornell_box(width=W, height=H)
-    md = MaxDepthParams(max_depth=MAXD)
-
-    fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed, use_bvh=True),
-                 static_argnames=())
-    # compile + warmup
-    fn(scene, 0).block_until_ready()
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        img = fn(scene, i + 1)
-    img.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-
-    # ray count: primary rays * average path length is scene-dependent; we
-    # report camera-path segments consistently as pixels*spp*avg_bounces with
-    # avg measured once (conservative: use max_depth/2 + NEE shadow rays).
-    rays = W * H * SPP * (MAXD / 2 + MAXD / 2)  # path segments + shadow rays
-    mrays = rays / dt / 1e6
+    res = _run("default", TIMEOUT_S)
+    suffix = ""
+    if res is None or res.get("backend") == "cpu":
+        res = res or _run("cpu", TIMEOUT_S)
+        suffix = "_cpu_fallback"
+    if res is None:
+        print(json.dumps({
+            "metric": "cornell_megakernel_mrays_per_s",
+            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+        }))
+        return
+    mrays = res["mrays"]
     vs = 1.0 if BASELINE_MRAYS is None else mrays / BASELINE_MRAYS
     print(json.dumps({
-        "metric": "cornell_megakernel_mrays_per_s",
+        "metric": "cornell_megakernel_mrays_per_s" + suffix,
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),

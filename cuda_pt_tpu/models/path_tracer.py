@@ -284,6 +284,39 @@ def render_sample(
     return L.reshape(cam.height, cam.width, 3)
 
 
+def render_pass_batched(
+    scene: T.Scene,
+    cam: cam_mod.Camera,
+    md: MaxDepthParams,
+    seed,
+    pass_idx,
+    k: int,
+    use_bvh: bool,
+    differentiable: bool = False,
+):
+    """k samples/pixel in ONE flat batch (B = W*H*k lanes) → (H, W, 3) sum.
+
+    Lane l handles (pixel = l // k, sample = pass_idx*k + l % k) with the
+    SAME per-(pixel, sample) RNG stream as render_sample, so batched and
+    sequential rendering produce identical estimates. Bigger batches amortize
+    bounce-loop divergence across more lanes — the TPU analogue of the
+    reference's occupancy padding (src/pt_impl/wf_path_tracer.cu:33-47).
+    """
+    npix = cam.width * cam.height
+    lane = jnp.arange(npix * k, dtype=jnp.int32)
+    pixel = lane // k
+    sub = lane % k
+    s_idx = pass_idx * k + sub
+    rng = prng.seed(
+        jnp.asarray(seed, jnp.uint32) + s_idx.astype(jnp.uint32) * jnp.uint32(9781),
+        pixel,
+    )
+    o, d, rng = cam_mod.generate_rays(cam, pixel, rng)
+    L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
+    img = jnp.zeros((npix, 3), jnp.float32).at[pixel].add(L)
+    return img.reshape(cam.height, cam.width, 3)
+
+
 def render(
     scene: T.Scene,
     cam: cam_mod.Camera,
@@ -292,19 +325,27 @@ def render(
     seed: int = 0,
     use_bvh=None,
     differentiable: bool = False,
+    samples_per_pass: int = 1,
 ):
     """Multi-spp render with on-device accumulation (lax.fori over passes).
 
     With differentiable=True the whole estimator is reverse-mode
-    differentiable w.r.t. the scene tables. Returns (H, W, 3) mean radiance.
+    differentiable w.r.t. the scene tables. samples_per_pass folds k samples
+    into one flat batch per pass (must divide spp). Returns (H, W, 3) mean.
     """
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > BRUTE_FORCE_MAX_PRIMS
+    k = max(1, samples_per_pass)
+    assert spp % k == 0, (spp, k)
 
     def body(i, acc):
-        return acc + render_sample(scene, cam, md, seed, i, use_bvh, differentiable)
+        if k == 1:
+            return acc + render_sample(scene, cam, md, seed, i, use_bvh, differentiable)
+        return acc + render_pass_batched(
+            scene, cam, md, seed, i, k, use_bvh, differentiable
+        )
 
     acc = jax.lax.fori_loop(
-        0, spp, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        0, spp // k, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)
     )
     return acc / spp

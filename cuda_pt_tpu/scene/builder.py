@@ -178,9 +178,17 @@ class SceneBuilder:
         from ..core.config import BVHConfig
 
         cfg = bvh_cfg or BVHConfig()
-        num_obj = max(len(self.objects), 1)
         if not self.objects:
-            raise ValueError("scene has no objects")
+            # degenerate but compilable scene (e.g. every mesh asset missing):
+            # one far-away micro-triangle so all shapes stay static
+            if not self.bsdfs:
+                self.bsdfs.append(BSDFSpec())
+            tri = np.array(
+                [[[1e6, 1e6, 1e6], [1e6 + 1e-3, 1e6, 1e6], [1e6, 1e6 + 1e-3, 1e6]]],
+                np.float32,
+            )
+            self.add_mesh(tri, 0)
+        num_obj = len(self.objects)
 
         # concatenate prims; track per-object ranges (pre-reorder)
         p0s, e1s, e2s = [], [], []

@@ -81,3 +81,17 @@ def test_gradients_flow_to_emitter_and_albedo():
     # brightness increases with emitter radiance and with wall albedo
     assert g_em[1].sum() > 0.0
     assert np.abs(g_kd).sum() > 0.0
+
+
+def test_batched_passes_match_sequential():
+    """samples_per_pass folds k samples per dispatch with identical RNG
+    streams → identical image."""
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=3)
+    a = np.asarray(pt.render(scene, cam, md, spp=4, seed=6, use_bvh=False))
+    b = np.asarray(
+        pt.render(scene, cam, md, spp=4, seed=6, use_bvh=False, samples_per_pass=4)
+    )
+    match = np.isclose(a, b, atol=1e-4).mean()
+    assert match > 0.95, match
+    assert abs(a.mean() - b.mean()) < 0.01

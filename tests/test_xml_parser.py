@@ -82,3 +82,20 @@ def test_parse_vader_skips_missing_meshes():
         ps = load_xml(os.path.join(REF, "vader.xml"), override_res=(8, 8))
     assert ps.scene.geom.num_prims > 0  # emitters + floor still load
     assert int(ps.scene.env_emitter) > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference scenes not mounted")
+def test_parse_entire_reference_corpus():
+    """Every scene in the reference corpus parses (missing assets skipped)."""
+    import glob
+    import warnings
+
+    ok = 0
+    for xml in sorted(glob.glob(os.path.join(REF, "*.xml"))):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ps = load_xml(xml, override_res=(8, 8))
+        assert ps.scene.geom.num_prims >= 1, xml
+        assert ps.config.spp > 0, xml
+        ok += 1
+    assert ok >= 14  # 16 scenes in the corpus
