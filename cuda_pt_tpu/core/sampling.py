@@ -87,10 +87,15 @@ def uniform_triangle(u: jnp.ndarray) -> jnp.ndarray:
 
 
 def power_heuristic(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
-    """Power heuristic (beta=2) MIS weight for strategy a."""
-    a2 = pdf_a * pdf_a
-    return a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-12)
+    """Power heuristic (beta=2) MIS weight for strategy a.
+
+    Ratio form 1/(1+(b/a)²): immune to pdf² overflow (large solid-angle pdfs
+    at long distances squared past f32 max would give inf/inf = NaN)."""
+    r = pdf_b / jnp.maximum(pdf_a, 1e-12)
+    w = 1.0 / (1.0 + r * r)
+    return jnp.where(pdf_a > 0.0, w, 0.0)
 
 
 def balance_heuristic(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
-    return pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-12)
+    r = pdf_b / jnp.maximum(pdf_a, 1e-12)
+    return jnp.where(pdf_a > 0.0, 1.0 / (1.0 + r), 0.0)

@@ -100,7 +100,8 @@ def intersect_stage(scene: T.Scene, s: PTState, use_bvh: bool):
 
 
 def shade_stage(
-    scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: PTState, hit
+    scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: PTState, hit,
+    fixed_rr: bool = False,
 ) -> PTState:
     """Wavefront stage 2: emitter MIS + NEE + BSDF scatter + RR (reference
     fused_ray_bounce_shader, src/pt_impl/wavefront_pt.cu:213-314)."""
@@ -178,10 +179,19 @@ def shade_stage(
     )
 
     # ---- RR after bounce 1 with threshold 0.1 (megakernel_pt.cu:166-180) -
+    # In differentiable renders the survival probability must not depend on
+    # the throughput (θ): a θ-dependent accept set makes the estimator
+    # discontinuous in θ and its detached gradient biased. Use a fixed
+    # per-bounce schedule instead (unbiased for both value and gradient).
     max_thp = jnp.max(jax.lax.stop_gradient(thp), axis=-1)
     u_rr, rng = prng.next1d(rng)
     do_rr = s.bounce >= 1
-    p_survive = jnp.where(do_rr, jnp.clip(max_thp, 0.1, 1.0), 1.0)
+    if fixed_rr:
+        sched = jnp.exp(-0.25 * jnp.maximum(s.bounce.astype(jnp.float32) - 1.0, 0.0))
+        p_survive = jnp.where(do_rr, jnp.maximum(sched, 0.1), 1.0)
+        p_survive = jnp.broadcast_to(p_survive, max_thp.shape)
+    else:
+        p_survive = jnp.where(do_rr, jnp.clip(max_thp, 0.1, 1.0), 1.0)
     survive = u_rr < p_survive
     thp = thp / p_survive[:, None]
 
@@ -205,9 +215,12 @@ def shade_stage(
     )
 
 
-def pt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: PTState) -> PTState:
+def pt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: PTState,
+              fixed_rr: bool = False) -> PTState:
     """One full bounce (megakernel form = intersect + shade fused)."""
-    return shade_stage(scene, md, use_bvh, s, intersect_stage(scene, s, use_bvh))
+    return shade_stage(
+        scene, md, use_bvh, s, intersect_stage(scene, s, use_bvh), fixed_rr
+    )
 
 
 def init_state(o, d, rng) -> PTState:
@@ -248,7 +261,9 @@ def trace_paths(
 
     if differentiable:
         final = jax.lax.fori_loop(
-            0, md.max_depth, lambda i, s: pt_bounce(scene, md, use_bvh, s), state
+            0, md.max_depth,
+            lambda i, s: pt_bounce(scene, md, use_bvh, s, fixed_rr=True),
+            state,
         )
         return final.L
 

@@ -144,6 +144,8 @@ def transmittance_estimate(scene, p, dirn, dist, mid0, rng, active, use_bvh):
         tr = jnp.where(alive[:, None], tr * tr_seg, tr)
 
         hit_surface = hit["hit"] & (hit["t"] < remaining * (1.0 - 1e-3)) & alive
+        # clamp t on miss lanes: inf * 0-direction-component = NaN
+        t_step = jnp.where(hit["hit"], hit["t"], remaining)
         prim = jnp.maximum(hit["prim"], 0)
         obj = scene.geom.obj_idx[prim]
         bid = jnp.maximum(scene.objects.bsdf_id[obj], 0)
@@ -152,21 +154,22 @@ def transmittance_estimate(scene, p, dirn, dist, mid0, rng, active, use_bvh):
         tr = jnp.where(blocked[:, None], 0.0, tr)
         # cross the null interface: object-identity toggle (same rule as the
         # bounce loop — exiting if we're already inside this object's medium)
-        p_hit = cur_p + hit["t"][:, None] * dirn
+        p_hit = cur_p + t_step[:, None] * dirn
         med_obj = scene.objects.medium_in[obj]
         crossed = hit_surface & is_null
         toggled = jnp.where(
             cur_med == med_obj, jnp.int32(T.MEDIUM_NONE), med_obj
         )
         cur_med = jnp.where(crossed & (med_obj >= 0), toggled, cur_med)
-        remaining = jnp.where(crossed, remaining - hit["t"], remaining)
+        remaining = jnp.where(crossed, remaining - t_step, remaining)
         cur_p = jnp.where(crossed[:, None], p_hit + dirn * 1e-3, cur_p)
         alive = alive & crossed & (remaining > 1e-4)
 
     return tr, rng
 
 
-def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState) -> VPTState:
+def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState,
+               fixed_rr: bool = False) -> VPTState:
     B = s.o.shape[0]
     ambient = scene.cam_medium
     cur_med = _peek(s, ambient)
@@ -288,7 +291,13 @@ def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState) -
     )
     max_thp = jnp.max(jax.lax.stop_gradient(thp), axis=-1)
     u_rr, rng = prng.next1d(rng)
-    p_survive = jnp.where(s.bounce >= 1, jnp.clip(max_thp, 0.1, 1.0), 1.0)
+    if fixed_rr:
+        # θ-independent schedule (see path_tracer.shade_stage): unbiased grads
+        sched = jnp.exp(-0.25 * jnp.maximum(s.bounce.astype(jnp.float32) - 1.0, 0.0))
+        p_survive = jnp.where(s.bounce >= 1, jnp.maximum(sched, 0.1), 1.0)
+        p_survive = jnp.broadcast_to(p_survive, max_thp.shape)
+    else:
+        p_survive = jnp.where(s.bounce >= 1, jnp.clip(max_thp, 0.1, 1.0), 1.0)
     survive = u_rr < p_survive
     thp = thp / p_survive[:, None]
     active = (med_event | srf_event) & depth_ok & survive & (max_thp > 0.0)
@@ -342,7 +351,9 @@ def trace_paths(scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
     state = init_state(scene, o, d, rng)
     if differentiable:
         final = jax.lax.fori_loop(
-            0, md.max_depth, lambda i, s: vpt_bounce(scene, md, use_bvh, s), state
+            0, md.max_depth,
+            lambda i, s: vpt_bounce(scene, md, use_bvh, s, fixed_rr=True),
+            state,
         )
         return final.L
 
@@ -362,7 +373,8 @@ def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,
 
     def body(i, acc):
         rng = prng.seed(
-            jnp.asarray(seed, jnp.uint32) + i.astype(jnp.uint32) * jnp.uint32(9781),
+            jnp.asarray(seed, jnp.uint32)
+            + jnp.asarray(i, jnp.uint32) * jnp.uint32(9781),
             lane,
         )
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)

@@ -60,19 +60,25 @@ def test_viewer_accumulates_and_serves(viewer):
 
 def test_viewer_hot_reload_resets_film(viewer):
     state, port = viewer
-    spp_before = state.renderer.counter()
-    _post(port, "/update", {"kind": "emitter", "id": 1, "field": "scaler", "value": 25.0})
-    time.sleep(0.2)
+    # let some passes accumulate first
     deadline = time.time() + 120
-    # after the dirty flag lands the counter must drop below its prior value
+    while time.time() < deadline and state.renderer.counter() < 3:
+        time.sleep(0.2)
+    c0 = state.renderer.counter()
+    assert c0 >= 3
+    _post(port, "/update", {"kind": "emitter", "id": 1, "field": "scaler", "value": 25.0})
+    assert float(state.renderer.scene.emitters.scaler[1]) == 25.0
+    # after the dirty flag is consumed the count restarts from zero, so it
+    # can never reach c0 + passes-since-update; observe two more passes
+    deadline = time.time() + 120
     saw_reset = False
     while time.time() < deadline:
-        if state.renderer.counter() < max(spp_before, 1):
+        c = state.renderer.counter()
+        if 0 < c < c0:
             saw_reset = True
             break
-        time.sleep(0.2)
-    assert saw_reset
-    assert float(state.renderer.scene.emitters.scaler[1]) == 25.0
+        time.sleep(0.1)
+    assert saw_reset, (c0, state.renderer.counter())
 
 
 def test_viewer_camera_move(viewer):
