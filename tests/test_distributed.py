@@ -84,3 +84,18 @@ def test_tile_sharded_with_bvh():
         dist.render_distributed(scene, cam, md, spp=2, mesh=mesh, seed=1, use_bvh=True)
     )
     assert np.isfinite(img).all() and img.max() > 0.01
+
+
+def test_host_chip_mesh_axes(cbox):
+    """2 hosts x 4 chips topology: tiles sharded over the host axis too
+    (BASELINE multi-host target, simulated on the virtual device mesh)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    scene, cam, md = cbox
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("sp", "dp"))  # sp across "hosts"
+    img = np.asarray(
+        dist.render_distributed(scene, cam, md, spp=4, mesh=mesh, seed=0, use_bvh=False)
+    )
+    assert np.isfinite(img).all() and img.max() > 0.05
