@@ -19,7 +19,7 @@ BASELINE_MRAYS = None  # set after round 1 records a TPU number
 TIMEOUT_S = 480
 
 _CHILD_CODE = r"""
-import json, sys, time
+import json, os, sys, time
 backend = sys.argv[1]
 import jax
 if backend == "cpu":
@@ -29,13 +29,18 @@ from cuda_pt_tpu.core.config import MaxDepthParams
 from cuda_pt_tpu.models import path_tracer as pt
 from cuda_pt_tpu.scene import testscenes
 
+# tuning knobs (swept on real hardware): traversal impl + samples per pass
+pt.TRAVERSAL_IMPL = os.environ.get("BENCH_IMPL", "xla")
+K = int(os.environ.get("BENCH_SPP_PER_PASS", "1"))
+
 W = H = 512 if backend != "cpu" else 128
 SPP = 16 if backend != "cpu" else 2
 MAXD = 5
 scene, cam, _ = testscenes.cornell_box(width=W, height=H)
 md = MaxDepthParams(max_depth=MAXD)
 
-fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed, use_bvh=True))
+fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed,
+                                       use_bvh=True, samples_per_pass=K))
 fn(scene, 0).block_until_ready()
 t0 = time.perf_counter()
 reps = 3

@@ -99,3 +99,22 @@ def test_parse_entire_reference_corpus():
         assert ps.config.spp > 0, xml
         ok += 1
     assert ok >= 14  # 16 scenes in the corpus
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference scenes not mounted")
+def test_render_medium_cbox_vpt():
+    """Reference medium-cbox (homogeneous media + forward boundaries) renders
+    through the volumetric path tracer."""
+    import jax
+
+    from cuda_pt_tpu.models import volume_pt
+
+    ps = load_xml(os.path.join(REF, "medium-cbox.xml"), override_res=(16, 16))
+    md = ps.config.md.__class__(max_depth=4, max_volume=3)
+    img = np.asarray(
+        jax.jit(
+            lambda s: volume_pt.render(s, ps.camera, md, spp=2, seed=0, use_bvh=True)
+        )(ps.scene)
+    )
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0
