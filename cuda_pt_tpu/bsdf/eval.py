@@ -54,6 +54,7 @@ def make_ctx(scene: T.Scene, bid: jnp.ndarray, uv: jnp.ndarray, n_s: jnp.ndarray
     rough_tex = tex.sample_texture(scene.textures, tids[:, T.TEX_ROUGHNESS], uv)
     p = b.params[bid]
     return {
+        "present": tuple(scene.present_bsdfs),  # static dispatch mask
         "btype": b.btype[bid],
         "kd": kd,
         "ks": ks,
@@ -83,63 +84,77 @@ def _flip_to(n, wo):
 
 
 def eval_bsdf(ctx, wo: jnp.ndarray, wi: jnp.ndarray):
-    """Returns (f_cos (B, 3), pdf (B,)) for MIS/NEE."""
+    """Returns (f_cos (B, 3), pdf (B,)) for MIS/NEE.
+
+    Families absent from the scene's static ``present_bsdfs`` mask are
+    skipped at trace time (no wasted VPU work)."""
+    present = set(ctx.get("present", range(T.NUM_BSDF_TYPES)))
     n = ctx["n"]
     nl, _ = _flip_to(n, wo)
     cos_i = vm.dot(wi, nl)
     same_side = cos_i > 0.0
     cos_ic = jnp.maximum(cos_i, 0.0)
-
-    # Lambertian (src/bsdf/lambert.cuh:28-76)
-    f_lam = ctx["kd"] * (_INV_PI * cos_ic)[:, None]
-    pdf_lam = sampling.cosine_hemisphere_pdf(cos_i)
-
-    # Plastic diffuse substrate (src/impl/bsdf_plastic.cu:25-133)
-    cos_o = jnp.abs(vm.dot(wo, nl))
-    ior = ctx["ior"]
-    f_o = fresnel.fresnel_dielectric(cos_o, ior)
-    f_i = fresnel.fresnel_dielectric(cos_ic, ior)
-    fdr = fresnel.diffuse_fresnel(ior)
-    kd = ctx["kd"]
-    absorb = jnp.exp(
-        -vm.length(ctx["k"], keepdims=True)
-        * ctx["thickness"][:, None]
-        * (1.0 / jnp.maximum(cos_ic, 1e-4) + 1.0 / jnp.maximum(cos_o, 1e-4))[:, None]
-    )
-    # 1/η² solid-angle compression keeps the coupled diffuse term energy-
-    # conserving (Mitsuba-style smooth plastic normalization).
-    denom = jnp.maximum(1.0 - kd * fdr[:, None], 0.05) * (ior * ior)[:, None]
-    f_pla = (
-        kd
-        * ((1.0 - f_o) * (1.0 - f_i) * _INV_PI * cos_ic)[:, None]
-        * absorb
-        / denom
-    )
-    p_spec = jnp.clip(f_o, 0.1, 0.9)
-    pdf_pla = (1.0 - p_spec) * sampling.cosine_hemisphere_pdf(cos_i)
-
-    # GGX conductor (src/impl/bsdf_ggx.cu)
-    wo_l = vm.to_local(wo, nl)
-    wi_l = vm.to_local(wi, nl)
-    h_l = vm.normalize(wo_l + wi_l)
-    ax, ay = ctx["ax"], ctx["ay"]
-    d_ndf = ggx.ndf(h_l, ax, ay)
-    g2v = ggx.g2(wo_l, wi_l, ax, ay)
-    f_c = fresnel.fresnel_conductor(
-        jnp.abs(jnp.sum(wo_l * h_l, axis=-1)), ctx["eta"], ctx["k"]
-    )
-    spec = f_c * ctx["kg"] * (d_ndf * g2v / jnp.maximum(4.0 * jnp.abs(wo_l[..., 2]), 1e-6))[:, None]
-    f_ggx = jnp.where(same_side[:, None], spec, 0.0)
-    pdf_ggx = jnp.where(same_side, ggx.vndf_pdf(wo_l, h_l, ax, ay), 0.0)
-
     bt = ctx["btype"]
-    zero3 = jnp.zeros_like(f_lam)
-    f = jnp.where((bt == T.BSDF_LAMBERTIAN)[:, None], f_lam, zero3)
-    f = jnp.where((bt == T.BSDF_PLASTIC)[:, None], f_pla, f)
-    f = jnp.where((bt == T.BSDF_GGX_CONDUCTOR)[:, None], f_ggx, f)
-    pdf = jnp.where(bt == T.BSDF_LAMBERTIAN, pdf_lam, 0.0)
-    pdf = jnp.where(bt == T.BSDF_PLASTIC, pdf_pla, pdf)
-    pdf = jnp.where(bt == T.BSDF_GGX_CONDUCTOR, pdf_ggx, pdf)
+
+    B = wo.shape[0]
+    f = jnp.zeros((B, 3), jnp.float32)
+    pdf = jnp.zeros((B,), jnp.float32)
+
+    if T.BSDF_LAMBERTIAN in present:
+        # Lambertian (src/bsdf/lambert.cuh:28-76)
+        f_lam = ctx["kd"] * (_INV_PI * cos_ic)[:, None]
+        pdf_lam = sampling.cosine_hemisphere_pdf(cos_i)
+        f = jnp.where((bt == T.BSDF_LAMBERTIAN)[:, None], f_lam, f)
+        pdf = jnp.where(bt == T.BSDF_LAMBERTIAN, pdf_lam, pdf)
+
+    if T.BSDF_PLASTIC in present:
+        # Plastic diffuse substrate (src/impl/bsdf_plastic.cu:25-133)
+        cos_o = jnp.abs(vm.dot(wo, nl))
+        ior = ctx["ior"]
+        f_o = fresnel.fresnel_dielectric(cos_o, ior)
+        f_i = fresnel.fresnel_dielectric(cos_ic, ior)
+        fdr = fresnel.diffuse_fresnel(ior)
+        kd = ctx["kd"]
+        absorb = jnp.exp(
+            -vm.length(ctx["k"], keepdims=True)
+            * ctx["thickness"][:, None]
+            * (1.0 / jnp.maximum(cos_ic, 1e-4) + 1.0 / jnp.maximum(cos_o, 1e-4))[:, None]
+        )
+        # 1/η² solid-angle compression keeps the coupled diffuse term energy-
+        # conserving (Mitsuba-style smooth plastic normalization).
+        denom = jnp.maximum(1.0 - kd * fdr[:, None], 0.05) * (ior * ior)[:, None]
+        f_pla = (
+            kd
+            * ((1.0 - f_o) * (1.0 - f_i) * _INV_PI * cos_ic)[:, None]
+            * absorb
+            / denom
+        )
+        p_spec = jnp.clip(f_o, 0.1, 0.9)
+        pdf_pla = (1.0 - p_spec) * sampling.cosine_hemisphere_pdf(cos_i)
+        f = jnp.where((bt == T.BSDF_PLASTIC)[:, None], f_pla, f)
+        pdf = jnp.where(bt == T.BSDF_PLASTIC, pdf_pla, pdf)
+
+    if T.BSDF_GGX_CONDUCTOR in present:
+        # GGX conductor (src/impl/bsdf_ggx.cu)
+        wo_l = vm.to_local(wo, nl)
+        wi_l = vm.to_local(wi, nl)
+        h_l = vm.normalize(wo_l + wi_l)
+        ax, ay = ctx["ax"], ctx["ay"]
+        d_ndf = ggx.ndf(h_l, ax, ay)
+        g2v = ggx.g2(wo_l, wi_l, ax, ay)
+        f_c = fresnel.fresnel_conductor(
+            jnp.abs(jnp.sum(wo_l * h_l, axis=-1)), ctx["eta"], ctx["k"]
+        )
+        spec = (
+            f_c
+            * ctx["kg"]
+            * (d_ndf * g2v / jnp.maximum(4.0 * jnp.abs(wo_l[..., 2]), 1e-6))[:, None]
+        )
+        f_ggx = jnp.where(same_side[:, None], spec, 0.0)
+        pdf_ggx = jnp.where(same_side, ggx.vndf_pdf(wo_l, h_l, ax, ay), 0.0)
+        f = jnp.where((bt == T.BSDF_GGX_CONDUCTOR)[:, None], f_ggx, f)
+        pdf = jnp.where(bt == T.BSDF_GGX_CONDUCTOR, pdf_ggx, pdf)
+
     f = jnp.where(same_side[:, None], f, 0.0)
     pdf = jnp.where(same_side, pdf, 0.0)
     return f, pdf
@@ -168,108 +183,153 @@ def sample_bsdf(ctx, wo: jnp.ndarray, rng_state: jnp.ndarray,
     if wl is None:
         wl = jnp.zeros(wo.shape[0], jnp.float32)
 
+    present = set(ctx.get("present", range(T.NUM_BSDF_TYPES)))
     n = ctx["n"]
     nl, _ = _flip_to(n, wo)
     bt = ctx["btype"]
     B = wo.shape[0]
 
-    # ---- lambertian: cosine hemisphere ---------------------------------
+    wi_pairs, w_pairs, pdf_pairs, delta_pairs, lobe_pairs = [], [], [], [], []
+
+    # ---- lambertian base: cosine hemisphere (also plastic substrate) ----
     d_loc, _pdf_c = sampling.cosine_hemisphere(u_dir)
     wi_lam = vm.to_world(d_loc, nl)
     w_lam = ctx["kd"]
     pdf_lam = sampling.cosine_hemisphere_pdf(jnp.maximum(d_loc[..., 2], 1e-6))
 
-    # ---- specular mirror (src/bsdf/specular.cuh) -----------------------
+    # shared: mirror reflection
     wi_spec = vm.normalize(vm.reflect(-wo, nl))
-    w_spec = ctx["kd"]
-
-    # ---- translucent smooth dielectric (src/bsdf/translucent.cuh) ------
     cos_signed = vm.dot(wo, n)
     entering = cos_signed > 0.0
     ior = ctx["ior"]
-    eta_rel = jnp.where(entering, ior, 1.0 / jnp.maximum(ior, 1e-4))  # eta_t/eta_i
-    f_die = fresnel.fresnel_dielectric(jnp.abs(cos_signed), eta_rel)
-    refl = u_lobe < f_die
-    wt, tir = vm.refract(-wo, nl, (1.0 / eta_rel)[:, None])
-    wi_refr = wt
-    # radiance transport factor (eta_i/eta_t)^2 for camera paths
-    rad_scale = 1.0 / jnp.maximum(eta_rel * eta_rel, 1e-6)
-    tint = ctx["ks"]
-    wi_tra = jnp.where(refl[:, None], wi_spec, wi_refr)
-    w_tra = jnp.where(refl[:, None], tint, tint * rad_scale[:, None])
-    lobe_tra = jnp.where(refl, LOBE_SPECULAR, LOBE_TRANSMIT)
 
-    # ---- plastic (src/impl/bsdf_plastic.cu) ----------------------------
-    cos_o = jnp.abs(cos_signed)
-    f_o = fresnel.fresnel_dielectric(cos_o, ior)
-    p_spec = jnp.clip(f_o, 0.1, 0.9)
-    take_spec = u_lobe < p_spec
-    cos_i_d = jnp.maximum(d_loc[..., 2], 1e-6)
-    f_i = fresnel.fresnel_dielectric(cos_i_d, ior)
-    fdr = fresnel.diffuse_fresnel(ior)
-    absorb = jnp.exp(
-        -vm.length(ctx["k"], keepdims=True)
-        * ctx["thickness"][:, None]
-        * (1.0 / cos_i_d + 1.0 / jnp.maximum(cos_o, 1e-4))[:, None]
-    )
-    denom = jnp.maximum(1.0 - ctx["kd"] * fdr[:, None], 0.05) * (ior * ior)[:, None]
-    w_pla_diff = (
-        ctx["kd"] * ((1.0 - f_o) * (1.0 - f_i) / (1.0 - p_spec))[:, None] * absorb / denom
-    )
-    w_pla_spec = ctx["ks"] * (f_o / p_spec)[:, None]
-    wi_pla = jnp.where(take_spec[:, None], wi_spec, wi_lam)
-    w_pla = jnp.where(take_spec[:, None], w_pla_spec, w_pla_diff)
-    pdf_pla = (1.0 - p_spec) * pdf_lam
-    lobe_pla = jnp.where(take_spec, LOBE_SPECULAR, LOBE_DIFFUSE)
+    if T.BSDF_SPECULAR in present:
+        # (src/bsdf/specular.cuh)
+        wi_pairs.append((T.BSDF_SPECULAR, wi_spec))
+        w_pairs.append((T.BSDF_SPECULAR, ctx["kd"]))
+        delta_pairs.append((T.BSDF_SPECULAR, jnp.ones(B, bool)))
+        lobe_pairs.append((T.BSDF_SPECULAR, jnp.full(B, LOBE_SPECULAR)))
 
-    # ---- plastic-forward: substrate = delta transmission ----------------
-    w_pfw_fwd = ctx["kd"] * ((1.0 - f_o) / (1.0 - p_spec))[:, None]
-    wi_pfw = jnp.where(take_spec[:, None], wi_spec, -wo)
-    w_pfw = jnp.where(take_spec[:, None], w_pla_spec, w_pfw_fwd)
-    lobe_pfw = jnp.where(take_spec, LOBE_SPECULAR, LOBE_TRANSMIT)
+    if T.BSDF_TRANSLUCENT in present:
+        # smooth dielectric (src/bsdf/translucent.cuh)
+        eta_rel = jnp.where(entering, ior, 1.0 / jnp.maximum(ior, 1e-4))
+        f_die = fresnel.fresnel_dielectric(jnp.abs(cos_signed), eta_rel)
+        refl = u_lobe < f_die
+        wt, _tir = vm.refract(-wo, nl, (1.0 / eta_rel)[:, None])
+        rad_scale = 1.0 / jnp.maximum(eta_rel * eta_rel, 1e-6)
+        tint = ctx["ks"]
+        wi_pairs.append((T.BSDF_TRANSLUCENT, jnp.where(refl[:, None], wi_spec, wt)))
+        w_pairs.append(
+            (T.BSDF_TRANSLUCENT, jnp.where(refl[:, None], tint, tint * rad_scale[:, None]))
+        )
+        delta_pairs.append((T.BSDF_TRANSLUCENT, jnp.ones(B, bool)))
+        lobe_pairs.append(
+            (T.BSDF_TRANSLUCENT, jnp.where(refl, LOBE_SPECULAR, LOBE_TRANSMIT))
+        )
 
-    # ---- GGX conductor (VNDF) ------------------------------------------
-    wo_l = vm.to_local(wo, nl)
-    wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-5))
-    ax, ay = ctx["ax"], ctx["ay"]
-    h_l = ggx.sample_vndf(wo_l, ax, ay, u_dir)
-    wi_l = 2.0 * jnp.sum(wo_l * h_l, axis=-1, keepdims=True) * h_l - wo_l
-    ggx_ok = wi_l[..., 2] > 1e-5
-    f_c = fresnel.fresnel_conductor(
-        jnp.abs(jnp.sum(wo_l * h_l, axis=-1)), ctx["eta"], ctx["k"]
-    )
-    g2v = ggx.g2(wo_l, wi_l, ax, ay)
-    g1v = ggx.g1(wo_l, ax, ay)
-    w_ggx = jnp.where(
-        ggx_ok[:, None], f_c * ctx["kg"] * (g2v / jnp.maximum(g1v, 1e-6))[:, None], 0.0
-    )
-    wi_ggx = vm.to_world(vm.normalize(wi_l), nl)
-    pdf_ggx = jnp.where(ggx_ok, ggx.vndf_pdf(wo_l, h_l, ax, ay), 1.0)
+    if T.BSDF_PLASTIC in present or T.BSDF_PLASTIC_FORWARD in present:
+        # coated substrate (src/impl/bsdf_plastic.cu)
+        cos_o = jnp.abs(cos_signed)
+        f_o = fresnel.fresnel_dielectric(cos_o, ior)
+        p_spec = jnp.clip(f_o, 0.1, 0.9)
+        take_spec = u_lobe < p_spec
+        w_pla_spec = ctx["ks"] * (f_o / p_spec)[:, None]
+        if T.BSDF_PLASTIC in present:
+            cos_i_d = jnp.maximum(d_loc[..., 2], 1e-6)
+            f_i = fresnel.fresnel_dielectric(cos_i_d, ior)
+            fdr = fresnel.diffuse_fresnel(ior)
+            absorb = jnp.exp(
+                -vm.length(ctx["k"], keepdims=True)
+                * ctx["thickness"][:, None]
+                * (1.0 / cos_i_d + 1.0 / jnp.maximum(cos_o, 1e-4))[:, None]
+            )
+            denom = jnp.maximum(1.0 - ctx["kd"] * fdr[:, None], 0.05) * (ior * ior)[:, None]
+            w_pla_diff = (
+                ctx["kd"]
+                * ((1.0 - f_o) * (1.0 - f_i) / (1.0 - p_spec))[:, None]
+                * absorb
+                / denom
+            )
+            wi_pairs.append(
+                (T.BSDF_PLASTIC, jnp.where(take_spec[:, None], wi_spec, wi_lam))
+            )
+            w_pairs.append(
+                (T.BSDF_PLASTIC, jnp.where(take_spec[:, None], w_pla_spec, w_pla_diff))
+            )
+            pdf_pairs.append((T.BSDF_PLASTIC, (1.0 - p_spec) * pdf_lam))
+            delta_pairs.append((T.BSDF_PLASTIC, take_spec))
+            lobe_pairs.append(
+                (T.BSDF_PLASTIC, jnp.where(take_spec, LOBE_SPECULAR, LOBE_DIFFUSE))
+            )
+        if T.BSDF_PLASTIC_FORWARD in present:
+            w_pfw_fwd = ctx["kd"] * ((1.0 - f_o) / (1.0 - p_spec))[:, None]
+            wi_pairs.append(
+                (T.BSDF_PLASTIC_FORWARD, jnp.where(take_spec[:, None], wi_spec, -wo))
+            )
+            w_pairs.append(
+                (T.BSDF_PLASTIC_FORWARD, jnp.where(take_spec[:, None], w_pla_spec, w_pfw_fwd))
+            )
+            delta_pairs.append((T.BSDF_PLASTIC_FORWARD, jnp.ones(B, bool)))
+            lobe_pairs.append(
+                (T.BSDF_PLASTIC_FORWARD, jnp.where(take_spec, LOBE_SPECULAR, LOBE_TRANSMIT))
+            )
 
-    # ---- dispersion (src/bsdf/dispersion.cuh) --------------------------
-    wl_fresh = spectral.WL_MIN + u_wl * (spectral.WL_MAX - spectral.WL_MIN)
-    first_disp = wl <= 0.0
-    wl_use = jnp.where(first_disp, wl_fresh, wl)
-    wl_um2 = (wl_use * 1e-3) ** 2
-    ior_wl = ctx["cauchy_a"] + ctx["cauchy_b"] / jnp.maximum(wl_um2, 1e-6)
-    eta_wl = jnp.where(entering, ior_wl, 1.0 / jnp.maximum(ior_wl, 1e-4))
-    f_wl = fresnel.fresnel_dielectric(jnp.abs(cos_signed), eta_wl)
-    refl_wl = u_lobe < f_wl
-    wt_wl, _ = vm.refract(-wo, nl, (1.0 / eta_wl)[:, None])
-    # spectral→RGB weight applied once, at the event that locks the λ
-    rgb_wl = jnp.where(
-        first_disp[:, None], spectral.wavelength_to_rgb(wl_use), 1.0
-    )
-    rad_wl = 1.0 / jnp.maximum(eta_wl * eta_wl, 1e-6)
-    wi_dis = jnp.where(refl_wl[:, None], wi_spec, wt_wl)
-    w_dis = jnp.where(refl_wl[:, None], rgb_wl, rgb_wl * rad_wl[:, None]) * ctx["ks"]
-    lobe_dis = jnp.where(refl_wl, LOBE_SPECULAR, LOBE_TRANSMIT)
+    if T.BSDF_GGX_CONDUCTOR in present:
+        # VNDF sampling (src/impl/bsdf_ggx.cu)
+        wo_l = vm.to_local(wo, nl)
+        wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-5))
+        ax, ay = ctx["ax"], ctx["ay"]
+        h_l = ggx.sample_vndf(wo_l, ax, ay, u_dir)
+        wi_l = 2.0 * jnp.sum(wo_l * h_l, axis=-1, keepdims=True) * h_l - wo_l
+        ggx_ok = wi_l[..., 2] > 1e-5
+        f_c = fresnel.fresnel_conductor(
+            jnp.abs(jnp.sum(wo_l * h_l, axis=-1)), ctx["eta"], ctx["k"]
+        )
+        g2v = ggx.g2(wo_l, wi_l, ax, ay)
+        g1v = ggx.g1(wo_l, ax, ay)
+        wi_pairs.append((T.BSDF_GGX_CONDUCTOR, vm.to_world(vm.normalize(wi_l), nl)))
+        w_pairs.append(
+            (T.BSDF_GGX_CONDUCTOR,
+             jnp.where(ggx_ok[:, None],
+                       f_c * ctx["kg"] * (g2v / jnp.maximum(g1v, 1e-6))[:, None], 0.0))
+        )
+        pdf_pairs.append(
+            (T.BSDF_GGX_CONDUCTOR, jnp.where(ggx_ok, ggx.vndf_pdf(wo_l, h_l, ax, ay), 1.0))
+        )
+        lobe_pairs.append((T.BSDF_GGX_CONDUCTOR, jnp.full(B, LOBE_SPECULAR)))
+
     is_disp = bt == T.BSDF_DISPERSION
-    wl_out = jnp.where(is_disp, jax.lax.stop_gradient(wl_use), wl)
+    wl_out = wl
+    if T.BSDF_DISPERSION in present:
+        # spectral dielectric (src/bsdf/dispersion.cuh); λ locked per path
+        wl_fresh = spectral.WL_MIN + u_wl * (spectral.WL_MAX - spectral.WL_MIN)
+        first_disp = wl <= 0.0
+        wl_use = jnp.where(first_disp, wl_fresh, wl)
+        wl_um2 = (wl_use * 1e-3) ** 2
+        ior_wl = ctx["cauchy_a"] + ctx["cauchy_b"] / jnp.maximum(wl_um2, 1e-6)
+        eta_wl = jnp.where(entering, ior_wl, 1.0 / jnp.maximum(ior_wl, 1e-4))
+        f_wl = fresnel.fresnel_dielectric(jnp.abs(cos_signed), eta_wl)
+        refl_wl = u_lobe < f_wl
+        wt_wl, _ = vm.refract(-wo, nl, (1.0 / eta_wl)[:, None])
+        rgb_wl = jnp.where(first_disp[:, None], spectral.wavelength_to_rgb(wl_use), 1.0)
+        rad_wl = 1.0 / jnp.maximum(eta_wl * eta_wl, 1e-6)
+        wi_pairs.append((T.BSDF_DISPERSION, jnp.where(refl_wl[:, None], wi_spec, wt_wl)))
+        w_pairs.append(
+            (T.BSDF_DISPERSION,
+             jnp.where(refl_wl[:, None], rgb_wl, rgb_wl * rad_wl[:, None]) * ctx["ks"])
+        )
+        delta_pairs.append((T.BSDF_DISPERSION, jnp.ones(B, bool)))
+        lobe_pairs.append(
+            (T.BSDF_DISPERSION, jnp.where(refl_wl, LOBE_SPECULAR, LOBE_TRANSMIT))
+        )
+        wl_out = jnp.where(is_disp, jax.lax.stop_gradient(wl_use), wl)
 
-    # ---- forward / null (src/bsdf/forward.cuh) -------------------------
-    wi_fwd = -wo
-    w_fwd = jnp.ones_like(w_lam)
+    if T.BSDF_FORWARD in present:
+        # null interface (src/bsdf/forward.cuh)
+        wi_pairs.append((T.BSDF_FORWARD, -wo))
+        w_pairs.append((T.BSDF_FORWARD, jnp.ones_like(w_lam)))
+        delta_pairs.append((T.BSDF_FORWARD, jnp.ones(B, bool)))
+        lobe_pairs.append((T.BSDF_FORWARD, jnp.full(B, LOBE_TRANSMIT)))
 
     # ---- select ---------------------------------------------------------
     def sel3(pairs, default):
@@ -284,60 +344,11 @@ def sample_bsdf(ctx, wo: jnp.ndarray, rng_state: jnp.ndarray,
             out = jnp.where(bt == typ, val, out)
         return out
 
-    wi = sel3(
-        [
-            (T.BSDF_SPECULAR, wi_spec),
-            (T.BSDF_TRANSLUCENT, wi_tra),
-            (T.BSDF_PLASTIC, wi_pla),
-            (T.BSDF_PLASTIC_FORWARD, wi_pfw),
-            (T.BSDF_GGX_CONDUCTOR, wi_ggx),
-            (T.BSDF_DISPERSION, wi_dis),
-            (T.BSDF_FORWARD, wi_fwd),
-        ],
-        wi_lam,
-    )
-    weight = sel3(
-        [
-            (T.BSDF_SPECULAR, w_spec),
-            (T.BSDF_TRANSLUCENT, w_tra),
-            (T.BSDF_PLASTIC, w_pla),
-            (T.BSDF_PLASTIC_FORWARD, w_pfw),
-            (T.BSDF_GGX_CONDUCTOR, w_ggx),
-            (T.BSDF_DISPERSION, w_dis),
-            (T.BSDF_FORWARD, w_fwd),
-        ],
-        w_lam,
-    )
-    pdf = sel1(
-        [
-            (T.BSDF_PLASTIC, pdf_pla),
-            (T.BSDF_GGX_CONDUCTOR, pdf_ggx),
-        ],
-        pdf_lam,
-    )
-    is_delta = sel1(
-        [
-            (T.BSDF_SPECULAR, jnp.ones(B, bool)),
-            (T.BSDF_TRANSLUCENT, jnp.ones(B, bool)),
-            (T.BSDF_PLASTIC, take_spec),
-            (T.BSDF_PLASTIC_FORWARD, jnp.ones(B, bool)),
-            (T.BSDF_DISPERSION, jnp.ones(B, bool)),
-            (T.BSDF_FORWARD, jnp.ones(B, bool)),
-        ],
-        jnp.zeros(B, bool),
-    )
-    lobe = sel1(
-        [
-            (T.BSDF_SPECULAR, jnp.full(B, LOBE_SPECULAR)),
-            (T.BSDF_TRANSLUCENT, lobe_tra),
-            (T.BSDF_PLASTIC, lobe_pla),
-            (T.BSDF_PLASTIC_FORWARD, lobe_pfw),
-            (T.BSDF_GGX_CONDUCTOR, jnp.full(B, LOBE_SPECULAR)),
-            (T.BSDF_DISPERSION, lobe_dis),
-            (T.BSDF_FORWARD, jnp.full(B, LOBE_TRANSMIT)),
-        ],
-        jnp.full(B, LOBE_DIFFUSE),
-    )
+    wi = sel3(wi_pairs, wi_lam)
+    weight = sel3(w_pairs, w_lam)
+    pdf = sel1(pdf_pairs, pdf_lam)
+    is_delta = sel1(delta_pairs, jnp.zeros(B, bool))
+    lobe = sel1(lobe_pairs, jnp.full(B, LOBE_DIFFUSE))
 
     out = {
         "wi": jax.lax.stop_gradient(wi),

@@ -417,7 +417,9 @@ class SceneBuilder:
             node_count=jnp.asarray(nodes["node_count"]),
         )
         num_emitters = sum(1 for e in self.emitters if e.etype != T.EMITTER_NULL)
+        present = tuple(sorted({b.btype for b in self.bsdfs}))
         return T.Scene(
+            present_bsdfs=present,
             geom=geom,
             objects=objects,
             emitters=emitters,

@@ -208,3 +208,10 @@ class Scene:
     env_emitter: jnp.ndarray  # () int32 — envmap emitter id, 0 if none
     cam_medium: jnp.ndarray  # () int32 — medium containing the camera
     num_emitters: jnp.ndarray  # () int32 — real emitters (excluding slot 0)
+    # STATIC upper bound of BSDF families present (compile-time dispatch
+    # pruning: absent families are skipped entirely in bsdf/eval.py). Type
+    # hot-reload to a family outside this set requires a scene recompile —
+    # set to all families if that flexibility matters more than speed.
+    present_bsdfs: tuple = flax.struct.field(
+        pytree_node=False, default=tuple(range(NUM_BSDF_TYPES))
+    )
