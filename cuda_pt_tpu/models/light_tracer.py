@@ -32,7 +32,8 @@ def _connect_camera(scene, cam, p, f_cos_over_cosy, thp, active, use_bvh, img, n
     dist = vm.length(to_cam)
     dirn = to_cam / jnp.maximum(dist, 1e-8)[:, None]
     px, py, in_film = cam_mod.splat_pixel(cam, p)
-    occ = pt.occluded(scene, p + dirn * 1e-3, dirn, dist, use_bvh)
+    # origin offset shortens the segment by 1e-3 exactly (offset along dirn)
+    occ = pt.occluded(scene, p + dirn * 1e-3, dirn, dist - 1e-3, use_bvh)
     # pinhole importance: W_e = f² / cos³θ (θ vs optical axis)
     cos_axis = jnp.clip(vm.dot(dirn, -cam.R[:, 2]), 1e-3, 1.0)
     we = (cam.focal * cam.focal) / (cos_axis ** 3)

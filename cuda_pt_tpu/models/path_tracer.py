@@ -150,9 +150,18 @@ def shade_stage(
     f_cos, bpdf = bsdf_eval.eval_bsdf(ctx, wo, es["dir"])
     off_sign = jnp.sign(vm.dot(inter["n_g"], es["dir"], keepdims=True))
     p_shadow = p + inter["n_g"] * off_sign * 1e-3
-    occ = occluded(scene, p_shadow, es["dir"], es["dist"], use_bvh)
+    # The origin offset shortens the true segment: subtract its projection
+    # from the occlusion limit, or nearby emitters self-occlude their own
+    # NEE samples (caught by the independent NumPy oracle test).
+    dist_shadow = es["dist"] - jnp.abs(vm.dot(inter["n_g"], es["dir"])) * 1e-3
+    occ = occluded(scene, p_shadow, es["dir"], dist_shadow, use_bvh)
+    # At the final bounce the BSDF-sampled continuation is never traced, so
+    # the light-sampling strategy must take full MIS weight — otherwise the
+    # last path segment is systematically underweighted (truncation bias the
+    # reference also has; verified against the independent NumPy oracle).
+    last_bounce = s.bounce >= (md.max_depth - 1)
     w_nee = jnp.where(
-        es["delta"], 1.0, sampling.power_heuristic(es["pdf"], bpdf)
+        es["delta"] | last_bounce, 1.0, sampling.power_heuristic(es["pdf"], bpdf)
     )
     nee_ok = hit_ok & es["valid"] & ~occ & (jnp.max(f_cos, axis=-1) > 0.0)
     tofw = _tof_weight(md, dist_new + jnp.where(es["dist"] < vm.MAX_DIST * 0.5, es["dist"], 0.0))

@@ -233,11 +233,20 @@ def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState,
 
     off_sign = jnp.where(med_event, 0.0, jnp.sign(vm.dot(inter["n_g"], es["dir"])))
     p_shadow = p_evt + inter["n_g"] * off_sign[:, None] * 1e-3
+    # subtract the origin-offset projection from the segment length (see
+    # path_tracer.shade_stage — prevents emitter self-occlusion)
+    dist_shadow = es["dist"] - jnp.abs(
+        off_sign * vm.dot(inter["n_g"], es["dir"])
+    ) * 1e-3
     nee_try = (med_event | srf_event) & es["valid"] & (jnp.max(f_evt, axis=-1) > 0.0)
     tr_nee, rng = transmittance_estimate(
-        scene, p_shadow, es["dir"], es["dist"], cur_med, rng, nee_try, use_bvh
+        scene, p_shadow, es["dir"], dist_shadow, cur_med, rng, nee_try, use_bvh
     )
-    w_nee = jnp.where(es["delta"], 1.0, sampling.power_heuristic(es["pdf"], pdf_evt))
+    # final-bounce NEE takes full weight (see path_tracer.shade_stage)
+    last_bounce = s.bounce >= (md.max_depth - 1)
+    w_nee = jnp.where(
+        es["delta"] | last_bounce, 1.0, sampling.power_heuristic(es["pdf"], pdf_evt)
+    )
     tof_nee = pt._tof_weight(
         md, dist_new + jnp.where(es["dist"] < vm.MAX_DIST * 0.5, es["dist"], 0.0)
     )

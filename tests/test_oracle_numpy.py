@@ -1,0 +1,105 @@
+"""Independent-oracle test: a self-contained vectorized NumPy path tracer
+(naive cosine-sampled, no NEE/MIS/RR, independent RNG, no shared code with
+the framework) must agree with the JAX integrator on the cornell box.
+
+This is the "image allclose vs reference integrator" BASELINE check: the two
+implementations share nothing but the scene arrays, so agreement pins the
+radiometry (emitter pdf conventions, cosine factors, energy).
+
+Path-length accounting: the JAX integrator at max_depth=N gathers light over
+path segments 1..N+1 (NEE adds one segment); the naive oracle at depth D
+gathers segments 1..D. So jax(N) is compared against oracle(N+1).
+"""
+
+import numpy as np
+
+from cuda_pt_tpu.core.config import MaxDepthParams
+from cuda_pt_tpu.models import path_tracer as pt
+from cuda_pt_tpu.scene import testscenes
+
+
+def _oracle_mean(scene_np, cam_np, w, h, n_paths, depth, rng):
+    """Vectorized naive PT: mean radiance over uniformly random pixels."""
+    p0, e1, e2 = scene_np["p0"], scene_np["e1"], scene_np["e2"]
+    albedo, emission = scene_np["albedo"], scene_np["emission"]
+    P = n_paths
+
+    px = rng.uniform(0, w, P)
+    py = rng.uniform(0, h, P)
+    d_cam = np.stack([px - 0.5 * w, 0.5 * h - py, np.full(P, cam_np["focal"])], -1)
+    d = d_cam @ cam_np["R"].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(cam_np["t"], (P, 3)).copy()
+    thp = np.ones((P, 3))
+    L = np.zeros((P, 3))
+    alive = np.ones(P, bool)
+
+    for _ in range(depth):
+        # intersect all prims: (P, N)
+        h_ = np.cross(d[:, None, :], e2[None])
+        a = np.einsum("nj,pnj->pn", e1, h_)
+        f = 1.0 / np.where(np.abs(a) < 1e-12, 1e-12, a)
+        s = o[:, None, :] - p0[None]
+        u = f * np.einsum("pnj,pnj->pn", s, h_)
+        q = np.cross(s, e1[None])
+        v = f * np.einsum("pj,pnj->pn", d, q)
+        t = f * np.einsum("nj,pnj->pn", e2, q)
+        ok = (np.abs(a) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4)
+        t = np.where(ok, t, np.inf)
+        k = np.argmin(t, axis=1)
+        tk = t[np.arange(P), k]
+        hit = np.isfinite(tk) & alive
+        alive = hit
+        if not alive.any():
+            break
+        kh = np.where(hit, k, 0)
+        L += np.where(hit[:, None], thp * emission[kh], 0.0)
+        n = np.cross(e1[kh], e2[kh])
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        flip = np.einsum("pj,pj->p", n, d) > 0
+        n = np.where(flip[:, None], -n, n)
+        thp = np.where(hit[:, None], thp * albedo[kh], thp)
+        hit_p = o + np.where(hit, tk, 0.0)[:, None] * d
+        # cosine sampling
+        u1 = rng.uniform(size=P)
+        u2 = rng.uniform(size=P)
+        r = np.sqrt(u1)
+        phi = 2 * np.pi * u2
+        local = np.stack([r * np.cos(phi), r * np.sin(phi), np.sqrt(np.maximum(1 - u1, 0))], -1)
+        up = np.where(
+            (np.abs(n[:, 2]) > 0.9)[:, None], np.array([1.0, 0, 0]), np.array([0, 0, 1.0])
+        )
+        tx = np.cross(up, n)
+        tx /= np.maximum(np.linalg.norm(tx, axis=-1, keepdims=True), 1e-12)
+        ty = np.cross(n, tx)
+        d = local[:, 0:1] * tx + local[:, 1:2] * ty + local[:, 2:3] * n
+        o = hit_p + n * 1e-3
+    return L.mean(axis=0)
+
+
+def test_oracle_mean_matches_jax_integrator():
+    scene, cam, _ = testscenes.cornell_box(width=24, height=24)
+    p0 = np.asarray(scene.geom.p0)
+    e1 = np.asarray(scene.geom.e1)
+    e2 = np.asarray(scene.geom.e2)
+    obj = np.asarray(scene.geom.obj_idx)
+    kd = np.asarray(scene.bsdfs.k_d)[np.asarray(scene.objects.bsdf_id)[obj]]
+    eid = np.asarray(scene.objects.emitter_id)[obj]
+    em = np.asarray(scene.emitters.emission) * np.asarray(scene.emitters.scaler)[:, None]
+    emission = np.where((eid > 0)[:, None], em[np.maximum(eid, 0)], 0.0)
+    scene_np = {"p0": p0, "e1": e1, "e2": e2, "albedo": kd, "emission": emission}
+    cam_np = {"R": np.asarray(cam.R), "t": np.asarray(cam.t), "focal": float(cam.focal)}
+
+    md = MaxDepthParams(max_depth=3, max_diffuse=3)
+    img = np.asarray(pt.render(scene, cam, md, spp=128, seed=31, use_bvh=True))
+    jax_mean = img.mean(axis=(0, 1))
+
+    rng = np.random.default_rng(123)
+    oracle_mean = np.zeros(3)
+    reps = 4
+    for _ in range(reps):
+        oracle_mean += _oracle_mean(scene_np, cam_np, 24, 24, 200_000, 4, rng)
+    oracle_mean /= reps
+
+    rel = np.abs(jax_mean - oracle_mean) / np.maximum(oracle_mean, 1e-3)
+    assert rel.max() < 0.06, (jax_mean, oracle_mean, rel)
