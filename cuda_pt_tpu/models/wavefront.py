@@ -65,9 +65,17 @@ def trace_paths_wavefront(
     rng: jnp.ndarray,
     use_bvh: bool,
     sort_rays: bool = True,
+    compact: bool = False,
 ):
     """Bounce loop with per-bounce sort; returns (L, pixel_perm) where L[i]
-    belongs to original lane pixel_perm[i]."""
+    belongs to original lane pixel_perm[i].
+
+    compact=True adds TRUE stream compaction with static shapes: lanes are
+    sorted dead-last, the live count selects one of four power-of-two
+    bucket sizes (B, B/2, B/4, B/8), and intersection+shading run only on
+    that prefix via lax.switch — the TPU equivalent of the reference's
+    thrust compaction boundary (src/pt_impl/wf_path_tracer.cu:135-139),
+    where dead rays stop costing compute rather than being masked."""
     B = o.shape[0]
     state = pt.init_state(o, d, rng)
     lane = jnp.arange(B, dtype=jnp.int32)
@@ -88,7 +96,52 @@ def trace_paths_wavefront(
         s = pt.shade_stage(scene, md, use_bvh, s, hit)
         return s, pix
 
-    final, pix = jax.lax.while_loop(cond, body, (state, lane))
+    def body_compact(carry):
+        s, pix = carry
+        # compaction sort: live lanes to the front (stable keeps coherence)
+        perm = jnp.argsort(jnp.where(s.active, 0, 1), stable=True)
+        s = _permute(s, perm)
+        pix = pix[perm]
+        n_live = jnp.sum(s.active.astype(jnp.int32))
+
+        def make_branch(size):
+            def run(args):
+                s, pix = args
+                sub = jax.tree_util.tree_map(
+                    lambda x: x[:size]
+                    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B
+                    else x,
+                    s,
+                )
+                hit = pt.intersect_stage(scene, sub, use_bvh)
+                if sort_rays:
+                    key = _sort_key(scene, sub, hit)
+                    p2 = jnp.argsort(key)
+                    sub = _permute(sub, p2)
+                    hit = {k: v[p2] for k, v in hit.items()}
+                    pix = pix.at[:size].set(pix[:size][p2])
+                sub = pt.shade_stage(scene, md, use_bvh, sub, hit)
+                s2 = jax.tree_util.tree_map(
+                    lambda full, part: full.at[:size].set(part)
+                    if hasattr(full, "ndim") and full.ndim >= 1 and full.shape[0] == B
+                    else part,
+                    s, sub,
+                )
+                return s2, pix
+            return run
+
+        sizes = [B, max(B // 2, 1), max(B // 4, 1), max(B // 8, 1)]
+        branch = (
+            jnp.int32(0)
+            + (n_live <= sizes[1]).astype(jnp.int32)
+            + (n_live <= sizes[2]).astype(jnp.int32)
+            + (n_live <= sizes[3]).astype(jnp.int32)
+        )
+        return jax.lax.switch(branch, [make_branch(sz) for sz in sizes], (s, pix))
+
+    final, pix = jax.lax.while_loop(
+        cond, body_compact if compact else body, (state, lane)
+    )
     return final.L, pix
 
 
@@ -100,6 +153,7 @@ def render_sample(
     sample_idx,
     use_bvh: bool,
     sort_rays: bool = True,
+    compact: bool = False,
 ):
     """One 1-spp wavefront pass → (H, W, 3)."""
     B = cam.width * cam.height
@@ -110,7 +164,7 @@ def render_sample(
         lane,
     )
     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-    L, pix = trace_paths_wavefront(scene, md, o, d, rng, use_bvh, sort_rays)
+    L, pix = trace_paths_wavefront(scene, md, o, d, rng, use_bvh, sort_rays, compact)
     img = jnp.zeros((B, 3), jnp.float32).at[pix].add(L)
     return img.reshape(cam.height, cam.width, 3)
 
@@ -123,12 +177,13 @@ def render(
     seed: int = 0,
     use_bvh=None,
     sort_rays: bool = True,
+    compact: bool = False,
 ):
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
 
     def body(i, acc):
-        return acc + render_sample(scene, cam, md, seed, i, use_bvh, sort_rays)
+        return acc + render_sample(scene, cam, md, seed, i, use_bvh, sort_rays, compact)
 
     acc = jax.lax.fori_loop(
         0, spp, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)

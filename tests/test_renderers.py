@@ -161,3 +161,17 @@ def test_volume_pt_grid_smoke():
     img = np.asarray(volume_pt.render(scene, cam, md, spp=8, seed=1, use_bvh=False))
     assert np.isfinite(img).all()
     assert img.max() > 0.0
+
+
+def test_wavefront_compaction_matches(cbox):
+    """Bucketed live-prefix compaction is a pure reorganization: same
+    estimator as the uncompacted wavefront."""
+    scene, cam, md = cbox
+    md8 = MaxDepthParams(max_depth=8, max_diffuse=8)
+    a = np.asarray(wavefront.render(scene, cam, md8, spp=4, seed=11, use_bvh=False))
+    b = np.asarray(
+        wavefront.render(scene, cam, md8, spp=4, seed=11, use_bvh=False, compact=True)
+    )
+    match = np.isclose(a, b, atol=1e-4).mean()
+    assert match > 0.93, match
+    assert abs(a.mean() - b.mean()) < 0.02
