@@ -29,9 +29,11 @@ from cuda_pt_tpu.core.config import MaxDepthParams
 from cuda_pt_tpu.models import path_tracer as pt
 from cuda_pt_tpu.scene import testscenes
 
-# tuning knobs (swept on real hardware): traversal impl + samples per pass
+# tuning knobs (swept on real hardware): traversal impl, samples per pass,
+# renderer family
 pt.TRAVERSAL_IMPL = os.environ.get("BENCH_IMPL", "xla")
 K = int(os.environ.get("BENCH_SPP_PER_PASS", "1"))
+RENDERER = os.environ.get("BENCH_RENDERER", "megakernel")
 
 W = H = 512 if backend != "cpu" else 128
 SPP = 16 if backend != "cpu" else 2
@@ -39,8 +41,14 @@ MAXD = 5
 scene, cam, _ = testscenes.cornell_box(width=W, height=H)
 md = MaxDepthParams(max_depth=MAXD)
 
-fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed,
-                                       use_bvh=True, samples_per_pass=K))
+if RENDERER == "wavefront":
+    from cuda_pt_tpu.models import wavefront
+
+    fn = jax.jit(lambda s, seed: wavefront.render(
+        s, cam, md, spp=SPP, seed=seed, use_bvh=True, compact=True))
+else:
+    fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed,
+                                           use_bvh=True, samples_per_pass=K))
 fn(scene, 0).block_until_ready()
 t0 = time.perf_counter()
 reps = 3
