@@ -41,6 +41,12 @@ canvas{image-rendering:pixelated;border:1px solid #444}
 <div><canvas id="c" width="512" height="512" tabindex="0"></canvas>
 <div id="stats"></div></div>
 <div id="panel">
+<h3>Renderer</h3>
+<select onchange="post({kind:'renderer', value:this.value})">
+<option value="pt">megakernel PT</option><option value="wfpt">wavefront PT</option>
+<option value="vpt">volumetric PT</option><option value="lt">light tracer</option>
+<option value="depth">depth</option><option value="bvh-cost">BVH cost</option>
+</select>
 <h3>Camera (WASD+RF move, drag rotate)</h3>
 <h3>Emitters</h3><div id="emitters"></div>
 <h3>Materials</h3><div id="materials"></div>
@@ -120,7 +126,13 @@ class ViewerState:
         r = self.renderer
         kind = msg.get("kind")
         with self.lock:
-            if kind == "camera_move":
+            if kind == "renderer":
+                # switch renderer family live (re-jits once)
+                from ..core.config import RendererType
+
+                r.rtype = RendererType(msg["value"])
+                r._render_1spp = r._build()
+            elif kind == "camera_move":
                 r.camera = cam_mod.move(r.camera, msg["delta"])
             elif kind == "camera_rotate":
                 r.camera = cam_mod.rotate(r.camera, msg.get("yaw", 0.0), msg.get("pitch", 0.0))
