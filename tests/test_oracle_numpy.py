@@ -103,3 +103,108 @@ def test_oracle_mean_matches_jax_integrator():
 
     rel = np.abs(jax_mean - oracle_mean) / np.maximum(oracle_mean, 1e-3)
     assert rel.max() < 0.06, (jax_mean, oracle_mean, rel)
+
+
+def _oracle_mean_mirror(scene_np, cam_np, w, h, n_paths, depth, rng):
+    """Naive PT with two material kinds: diffuse (cosine) and perfect mirror."""
+    p0, e1, e2 = scene_np["p0"], scene_np["e1"], scene_np["e2"]
+    albedo, emission = scene_np["albedo"], scene_np["emission"]
+    is_mirror = scene_np["is_mirror"]
+    P = n_paths
+
+    px = rng.uniform(0, w, P)
+    py = rng.uniform(0, h, P)
+    d_cam = np.stack([px - 0.5 * w, 0.5 * h - py, np.full(P, cam_np["focal"])], -1)
+    d = d_cam @ cam_np["R"].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(cam_np["t"], (P, 3)).copy()
+    thp = np.ones((P, 3))
+    L = np.zeros((P, 3))
+    alive = np.ones(P, bool)
+
+    for _ in range(depth):
+        h_ = np.cross(d[:, None, :], e2[None])
+        a = np.einsum("nj,pnj->pn", e1, h_)
+        f = 1.0 / np.where(np.abs(a) < 1e-12, 1e-12, a)
+        s = o[:, None, :] - p0[None]
+        u = f * np.einsum("pnj,pnj->pn", s, h_)
+        q = np.cross(s, e1[None])
+        v = f * np.einsum("pj,pnj->pn", d, q)
+        t = f * np.einsum("nj,pnj->pn", e2, q)
+        ok = (np.abs(a) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4)
+        t = np.where(ok, t, np.inf)
+        k = np.argmin(t, axis=1)
+        tk = t[np.arange(P), k]
+        hit = np.isfinite(tk) & alive
+        alive = hit
+        if not alive.any():
+            break
+        kh = np.where(hit, k, 0)
+        L += np.where(hit[:, None], thp * emission[kh], 0.0)
+        n = np.cross(e1[kh], e2[kh])
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        flip = np.einsum("pj,pj->p", n, d) > 0
+        n = np.where(flip[:, None], -n, n)
+        thp = np.where(hit[:, None], thp * albedo[kh], thp)
+        hit_p = o + np.where(hit, tk, 0.0)[:, None] * d
+        mirror = is_mirror[kh]
+        # mirror: reflect; diffuse: cosine sample
+        d_ref = d - 2.0 * np.einsum("pj,pj->p", d, n)[:, None] * n
+        u1 = rng.uniform(size=P)
+        u2 = rng.uniform(size=P)
+        r = np.sqrt(u1)
+        phi = 2 * np.pi * u2
+        local = np.stack([r * np.cos(phi), r * np.sin(phi), np.sqrt(np.maximum(1 - u1, 0))], -1)
+        up = np.where(
+            (np.abs(n[:, 2]) > 0.9)[:, None], np.array([1.0, 0, 0]), np.array([0, 0, 1.0])
+        )
+        tx = np.cross(up, n)
+        tx /= np.maximum(np.linalg.norm(tx, axis=-1, keepdims=True), 1e-12)
+        ty = np.cross(n, tx)
+        d_dif = local[:, 0:1] * tx + local[:, 1:2] * ty + local[:, 2:3] * n
+        d = np.where(mirror[:, None], d_ref, d_dif)
+        o = hit_p + n * 1e-3
+    return L.mean(axis=0)
+
+
+def test_oracle_mirror_scene_matches():
+    """Cornell with a perfect-mirror tall box: validates specular transport +
+    emitter-hit/NEE MIS interplay against the independent oracle."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec
+
+    # rebuild cornell with a mirror tall box
+    _, cam, bld = testscenes.cornell_box(width=24, height=24)
+    mirror = bld.add_bsdf(BSDFSpec(btype=T.BSDF_SPECULAR, k_d=(0.9, 0.9, 0.9)))
+    # tall box is object index 6 in testscenes.cornell_box
+    bld.objects[6].bsdf_id = mirror
+    scene = bld.compile()
+
+    p0 = np.asarray(scene.geom.p0)
+    e1 = np.asarray(scene.geom.e1)
+    e2 = np.asarray(scene.geom.e2)
+    obj = np.asarray(scene.geom.obj_idx)
+    bid = np.asarray(scene.objects.bsdf_id)[obj]
+    btype = np.asarray(scene.bsdfs.btype)[bid]
+    kd = np.asarray(scene.bsdfs.k_d)[bid]
+    eid = np.asarray(scene.objects.emitter_id)[obj]
+    em = np.asarray(scene.emitters.emission) * np.asarray(scene.emitters.scaler)[:, None]
+    emission = np.where((eid > 0)[:, None], em[np.maximum(eid, 0)], 0.0)
+    scene_np = {
+        "p0": p0, "e1": e1, "e2": e2, "albedo": kd, "emission": emission,
+        "is_mirror": btype == T.BSDF_SPECULAR,
+    }
+    cam_np = {"R": np.asarray(cam.R), "t": np.asarray(cam.t), "focal": float(cam.focal)}
+
+    md = MaxDepthParams(max_depth=3, max_diffuse=3, max_specular=3)
+    img = np.asarray(pt.render(scene, cam, md, spp=160, seed=21, use_bvh=True))
+    jax_mean = img.mean(axis=(0, 1))
+
+    rng = np.random.default_rng(77)
+    oracle_mean = np.zeros(3)
+    reps = 4
+    for _ in range(reps):
+        oracle_mean += _oracle_mean_mirror(scene_np, cam_np, 24, 24, 200_000, 4, rng)
+    oracle_mean /= reps
+    rel = np.abs(jax_mean - oracle_mean) / np.maximum(oracle_mean, 1e-3)
+    assert rel.max() < 0.08, (jax_mean, oracle_mean, rel)
