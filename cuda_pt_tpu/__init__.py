@@ -20,3 +20,20 @@ reference CUDA renderer (Enigmatisms/cuda-pt, mounted at /root/reference):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level exports (keep `import cuda_pt_tpu` cheap — no jax import)
+    if name == "Renderer":
+        from .api import Renderer
+
+        return Renderer
+    if name == "PythonRenderer":
+        from .pyrender import PythonRenderer
+
+        return PythonRenderer
+    if name == "load_xml":
+        from .scene.xml_parser import load_xml
+
+        return load_xml
+    raise AttributeError(name)

@@ -190,11 +190,6 @@ def _kernel(flip,  # python bool: occlusion mode
     out_b2[:] = b2
 
 
-def _pack_rows(x, rows):
-    """(B,) → (B/TILE grid handled by index_map); reshape handled by specs."""
-    return x
-
-
 @functools.partial(jax.jit, static_argnames=("max_leaf", "occlusion", "interpret"))
 def traverse_pallas(geom: Geometry, bvh: BVHArrays, o, d, t_far=None,
                     max_leaf: int = 4, occlusion: bool = False,
