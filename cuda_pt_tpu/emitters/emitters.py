@@ -139,11 +139,37 @@ def sample_emitter(
     )[:, None]
     pdf_point = jnp.full((B,), 1.0, jnp.float32) * sel_pdf
 
-    # ---- envmap: cosine hemisphere around n ------------------------------
-    d_loc, pdf_env_loc = sampling.cosine_hemisphere(u_pos)
-    dir_env = vm.to_world(d_loc, n)
-    le_env = env_radiance(scene, dir_env)
-    pdf_env = sel_pdf * pdf_env_loc
+    # ---- envmap -----------------------------------------------------------
+    imp = scene.env_importance
+    if imp is not None and imp.enabled:
+        # luminance-CDF importance sampling over texels (variance win over
+        # the reference's cosine NEE, src/core/emitter.cuh:313-359)
+        u_tex, rng_state = prng.next2d(rng_state)
+        Hh, Ww = imp.pmf.shape
+        row = jnp.sum((imp.row_cdf[None, :] < u_pos[:, 0:1]).astype(jnp.int32), -1)
+        row = jnp.minimum(row, Hh - 1)
+        ccdf = imp.col_cdf[row]  # (B, W)
+        col = jnp.sum((ccdf < u_pos[:, 1:2]).astype(jnp.int32), -1)
+        col = jnp.minimum(col, Ww - 1)
+        v = (row.astype(jnp.float32) + u_tex[:, 0]) / Hh
+        u_ = (col.astype(jnp.float32) + u_tex[:, 1]) / Ww
+        theta = v * jnp.pi
+        azimuth = e.extra[scene.env_emitter, 1]
+        phi = (u_ - 0.5) * (2.0 * jnp.pi) - azimuth
+        st = jnp.sin(theta)
+        dir_env = jnp.stack(
+            [st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi)], axis=-1
+        )
+        le_env = env_radiance(scene, dir_env)
+        pdf_env = sel_pdf * imp.pmf[row, col] * (Hh * Ww) / jnp.maximum(
+            2.0 * jnp.pi * jnp.pi * st, 1e-6
+        )
+    else:
+        # cosine hemisphere around n (reference strategy)
+        d_loc, pdf_env_loc = sampling.cosine_hemisphere(u_pos)
+        dir_env = vm.to_world(d_loc, n)
+        le_env = env_radiance(scene, dir_env)
+        pdf_env = sel_pdf * pdf_env_loc
 
     is_area = (etype == T.EMITTER_AREA) | (etype == T.EMITTER_AREA_SPOT)
     is_point = etype == T.EMITTER_POINT
@@ -256,9 +282,23 @@ def hit_emitter_pdf(scene: T.Scene, obj: jnp.ndarray, t: jnp.ndarray, cos_l: jnp
 
 
 def env_nee_pdf(scene: T.Scene, n_prev: jnp.ndarray, d: jnp.ndarray):
-    """Solid-angle pdf that NEE (cosine hemisphere) would pick direction d at
-    the previous vertex — cached into the loop state for envmap MIS."""
+    """Solid-angle pdf that envmap NEE would pick direction d at the previous
+    vertex — cached into the loop state for envmap MIS. Matches whichever
+    strategy sample_emitter uses (importance tables or cosine fallback)."""
     n_em = jnp.maximum(scene.num_emitters, 1).astype(jnp.float32)
-    cos_t = jnp.maximum(vm.dot(d, n_prev), 0.0)
     has_env = scene.env_emitter > 0
+    imp = scene.env_importance
+    if imp is not None and imp.enabled:
+        Hh, Ww = imp.pmf.shape
+        azimuth = scene.emitters.extra[scene.env_emitter, 1]
+        phi = jnp.arctan2(d[..., 2], d[..., 0]) + azimuth
+        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+        u = phi / (2.0 * jnp.pi) + 0.5
+        v = theta / jnp.pi
+        col = jnp.clip((u - jnp.floor(u)) * Ww, 0, Ww - 1).astype(jnp.int32)
+        row = jnp.clip(v * Hh, 0, Hh - 1).astype(jnp.int32)
+        st = jnp.maximum(jnp.sin(theta), 1e-6)
+        pdf = imp.pmf[row, col] * (Hh * Ww) / (2.0 * jnp.pi * jnp.pi * st) / n_em
+        return jnp.where(has_env, pdf, 0.0)
+    cos_t = jnp.maximum(vm.dot(d, n_prev), 0.0)
     return jnp.where(has_env, cos_t * sampling.INV_PI / n_em, 0.0)

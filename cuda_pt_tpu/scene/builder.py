@@ -418,8 +418,40 @@ class SceneBuilder:
         )
         num_emitters = sum(1 for e in self.emitters if e.etype != T.EMITTER_NULL)
         present = tuple(sorted({b.btype for b in self.bsdfs}))
+
+        # envmap importance tables (luminance × sinθ CDFs over texels)
+        env_imp = None
+        if self.env_emitter > 0:
+            etex = self.emitters[self.env_emitter].tex_id
+            if etex >= 0:
+                img = self.textures[etex]
+                lum = (
+                    0.212671 * img[..., 0]
+                    + 0.715160 * img[..., 1]
+                    + 0.072169 * img[..., 2]
+                )
+                H_, W_ = lum.shape
+                sin_t = np.sin((np.arange(H_) + 0.5) / H_ * np.pi)[:, None]
+                w = np.maximum(lum * sin_t, 1e-9)
+                pmf = (w / w.sum()).astype(np.float32)
+                row_p = pmf.sum(axis=1)
+                row_cdf = np.cumsum(row_p).astype(np.float32)
+                col_cdf = np.cumsum(pmf, axis=1) / np.maximum(row_p, 1e-12)[:, None]
+                env_imp = T.EnvImportance(
+                    row_cdf=jnp.asarray(row_cdf),
+                    col_cdf=jnp.asarray(col_cdf.astype(np.float32)),
+                    pmf=jnp.asarray(pmf),
+                )
+        if env_imp is None:
+            env_imp = T.EnvImportance(
+                row_cdf=jnp.ones(1, jnp.float32),
+                col_cdf=jnp.ones((1, 1), jnp.float32),
+                pmf=jnp.ones((1, 1), jnp.float32),
+            )
+
         return T.Scene(
             present_bsdfs=present,
+            env_importance=env_imp,
             geom=geom,
             objects=objects,
             emitters=emitters,

@@ -194,6 +194,21 @@ class BVHArrays:
 
 
 @flax.struct.dataclass
+class EnvImportance:
+    """Luminance-CDF tables for envmap importance sampling (one envmap per
+    scene, like the reference). Empty (1×1) tables → cosine-hemisphere NEE
+    fallback (the reference's only strategy, src/core/emitter.cuh:313-359)."""
+
+    row_cdf: jnp.ndarray  # (H,) inclusive CDF over rows (sin-weighted)
+    col_cdf: jnp.ndarray  # (H, W) inclusive CDF over columns per row
+    pmf: jnp.ndarray  # (H, W) texel probability mass (for MIS pdf lookups)
+
+    @property
+    def enabled(self) -> bool:
+        return self.pmf.shape[0] > 1 or self.pmf.shape[1] > 1
+
+
+@flax.struct.dataclass
 class Scene:
     """Everything the integrator needs, as one pytree."""
 
@@ -208,6 +223,7 @@ class Scene:
     env_emitter: jnp.ndarray  # () int32 — envmap emitter id, 0 if none
     cam_medium: jnp.ndarray  # () int32 — medium containing the camera
     num_emitters: jnp.ndarray  # () int32 — real emitters (excluding slot 0)
+    env_importance: EnvImportance = None
     # STATIC upper bound of BSDF families present (compile-time dispatch
     # pruning: absent families are skipped entirely in bsdf/eval.py). Type
     # hot-reload to a family outside this set requires a scene recompile —
