@@ -356,7 +356,9 @@ def init_state(scene: T.Scene, o, d, rng) -> VPTState:
 
 
 def trace_paths(scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
-                differentiable: bool = False):
+                differentiable: bool = False, compact: bool = False):
+    """compact=True: live-prefix bucket compaction (see models/wavefront.py)
+    — returns (L, lane_perm) instead of L so the caller can splat."""
     state = init_state(scene, o, d, rng)
     if differentiable:
         final = jax.lax.fori_loop(
@@ -364,17 +366,74 @@ def trace_paths(scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
             lambda i, s: vpt_bounce(scene, md, use_bvh, s, fixed_rr=True),
             state,
         )
+        return (final.L, None) if compact else final.L
+
+    if not compact:
+        def cond(s):
+            return jnp.any(s.active) & (s.bounce < md.max_depth)
+
+        final = jax.lax.while_loop(
+            cond, lambda s: vpt_bounce(scene, md, use_bvh, s), state
+        )
         return final.L
 
-    def cond(s):
+    B = o.shape[0]
+    lane = jnp.arange(B, dtype=jnp.int32)
+
+    def cond(carry):
+        s, _ = carry
         return jnp.any(s.active) & (s.bounce < md.max_depth)
 
-    final = jax.lax.while_loop(cond, lambda s: vpt_bounce(scene, md, use_bvh, s), state)
-    return final.L
+    def _permute(tree, perm):
+        return jax.tree_util.tree_map(
+            lambda x: x[perm]
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B
+            else x,
+            tree,
+        )
+
+    def body(carry):
+        s, pix = carry
+        perm = jnp.argsort(jnp.where(s.active, 0, 1), stable=True)
+        s = _permute(s, perm)
+        pix = pix[perm]
+        n_live = jnp.sum(s.active.astype(jnp.int32))
+
+        def make_branch(size):
+            def run(args):
+                s, pix = args
+                sub = jax.tree_util.tree_map(
+                    lambda x: x[:size]
+                    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B
+                    else x,
+                    s,
+                )
+                sub = vpt_bounce(scene, md, use_bvh, sub)
+                s2 = jax.tree_util.tree_map(
+                    lambda full, part: full.at[:size].set(part)
+                    if hasattr(full, "ndim") and full.ndim >= 1 and full.shape[0] == B
+                    else part,
+                    s, sub,
+                )
+                return s2, pix
+            return run
+
+        sizes = [B, max(B // 2, 1), max(B // 4, 1), max(B // 8, 1)]
+        branch = (
+            jnp.int32(0)
+            + (n_live <= sizes[1]).astype(jnp.int32)
+            + (n_live <= sizes[2]).astype(jnp.int32)
+            + (n_live <= sizes[3]).astype(jnp.int32)
+        )
+        return jax.lax.switch(branch, [make_branch(sz) for sz in sizes], (s, pix))
+
+    final, pix = jax.lax.while_loop(cond, body, (state, lane))
+    return final.L, pix
 
 
 def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,
-           seed: int = 0, use_bvh=None, differentiable: bool = False):
+           seed: int = 0, use_bvh=None, differentiable: bool = False,
+           compact: bool = False):
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
     B = cam.width * cam.height
@@ -387,8 +446,13 @@ def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,
             lane,
         )
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-        L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
-        return acc + L.reshape(cam.height, cam.width, 3)
+        if compact and not differentiable:
+            L, pix = trace_paths(scene, md, o, d, rng, use_bvh, compact=True)
+            img = jnp.zeros((B, 3), jnp.float32).at[pix].add(L)
+        else:
+            L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
+            img = L
+        return acc + img.reshape(cam.height, cam.width, 3)
 
     acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32))
     return acc / spp

@@ -175,3 +175,15 @@ def test_wavefront_compaction_matches(cbox):
     match = np.isclose(a, b, atol=1e-4).mean()
     assert match > 0.93, match
     assert abs(a.mean() - b.mean()) < 0.02
+
+
+def test_vpt_compaction_matches():
+    scene, cam = _volume_cbox()
+    md = MaxDepthParams(max_depth=6, max_volume=5)
+    a = np.asarray(volume_pt.render(scene, cam, md, spp=6, seed=9, use_bvh=False))
+    b = np.asarray(
+        volume_pt.render(scene, cam, md, spp=6, seed=9, use_bvh=False, compact=True)
+    )
+    match = np.isclose(a, b, atol=1e-4).mean()
+    assert match > 0.93, match
+    assert abs(a.mean() - b.mean()) < 0.02
