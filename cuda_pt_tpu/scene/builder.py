@@ -229,7 +229,6 @@ class SceneBuilder:
         # BVH / SBVH build + primitive reorder
         nodes = None
         if cfg.use_sbvh:
-            from . import types as _T  # noqa: F401  (readability)
             from ..accel import native as _native
 
             nodes = _native.build_sbvh_native(
