@@ -88,3 +88,31 @@ def test_orthographic_camera_parallel_rays():
     # origins spread across the film plane
     o = np.asarray(o)
     assert o[:, 0].std() > 0.01 and o[:, 1].std() > 0.01
+
+
+def test_glass_slab_fresnel_transmittance():
+    """Camera → glass slab → emissive wall at near-normal incidence:
+    total transmission = (1-F)/(1+F) with F = ((n-1)/(n+1))² (all internal
+    reflection orders). Validates dielectric Fresnel + η² transport round
+    trip and TIR-free refraction."""
+    ior = 1.5
+    b = SceneBuilder()
+    dark = b.add_bsdf(BSDFSpec(k_d=(0, 0, 0)))
+    glass = b.add_bsdf(BSDFSpec(btype=T.BSDF_TRANSLUCENT, ior=ior,
+                                k_s=(1.0, 1.0, 1.0)))
+    em = b.add_emitter(EmitterSpec(etype=T.EMITTER_AREA, emission=(1, 1, 1), scaler=2.0))
+    b.add_mesh(testscenes.quad([-3, -3, 2], [-3, 3, 2], [3, 3, 2], [3, -3, 2]),
+               dark, emitter_id=em)
+    # slab faces with outward-facing authored normals (front -z, back +z)
+    b.add_mesh(testscenes.quad([-3, -3, 0.5], [3, -3, 0.5], [3, 3, 0.5], [-3, 3, 0.5]),
+               glass)  # normal -z (toward camera)
+    b.add_mesh(testscenes.quad([-3, -3, 0.9], [-3, 3, 0.9], [3, 3, 0.9], [3, -3, 0.9]),
+               glass)  # normal +z (away)
+    scene = b.compile()
+    cam = cam_mod.make_camera((0, 0, -1), (0, 0, 2), fov=8, width=8, height=8)
+    md = MaxDepthParams(max_depth=10, max_transmit=10, max_specular=10)
+    img = np.asarray(pt.render(scene, cam, md, spp=256, seed=5, use_bvh=False))
+    f0 = ((ior - 1) / (ior + 1)) ** 2
+    expect = 2.0 * (1 - f0) / (1 + f0)
+    got = img.mean()
+    np.testing.assert_allclose(got, expect, rtol=0.05)
