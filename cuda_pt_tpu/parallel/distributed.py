@@ -44,7 +44,7 @@ def make_mesh(devices=None, sp: int = 1, dp=None) -> Mesh:
 
 
 def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_samples,
-                       differentiable=False):
+                       differentiable=False, renderer: str = "pt"):
     """Render n_samples passes for the given flat pixel ids; (L, B, 3) sum."""
 
     def body(i, acc):
@@ -54,7 +54,16 @@ def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_s
             lane_ids,
         )
         o, d, rng = cam_mod.generate_rays(cam, lane_ids, rng)
-        L = pt.trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
+        if renderer == "wfpt" and not differentiable:
+            from ..models import wavefront
+
+            Lw, pix_local = wavefront.trace_paths_wavefront(
+                scene, md, o, d, rng, use_bvh, sort_rays=True, compact=True
+            )
+            # scatter back to this shard's lane order
+            L = (o[:, :1] * 0.0 + jnp.zeros((1, 3))).at[pix_local].add(Lw)
+        else:
+            L = pt.trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
         return acc + L
 
     # derive from lane_ids AND sample_base so the carry inherits every
@@ -74,6 +83,7 @@ def render_distributed(
     seed: int = 0,
     use_bvh=None,
     differentiable: bool = False,
+    renderer: str = "pt",
 ):
     """SPMD render: pixels sharded over "dp", samples over "sp".
 
@@ -102,7 +112,7 @@ def render_distributed(
         sample_base = sp_rank * spp_per
         acc = _render_tile_lanes(
             scene_rep, cam, md, seed, sample_base, lane_flat, use_bvh, spp_per,
-            differentiable,
+            differentiable, renderer,
         )
         acc = jax.lax.psum(acc, "sp") / (sp * spp_per)
         return acc[None]
