@@ -56,7 +56,9 @@ class Renderer:
 
         if rt == RendererType.WAVEFRONT_PT:
             def f(scene, cam, seed, idx):
-                return wavefront.render_sample(scene, cam, md, seed, idx, use_bvh)
+                return wavefront.render_sample(
+                    scene, cam, md, seed, idx, use_bvh, compact=True
+                )
         elif rt == RendererType.VOLUME_PT:
             def f(scene, cam, seed, idx):
                 B = cam.width * cam.height

@@ -242,7 +242,13 @@ def sample_le(scene: T.Scene, rng_state: jnp.ndarray, n_lanes: int):
         scene.objects.inv_area[jnp.maximum(obj, 0)], 1e-12
     )
     le = emitter_radiance(scene, eid, jnp.zeros((B, 2), jnp.float32))
-    thp_area = le * (jnp.pi * area / sel_pdf)[..., None] * jnp.ones((B, 1))
+    # area-spot emitters only emit inside their cone (same gate as NEE) —
+    # the indicator keeps the estimator consistent with the gated Le.
+    in_cone = d_loc[..., 2] >= e.extra[eid, 0]
+    spot_gate = jnp.where(
+        (etype == T.EMITTER_AREA_SPOT) & ~in_cone, 0.0, 1.0
+    )
+    thp_area = le * (jnp.pi * area * spot_gate / sel_pdf)[..., None] * jnp.ones((B, 1))
 
     # point: uniform sphere direction; thp = I·4π/sel
     dir_pnt, _ = sampling.uniform_sphere(u_dir)
