@@ -128,3 +128,36 @@ def test_fresnel_dielectric_limits(ior):
     # grazing → 1
     fg = float(fresnel_dielectric(jnp.asarray([0.001]), jnp.asarray([ior]))[0])
     assert fg > 0.98
+
+
+def test_dispersion_b0_reduces_to_translucent():
+    """Cauchy B=0 ⇒ wavelength-independent IoR ⇒ the dispersion BSDF must
+    match the plain smooth dielectric in expectation (spectral machinery
+    collapses to white)."""
+    from cuda_pt_tpu.core import camera as cam_mod
+    from cuda_pt_tpu.scene import testscenes as ts
+    from cuda_pt_tpu.scene.builder import BSDFSpec, EmitterSpec, SceneBuilder
+
+    def slab_scene(btype, **kw):
+        b = SceneBuilder()
+        dark = b.add_bsdf(BSDFSpec(k_d=(0, 0, 0)))
+        mat = b.add_bsdf(BSDFSpec(btype=btype, k_s=(1, 1, 1), **kw))
+        em = b.add_emitter(
+            EmitterSpec(etype=T.EMITTER_AREA, emission=(1, 1, 1), scaler=2.0)
+        )
+        b.add_mesh(ts.quad([-3, -3, 2], [-3, 3, 2], [3, 3, 2], [3, -3, 2]),
+                   dark, emitter_id=em)
+        b.add_mesh(ts.quad([-3, -3, 0.5], [3, -3, 0.5], [3, 3, 0.5], [-3, 3, 0.5]), mat)
+        b.add_mesh(ts.quad([-3, -3, 0.9], [-3, 3, 0.9], [3, 3, 0.9], [3, -3, 0.9]), mat)
+        return b.compile()
+
+    cam = cam_mod.make_camera((0, 0, -1), (0, 0, 2), fov=8, width=8, height=8)
+    md = MaxDepthParams(max_depth=10, max_transmit=10, max_specular=10)
+    s_glass = slab_scene(T.BSDF_TRANSLUCENT, ior=1.5)
+    s_disp = slab_scene(T.BSDF_DISPERSION, cauchy_a=1.5, cauchy_b=0.0)
+    a = np.asarray(pt.render(s_glass, cam, md, spp=192, seed=8, use_bvh=False))
+    b = np.asarray(pt.render(s_disp, cam, md, spp=192, seed=9, use_bvh=False))
+    # same IoR everywhere → same transmission; channels stay white
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
+    ch = b.reshape(-1, 3).mean(axis=0)
+    assert ch.max() / max(ch.min(), 1e-6) < 1.1, ch  # no channel tint
