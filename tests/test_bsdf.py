@@ -161,3 +161,26 @@ def test_dispersion_b0_reduces_to_translucent():
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
     ch = b.reshape(-1, 3).mean(axis=0)
     assert ch.max() / max(ch.min(), 1e-6) < 1.1, ch  # no channel tint
+
+
+def test_ggx_anisotropic_eval_sample_consistency():
+    """Same integral check as the isotropic case, with ax ≠ ay."""
+    B = 1 << 15
+    rngs = np.random.default_rng(2)
+    n = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (B, 1)), jnp.float32)
+    wo = vm.normalize(jnp.asarray(np.tile([[0.3, -0.5, 0.9]], (B, 1)), jnp.float32))
+    kw = dict(
+        k_g=(1.0, 1.0, 1.0), eta=(1.5, 1.0, 0.5), k=(3.0, 2.5, 2.0),
+        roughness_x=0.12, roughness_y=0.55,
+    )
+    ctx = _ctx_single(T.BSDF_GGX_CONDUCTOR, n, **kw)
+    out, _ = bsdf_eval.sample_bsdf(ctx, wo, prng.seed(6, jnp.arange(B)))
+    est_is = np.asarray(out["weight"]).mean(axis=0)
+    u = rngs.uniform(size=(B, 2)).astype(np.float32)
+    z = 1 - 2 * u[:, 0]
+    r = np.sqrt(np.maximum(1 - z * z, 0))
+    phi = 2 * np.pi * u[:, 1]
+    wi = jnp.asarray(np.stack([r * np.cos(phi), r * np.sin(phi), z], -1))
+    f_cos, _ = bsdf_eval.eval_bsdf(ctx, wo, wi)
+    est_un = np.asarray(f_cos).mean(axis=0) * 4.0 * np.pi
+    np.testing.assert_allclose(est_is, est_un, rtol=0.1)
