@@ -373,3 +373,51 @@ def render(
         0, spp // k, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)
     )
     return acc / spp
+
+
+def render_tiled(
+    scene: T.Scene,
+    cam: cam_mod.Camera,
+    md: MaxDepthParams,
+    spp: int,
+    seed: int = 0,
+    use_bvh=None,
+    rows_per_tile: int = 128,
+):
+    """Memory-bounded render: the film is processed in row bands so lane
+    state never exceeds rows_per_tile×W (the reference renders 2880×1920
+    with a ~0.5 GB ray pool, src/renderer/wavefront_pt.cuh:68-73; this is
+    the analogous footprint control). Returns a NumPy (H, W, 3) image.
+
+    Each band uses the SAME per-(pixel, sample) RNG streams as render(), so
+    tiled and untiled images agree.
+    """
+    import numpy as np
+
+    if use_bvh is None:
+        use_bvh = scene.geom.num_prims > BRUTE_FORCE_MAX_PRIMS
+    H, W = cam.height, cam.width
+    rows = min(rows_per_tile, H)
+
+    @jax.jit
+    def band(scene_arg, row0):
+        lane = row0 * W + jnp.arange(rows * W, dtype=jnp.int32)
+
+        def body(i, acc):
+            rng = prng.seed(
+                jnp.asarray(seed, jnp.uint32)
+                + jnp.asarray(i, jnp.uint32) * jnp.uint32(9781),
+                lane,
+            )
+            o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+            return acc + trace_paths(scene_arg, md, o, d, rng, use_bvh)
+
+        acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((rows * W, 3), jnp.float32))
+        return acc / spp
+
+    img = np.zeros((H, W, 3), np.float32)
+    for row0 in range(0, H, rows):
+        out = np.asarray(band(scene, jnp.int32(row0))).reshape(rows, W, 3)
+        n = min(rows, H - row0)
+        img[row0 : row0 + n] = out[:n]
+    return img

@@ -95,3 +95,13 @@ def test_batched_passes_match_sequential():
     match = np.isclose(a, b, atol=1e-4).mean()
     assert match > 0.95, match
     assert abs(a.mean() - b.mean()) < 0.01
+
+
+def test_tiled_render_matches_untiled():
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=3)
+    a = np.asarray(pt.render(scene, cam, md, spp=4, seed=2, use_bvh=False))
+    b = pt.render_tiled(scene, cam, md, spp=4, seed=2, use_bvh=False, rows_per_tile=5)
+    match = np.isclose(a, b, atol=1e-4).mean()
+    assert match > 0.95, match
+    assert abs(a.mean() - b.mean()) < 0.01
