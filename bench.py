@@ -2,12 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Ray accounting is HONEST: the denominator is the measured number of traced
+rays (path segments with Russian roulette + NEE shadow rays, counted by
+``path_tracer.count_rays`` with the same RNG streams) — not the
+W*H*spp*max_depth upper bound round 1 used.
+
 Resilience: the measurement runs in a subprocess with a watchdog. If the TPU
 backend hangs or faults (tunnel outages happen), it retries on CPU and labels
 the metric accordingly — the driver always gets its JSON line.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against our recorded round-1 TPU figure (None until first recorded).
+ratio against our recorded TPU figure (None until the first TPU run lands).
+scripts/bench_suite.py produces the full per-scene table (BENCH_DETAILS.json).
 """
 
 import json
@@ -15,7 +21,7 @@ import os
 import subprocess
 import sys
 
-BASELINE_MRAYS = None  # set after round 1 records a TPU number
+BASELINE_MRAYS = None  # set after the first recorded TPU number
 TIMEOUT_S = 480
 
 _CHILD_CODE = r"""
@@ -57,11 +63,13 @@ for i in range(reps):
 img.block_until_ready()
 dt = (time.perf_counter() - t0) / reps
 
-# path segments + NEE shadow rays per camera sample (conservative estimate)
-rays = W * H * SPP * MAXD
+# measured traced rays (segments + shadow) for one representative seed —
+# wavefront permutes lanes but traces the identical per-lane streams
+rays = int(jax.jit(lambda s: pt.count_rays(s, cam, md, spp=SPP, seed=1,
+                                           use_bvh=True))(scene))
 mrays = rays / dt / 1e6
 print(json.dumps({"mrays": mrays, "backend": jax.default_backend(),
-                  "w": W, "spp": SPP, "sec_per_frame": dt}))
+                  "w": W, "spp": SPP, "sec_per_frame": dt, "rays": rays}))
 """
 
 

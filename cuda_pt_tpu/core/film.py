@@ -47,14 +47,6 @@ def accumulate(film: Film, radiance: jnp.ndarray) -> Film:
     return Film(mean=mean, m2=m2, weight=film.weight + 1.0, count=n)
 
 
-def splat(film: Film, image_sum: jnp.ndarray, weight: jnp.ndarray) -> Film:
-    """Add a splatted (light-traced) image with per-pixel weights."""
-    total_w = film.weight + weight
-    safe_w = jnp.maximum(total_w, 1e-8)
-    mean = (film.mean * film.weight[..., None] + image_sum) / safe_w[..., None]
-    return film.replace(mean=mean, weight=total_w, count=film.count + 1)
-
-
 def variance(film: Film) -> jnp.ndarray:
     """Per-pixel sample variance of luminance (H, W)."""
     n = jnp.maximum(film.count - 1, 1).astype(jnp.float32)

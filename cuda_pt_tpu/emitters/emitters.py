@@ -36,16 +36,43 @@ def emitter_radiance(scene: T.Scene, eid: jnp.ndarray, uv: jnp.ndarray) -> jnp.n
     return tex.scaled_rgb(scene.textures, e.tex_id[eid], uv, base)
 
 
+def emitter_radiance_hit(
+    scene: T.Scene, eid: jnp.ndarray, uv: jnp.ndarray, cos_l: jnp.ndarray
+) -> jnp.ndarray:
+    """Le toward the viewer for a BSDF-sampled / directly-visible hit on
+    emitter eid, with the AREA_SPOT cone gate applied: the reference's
+    AreaSpotSource::eval_le returns zero outside the cone
+    (src/core/emitter.cuh:225-311), and NEE/sample_le gate the same way —
+    the hit-side evaluation must match or MIS no longer sums to the gated
+    radiance."""
+    le = emitter_radiance(scene, eid, uv)
+    in_cone = cos_l >= scene.emitters.extra[eid, 0]
+    gate = (scene.emitters.etype[eid] != T.EMITTER_AREA_SPOT) | in_cone
+    return jnp.where(gate[..., None], le, 0.0)
+
+
+def _rot_x(d: jnp.ndarray, ang) -> jnp.ndarray:
+    """Rotate direction(s) about the +x axis by ang radians (the envmap
+    zenith tilt; the reference composes yaw(azimuth)∘pitch(zenith)
+    quaternions, src/core/emitter.cuh:354-357 — azimuth is folded into the
+    phi offset, this supplies the pitch)."""
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    y = c * d[..., 1] - s * d[..., 2]
+    z = s * d[..., 1] + c * d[..., 2]
+    return jnp.stack([d[..., 0], y, z], axis=-1)
+
+
 def env_radiance(scene: T.Scene, d: jnp.ndarray) -> jnp.ndarray:
     """Environment radiance for direction d (lat-long HDRI with runtime
-    scale/azimuth rotation — reference src/impl/emitter.cu:26-73)."""
+    scale/azimuth/zenith rotation — reference src/impl/emitter.cu:26-73)."""
     eid = scene.env_emitter
     e = scene.emitters
     has_env = eid > 0
     scale = e.extra[eid, 0]
     azimuth = e.extra[eid, 1]
-    phi = jnp.arctan2(d[..., 2], d[..., 0]) + azimuth
-    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    dz = _rot_x(d, e.extra[eid, 2])
+    phi = jnp.arctan2(dz[..., 2], dz[..., 0]) + azimuth
+    theta = jnp.arccos(jnp.clip(dz[..., 1], -1.0, 1.0))
     u = phi / (2.0 * jnp.pi) + 0.5
     v = theta / jnp.pi
     uv = jnp.stack([u, v], axis=-1)
@@ -89,7 +116,7 @@ def sample_emitter(
     cdf = e.prim_cdf[eid]  # (B, K)
     kidx = jnp.sum((cdf < u_prim[:, None]).astype(jnp.int32), axis=-1)
     kidx = jnp.minimum(kidx, cdf.shape[1] - 1)
-    prim = e.prim_sel[jnp.arange(B), kidx]  # padded safely at compile
+    prim = e.prim_sel[eid, kidx]  # (E, K) table indexed by emitter id
 
     g = scene.geom
     sph = g.is_sphere[prim]
@@ -160,6 +187,8 @@ def sample_emitter(
         dir_env = jnp.stack(
             [st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi)], axis=-1
         )
+        # undo the zenith tilt: texel frame → world (inverse of env_radiance)
+        dir_env = _rot_x(dir_env, -e.extra[scene.env_emitter, 2])
         le_env = env_radiance(scene, dir_env)
         pdf_env = sel_pdf * imp.pmf[row, col] * (Hh * Ww) / jnp.maximum(
             2.0 * jnp.pi * jnp.pi * st, 1e-6
@@ -223,7 +252,7 @@ def sample_le(scene: T.Scene, rng_state: jnp.ndarray, n_lanes: int):
     cdf = e.prim_cdf[eid]
     kidx = jnp.sum((cdf < u_prim[:, None]).astype(jnp.int32), axis=-1)
     kidx = jnp.minimum(kidx, cdf.shape[1] - 1)
-    prim = e.prim_sel[jnp.arange(B), kidx]
+    prim = e.prim_sel[eid, kidx]
     sph = g.is_sphere[prim]
     bary = sampling.uniform_triangle(u_pos)
     b1, b2 = bary[..., 0], bary[..., 1]
@@ -267,6 +296,9 @@ def sample_le(scene: T.Scene, rng_state: jnp.ndarray, n_lanes: int):
     thp_pos = jnp.where(
         is_area[:, None], le * (area / sel_pdf)[..., None], jnp.zeros_like(le)
     )
+    # cone threshold for direct emitter→camera connections: AREA_SPOT only
+    # emits within cos >= extra[eid,0]; -1 (always pass) otherwise.
+    cos_gate = jnp.where(etype == T.EMITTER_AREA_SPOT, e.extra[eid, 0], -1.0)
     out = {
         "pos": jax.lax.stop_gradient(pos),
         "dir": jax.lax.stop_gradient(dirn),
@@ -275,6 +307,7 @@ def sample_le(scene: T.Scene, rng_state: jnp.ndarray, n_lanes: int):
         "thp_pos": thp_pos,
         "valid": valid,
         "is_point": is_point,
+        "cos_gate": cos_gate,
     }
     return out, rng_state
 
@@ -297,8 +330,9 @@ def env_nee_pdf(scene: T.Scene, n_prev: jnp.ndarray, d: jnp.ndarray):
     if imp is not None and imp.enabled:
         Hh, Ww = imp.pmf.shape
         azimuth = scene.emitters.extra[scene.env_emitter, 1]
-        phi = jnp.arctan2(d[..., 2], d[..., 0]) + azimuth
-        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+        dz = _rot_x(d, scene.emitters.extra[scene.env_emitter, 2])
+        phi = jnp.arctan2(dz[..., 2], dz[..., 0]) + azimuth
+        theta = jnp.arccos(jnp.clip(dz[..., 1], -1.0, 1.0))
         u = phi / (2.0 * jnp.pi) + 0.5
         v = theta / jnp.pi
         col = jnp.clip((u - jnp.floor(u)) * Ww, 0, Ww - 1).astype(jnp.int32)

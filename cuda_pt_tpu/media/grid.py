@@ -173,6 +173,50 @@ def transmittance_grid(scene: T.Scene, mid: jnp.ndarray, o: jnp.ndarray,
     return jnp.clip(tr, 0.0, 1.0), rng
 
 
+def transmittance_grid_residual(scene: T.Scene, mid: jnp.ndarray, o: jnp.ndarray,
+                                d: jnp.ndarray, dist: jnp.ndarray,
+                                rng: jnp.ndarray, active: jnp.ndarray):
+    """Residual-ratio tracking with an average-density control variate
+    (reference src/impl/vol_grid.cu:153-175; avg density from
+    compute_volume_sum :47-81; Novák et al. 2014).
+
+    Tr = exp(-σ_c·dist) · E[ ∏ (1 − (σ(x_i) − σ_c)/σ_r) ] with
+    σ_c = scale·avg_density and residual majorant
+    σ_r = max(σ_c, maj − σ_c): the analytic control absorbs the bulk of
+    the optical depth, so the stochastic residual product has far lower
+    variance in dense, smooth regions than plain ratio tracking."""
+    B = o.shape[0]
+    gid, scale, maj, _ = _grid_params(scene, mid)
+    sigma_c = scene.grids.avg_density[gid] * scale
+    sigma_r = jnp.maximum(jnp.maximum(sigma_c, maj - sigma_c), 1e-6)
+    inv_maj = 1.0 / sigma_r
+
+    def body(i, carry):
+        t, tr, done, rng = carry
+        u, rng = prng.next2d(rng)
+        step = -jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-12)) * inv_maj
+        t_new = t + jax.lax.stop_gradient(step)
+        out = t_new >= dist
+        p = o + t_new[:, None] * d
+        dens = density_lookup(scene.grids, gid, p) * scale
+        upd = ~done & ~out
+        # signed residual factor — may exceed 1 when σ < σ_c, still unbiased
+        tr = jnp.where(upd, tr * (1.0 - (dens - sigma_c) * inv_maj), tr)
+        # Russian roulette on |Tr| (detached, reference resets Tr to 1)
+        trd = jnp.abs(jax.lax.stop_gradient(tr))
+        rr = upd & (trd < 0.1)
+        kill = rr & (u[..., 1] >= trd)
+        tr = jnp.where(kill, 0.0, jnp.where(rr, tr / jnp.maximum(trd, 1e-12), tr))
+        done = done | out | kill
+        t = jnp.where(upd, t_new, t)
+        return t, tr, done, rng
+
+    carry = (jnp.zeros(B), jnp.ones(B), ~active, rng)
+    _, tr, _, rng = jax.lax.fori_loop(0, MAX_TRACK_STEPS, body, carry)
+    ctrl = jnp.exp(-sigma_c * jnp.maximum(dist, 0.0))
+    return tr * ctrl, rng
+
+
 def query_emission(scene: T.Scene, mid: jnp.ndarray, p: jnp.ndarray):
     """Blackbody emission at medium points (reference query_emission,
     src/impl/vol_grid.cu:97-102)."""

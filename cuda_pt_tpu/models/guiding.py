@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import optax
 
 from ..core import math as vm
-from ..core import sampling
 
 
 class GuideNet(nn.Module):

@@ -68,9 +68,12 @@ def render_pass(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams,
     cos_e = vm.dot(le["n"], d0)  # front-facing emission only
     f0 = le["thp_pos"] * jnp.maximum(cos_e, 0.0)[:, None]
     gate0 = jnp.full(B, specular_constraint <= 0)
+    # AREA_SPOT cone gate for direct emitter→camera visibility (reference
+    # AreaSpotSource::eval_le zeroes emission outside the cone).
+    in_cone0 = cos_e >= le["cos_gate"]
     img = _connect_camera(
         scene, cam, le["pos"] + le["n"] * 1e-3, f0, jnp.ones((B, 3)),
-        le["valid"] & (cos_e > 0.0), use_bvh, img, gate0,
+        le["valid"] & (cos_e > 0.0) & in_cone0, use_bvh, img, gate0,
     )
 
     # initial state: rays leave the emitter surface

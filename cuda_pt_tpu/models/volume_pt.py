@@ -60,6 +60,7 @@ class VPTState:
     med_stack: jnp.ndarray  # (B, MAX_NESTED) int32
     med_top: jnp.ndarray  # (B,) int32, -1 = ambient
     bounce: jnp.ndarray
+    rays: jnp.ndarray  # per-lane traced-ray count (segments + shadow)
 
 
 def _peek(s: VPTState, ambient) -> jnp.ndarray:
@@ -109,6 +110,13 @@ def sample_medium_distance(scene, mid, o, d, t_surf, rng, active):
     return {"t": t, "is_medium": is_med & active, "weight": weight}, rng
 
 
+# Grid transmittance estimator: "residual" (default; residual-ratio with
+# average-density control variate, lower variance in dense media) or
+# "ratio" (plain ratio tracking — the reference's default, its residual
+# variant is marked TODO at src/impl/vol_grid.cu:152).
+GRID_TRANSMITTANCE = "residual"
+
+
 def segment_transmittance(scene, mid, o, d, dist, rng, active):
     """Transmittance of ONE medium segment (no interfaces)."""
     is_homo, is_grid = _medium_type_masks(scene, mid)
@@ -116,9 +124,12 @@ def segment_transmittance(scene, mid, o, d, dist, rng, active):
         is_homo[:, None], homo.transmittance(scene.media, mid, dist), 1.0
     )
     if _has_grids(scene):
-        trg, rng = grid_med.transmittance_grid(
-            scene, mid, o, d, dist, rng, active & is_grid
+        fn = (
+            grid_med.transmittance_grid_residual
+            if GRID_TRANSMITTANCE == "residual"
+            else grid_med.transmittance_grid
         )
+        trg, rng = fn(scene, mid, o, d, dist, rng, active & is_grid)
         tr = jnp.where(is_grid[:, None], tr * trg[:, None], tr)
     return tr, rng
 
@@ -205,7 +216,7 @@ def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState,
 
     # emitter hit MIS (surface lanes only)
     cos_l = -vm.dot(s.d, inter["n_g"])
-    le_hit = emitters.emitter_radiance(scene, jnp.maximum(eid, 0), inter["uv"])
+    le_hit = emitters.emitter_radiance_hit(scene, jnp.maximum(eid, 0), inter["uv"], cos_l)
     pdf_l = emitters.hit_emitter_pdf(scene, obj, t_evt, jnp.maximum(cos_l, 1e-6))
     w_hit = jnp.where(s.prev_delta, 1.0, sampling.power_heuristic(s.prev_pdf, pdf_l))
     emit_mask = srf_event & (eid > 0) & (cos_l > 1e-6)
@@ -330,6 +341,7 @@ def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState,
         med_stack=med_stack,
         med_top=med_top,
         bounce=s.bounce + 1,
+        rays=s.rays + s.active.astype(jnp.int32) + nee_try.astype(jnp.int32),
     )
 
 
@@ -352,6 +364,7 @@ def init_state(scene: T.Scene, o, d, rng) -> VPTState:
         med_stack=izero[:, None] + jnp.full((1, MAX_NESTED), T.MEDIUM_NONE, jnp.int32),
         med_top=izero - 1,
         bounce=jnp.int32(0),
+        rays=izero,
     )
 
 
@@ -418,17 +431,48 @@ def trace_paths(scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
                 return s2, pix
             return run
 
-        sizes = [B, max(B // 2, 1), max(B // 4, 1), max(B // 8, 1)]
-        branch = (
-            jnp.int32(0)
-            + (n_live <= sizes[1]).astype(jnp.int32)
-            + (n_live <= sizes[2]).astype(jnp.int32)
-            + (n_live <= sizes[3]).astype(jnp.int32)
-        )
+        # deep power-of-two ladder with a 128-lane floor (see wavefront.py):
+        # VPT bounce bodies are the most expensive per-lane, so late-bounce
+        # live fractions ≤1% benefit the most from sub-B/8 buckets
+        sizes = [B]
+        for k in range(1, 7):
+            sz = max(B >> k, min(128, B))
+            if sz < sizes[-1]:
+                sizes.append(sz)
+        branch = jnp.int32(0)
+        for sz in sizes[1:]:
+            branch = branch + (n_live <= sz).astype(jnp.int32)
         return jax.lax.switch(branch, [make_branch(sz) for sz in sizes], (s, pix))
 
     final, pix = jax.lax.while_loop(cond, body, (state, lane))
     return final.L, pix
+
+
+def count_rays(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams,
+               spp: int, seed: int = 0, use_bvh=None):
+    """Traced-ray total (segments + shadow) for the same RNG streams as
+    render() — see path_tracer.count_rays."""
+    if use_bvh is None:
+        use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
+    B = cam.width * cam.height
+    lane = jnp.arange(B, dtype=jnp.int32)
+
+    def body(i, tot):
+        rng = prng.seed(
+            jnp.asarray(seed, jnp.uint32)
+            + jnp.asarray(i, jnp.uint32) * jnp.uint32(9781),
+            lane,
+        )
+        o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+        state = init_state(scene, o, d, rng)
+        final = jax.lax.while_loop(
+            lambda s: jnp.any(s.active) & (s.bounce < md.max_depth),
+            lambda s: vpt_bounce(scene, md, use_bvh, s),
+            state,
+        )
+        return tot + jnp.sum(final.rays)
+
+    return jax.lax.fori_loop(0, spp, body, jnp.zeros((), jnp.int32))
 
 
 def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,

@@ -66,16 +66,20 @@ def trace_paths_wavefront(
     use_bvh: bool,
     sort_rays: bool = True,
     compact: bool = False,
+    compact_levels: int = 7,
 ):
     """Bounce loop with per-bounce sort; returns (L, pixel_perm) where L[i]
     belongs to original lane pixel_perm[i].
 
     compact=True adds TRUE stream compaction with static shapes: lanes are
-    sorted dead-last, the live count selects one of four power-of-two
-    bucket sizes (B, B/2, B/4, B/8), and intersection+shading run only on
-    that prefix via lax.switch — the TPU equivalent of the reference's
-    thrust compaction boundary (src/pt_impl/wf_path_tracer.cu:135-139),
-    where dead rays stop costing compute rather than being masked."""
+    sorted dead-last, the live count selects one of ``compact_levels``
+    power-of-two bucket sizes (B, B/2, …, floor 128 lanes), and
+    intersection+shading run only on that prefix via lax.switch — the TPU
+    equivalent of the reference's thrust compaction boundary
+    (src/pt_impl/wf_path_tracer.cu:135-139), where dead rays stop costing
+    compute rather than being masked. With live fractions ≤1% after bounce
+    ~7 (scripts/analyze_rays.py) the deep ladder keeps late bounces paying
+    ~B/64 instead of the round-1 floor of B/8."""
     B = o.shape[0]
     state = pt.init_state(o, d, rng)
     lane = jnp.arange(B, dtype=jnp.int32)
@@ -130,13 +134,16 @@ def trace_paths_wavefront(
                 return s2, pix
             return run
 
-        sizes = [B, max(B // 2, 1), max(B // 4, 1), max(B // 8, 1)]
-        branch = (
-            jnp.int32(0)
-            + (n_live <= sizes[1]).astype(jnp.int32)
-            + (n_live <= sizes[2]).astype(jnp.int32)
-            + (n_live <= sizes[3]).astype(jnp.int32)
-        )
+        # power-of-two ladder B, B/2, … with a 128-lane floor (one VPU-tile
+        # row block); dedupe so tiny batches don't emit duplicate branches
+        sizes = [B]
+        for k in range(1, max(compact_levels, 1)):
+            sz = max(B >> k, min(128, B))
+            if sz < sizes[-1]:
+                sizes.append(sz)
+        branch = jnp.int32(0)
+        for sz in sizes[1:]:
+            branch = branch + (n_live <= sz).astype(jnp.int32)
         return jax.lax.switch(branch, [make_branch(sz) for sz in sizes], (s, pix))
 
     final, pix = jax.lax.while_loop(

@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from ..core import camera as cam_mod
@@ -62,6 +62,18 @@ def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_s
             )
             # scatter back to this shard's lane order
             L = (o[:, :1] * 0.0 + jnp.zeros((1, 3))).at[pix_local].add(Lw)
+        elif renderer == "vpt":
+            from ..models import volume_pt
+
+            if differentiable:
+                L = volume_pt.trace_paths(
+                    scene, md, o, d, rng, use_bvh, differentiable=True
+                )
+            else:
+                Lv, pix_local = volume_pt.trace_paths(
+                    scene, md, o, d, rng, use_bvh, compact=True
+                )
+                L = (o[:, :1] * 0.0 + jnp.zeros((1, 3))).at[pix_local].add(Lv)
         else:
             L = pt.trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
         return acc + L
@@ -97,7 +109,11 @@ def render_distributed(
     pad = (-B) % dp
     lanes = jnp.arange(B + pad, dtype=jnp.int32).reshape(dp, (B + pad) // dp)
     lanes = jnp.minimum(lanes, B - 1)  # padded lanes re-render last pixel
-    spp_per = max(spp // sp, 1)
+    assert spp % sp == 0, (
+        f"spp={spp} must divide evenly over the sp axis (sp={sp}); "
+        "pad spp or resize the mesh so the requested sample count is honored"
+    )
+    spp_per = spp // sp
 
     @partial(
         jax.shard_map,

@@ -25,7 +25,9 @@ CONDUCTORS = {
     "V": ((3.4966, 3.6864, 3.3867), (2.9811, 3.0505, 3.3573)),
 }
 
-# dispersion: name -> (cauchy_A, cauchy_B [um^2])
+# dispersion: name -> (cauchy_A, cauchy_B [um^2]); published Cauchy
+# coefficients for the 8 dielectrics the reference names
+# (src/core/preset_params.cuh:74-83 lists the same materials in nm^2).
 DISPERSION = {
     "Diamond": (2.3818, 0.0121),
     "DiamondHigh": (2.3600, 0.0310),
@@ -33,4 +35,8 @@ DISPERSION = {
     "Sapphire": (1.7522, 0.00554),
     "Water": (1.3199, 0.00322),
     "Glass-BK7": (1.5046, 0.00420),
+    "Glass-BaF10": (1.6700, 0.00743),
+    "Glass-SF10": (1.7280, 0.01342),
 }
+# the reference spells these with underscores — accept both
+DISPERSION.update({k.replace("-", "_"): v for k, v in list(DISPERSION.items())})

@@ -194,6 +194,28 @@ class BVHArrays:
 
 
 @flax.struct.dataclass
+class TraversalForest:
+    """Chunked, row-packed BVH forest for the Pallas streaming traversal
+    (ops/pallas/traverse_kernel.py). The scene is partitioned into C
+    spatially-coherent chunks, each with its own skip-encoded sub-BVH;
+    chunk arrays stream HBM→VMEM through the pallas grid (the TPU analogue
+    of the reference's smem CompactNode cache + gmem walk,
+    src/core/bvh.cuh:182-251).
+
+    Row packing: 8 slots of 16 float32 fields per 128-lane row — node i of
+    chunk c lives at nodes[c, i // 8, (i % 8) * 16 : ...]. Integer fields
+    are stored as exact small floats (ids < 2^24)."""
+
+    nodes: jnp.ndarray  # (C, Rn, 128) f32
+    prims: jnp.ndarray  # (C, Rp, 128) f32
+    n_nodes: jnp.ndarray  # (C,) int32 real node count per chunk
+
+    @property
+    def num_chunks(self) -> int:
+        return self.nodes.shape[0]
+
+
+@flax.struct.dataclass
 class EnvImportance:
     """Luminance-CDF tables for envmap importance sampling (one envmap per
     scene, like the reference). Empty (1×1) tables → cosine-hemisphere NEE
@@ -224,6 +246,10 @@ class Scene:
     cam_medium: jnp.ndarray  # () int32 — medium containing the camera
     num_emitters: jnp.ndarray  # () int32 — real emitters (excluding slot 0)
     env_importance: EnvImportance = None
+    # Optional pre-packed chunked BVH for the Pallas streaming traversal
+    # (scene/builder.py compile(..., forest_chunk=K); None → packed lazily
+    # for VMEM-resident scenes, XLA gather loop otherwise).
+    forest: TraversalForest = None
     # STATIC upper bound of BSDF families present (compile-time dispatch
     # pruning: absent families are skipped entirely in bsdf/eval.py). Type
     # hot-reload to a family outside this set requires a scene recompile —

@@ -252,11 +252,21 @@ def load_xml(path: str, override_res=None) -> ParsedScene:
             spec.ior = _get_rgb(brdf, "k_d", (1.5,) * 3)[0]
         if btype == T.BSDF_GGX_CONDUCTOR:
             metal = _named(brdf, "string", "conductor") or "Au"
-            eta, kk = presets.CONDUCTORS.get(metal, presets.CONDUCTORS["Au"])
+            if metal not in presets.CONDUCTORS:
+                raise ValueError(
+                    f"unknown conductor preset {metal!r} in BSDF "
+                    f"{brdf.get('id')!r}; known: {sorted(presets.CONDUCTORS)}"
+                )
+            eta, kk = presets.CONDUCTORS[metal]
             spec.eta, spec.k = eta, kk
         if btype == T.BSDF_DISPERSION:
             name = _named(brdf, "rgb", "type") or _named(brdf, "string", "type") or "Diamond"
-            a, bb = presets.DISPERSION.get(name, presets.DISPERSION["Diamond"])
+            if name not in presets.DISPERSION:
+                raise ValueError(
+                    f"unknown dispersion preset {name!r} in BSDF "
+                    f"{brdf.get('id')!r}; known: {sorted(presets.DISPERSION)}"
+                )
+            a, bb = presets.DISPERSION[name]
             spec.cauchy_a, spec.cauchy_b = a, bb
         if btype == T.BSDF_PLASTIC or btype == T.BSDF_PLASTIC_FORWARD:
             sig = _get_rgb(brdf, "sigma_a", (0.0, 0.0, 0.0))

@@ -1,0 +1,161 @@
+"""Full per-scene benchmark table → BENCH_DETAILS.json (+ BASELINE.md rows).
+
+Scenes (BASELINE.json targets; VERDICT r1 asked for more than cornell):
+  cornell_mega      512² megakernel PT (PR1 config)
+  cornell_wf        512² wavefront PT with compaction (vs no-sort twin)
+  bunny             bunny.xml — real mesh BVH traversal
+  whiskey           whiskey.xml — SBVH-scale mesh stress (assets in checkout)
+  cornell_vpt       cornell + homogeneous scattering medium (volumetric PT)
+
+Each row reports honest Mrays/s (measured segments + shadow rays / wall
+time), the backend it ran on, and the per-frame wall clock. Every
+measurement runs in a watchdogged subprocess so a wedged TPU tunnel can't
+hang the suite (memory: tpu-tunnel-flaky).
+
+Usage: python scripts/bench_suite.py [--backend cpu|default] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_XML = "/root/reference/scene/xml"
+
+_CHILD = r"""
+import json, os, sys, time
+backend, name, quick = sys.argv[1], sys.argv[2], sys.argv[3] == "1"
+import jax
+if backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+from cuda_pt_tpu.core.config import MaxDepthParams
+from cuda_pt_tpu.models import path_tracer as pt
+from cuda_pt_tpu.scene import testscenes
+
+pt.TRAVERSAL_IMPL = os.environ.get("BENCH_IMPL", "xla")
+REF_XML = %r
+
+def cornell(w):
+    scene, cam, _ = testscenes.cornell_box(width=w, height=w)
+    return scene, cam
+
+def from_xml(fname, res):
+    from cuda_pt_tpu.scene.xml_parser import load_xml
+    ps = load_xml(os.path.join(REF_XML, fname), override_res=(res, res))
+    return ps.scene, ps.camera
+
+def cornell_medium(w):
+    from cuda_pt_tpu.scene.builder import MediumSpec
+    from cuda_pt_tpu.scene import types as T
+    scene, cam, b = testscenes.cornell_box(width=w, height=w)
+    import numpy as np
+    b.add_medium(MediumSpec(mtype=T.MEDIUM_HOMOGENEOUS,
+                            sigma_a=(0.05, 0.05, 0.05),
+                            sigma_s=(0.25, 0.25, 0.25)))
+    scene = b.compile()
+    scene = scene.replace(cam_medium=jnp.int32(0))
+    return scene, cam
+
+res_big = 128 if backend == "cpu" or quick else 512
+spp = 2 if backend == "cpu" or quick else 16
+maxd = 5
+md = MaxDepthParams(max_depth=maxd)
+
+if name == "cornell_mega":
+    scene, cam = cornell(res_big)
+    fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
+    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+elif name == "cornell_wf":
+    from cuda_pt_tpu.models import wavefront
+    scene, cam = cornell(res_big)
+    fn = jax.jit(lambda s, i: wavefront.render(
+        s, cam, md, spp=spp, seed=i, use_bvh=True, compact=True))
+    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+elif name == "cornell_wf_nosort":
+    from cuda_pt_tpu.models import wavefront
+    scene, cam = cornell(res_big)
+    fn = jax.jit(lambda s, i: wavefront.render(
+        s, cam, md, spp=spp, seed=i, use_bvh=True, sort_rays=False, compact=False))
+    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+elif name in ("bunny", "whiskey", "vader"):
+    res = min(res_big, 256) if name != "bunny" else res_big
+    scene, cam = from_xml(name + ".xml", res)
+    fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
+    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+elif name == "cornell_vpt":
+    from cuda_pt_tpu.models import volume_pt
+    scene, cam = cornell_medium(min(res_big, 256))
+    mdv = MaxDepthParams(max_depth=maxd, max_volume=8)
+    fn = jax.jit(lambda s, i: volume_pt.render(s, cam, mdv, spp=spp, seed=i, use_bvh=True))
+    counter = jax.jit(lambda s: volume_pt.count_rays(s, cam, mdv, spp=spp, seed=1, use_bvh=True))
+else:
+    raise SystemExit(f"unknown bench {name}")
+
+fn(scene, 0).block_until_ready()
+reps = 3
+t0 = time.perf_counter()
+for i in range(reps):
+    img = fn(scene, i + 1)
+img.block_until_ready()
+dt = (time.perf_counter() - t0) / reps
+rays = int(counter(scene))
+print(json.dumps({
+    "name": name, "backend": jax.default_backend(),
+    "res": int(cam.width), "spp": spp, "max_depth": maxd,
+    "sec_per_frame": round(dt, 4), "rays": rays,
+    "mrays_per_s": round(rays / dt / 1e6, 3),
+    "prims": int(scene.geom.num_prims),
+}))
+""" % (REF_XML,)
+
+
+def run_one(name: str, backend: str, quick: bool, timeout: int = 600):
+    t0 = time.time()
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD, backend, name, "1" if quick else "0"],
+            capture_output=True, timeout=timeout, text=True, cwd=REPO,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        sys.stderr.write(out.stderr[-2000:] + "\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[bench_suite] {name} timed out after {time.time()-t0:.0f}s\n")
+    return {"name": name, "backend": "timeout", "mrays_per_s": 0.0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="default", choices=["default", "cpu"])
+    ap.add_argument("--quick", action="store_true", help="small res/spp")
+    ap.add_argument("--scenes", nargs="*", default=[
+        "cornell_mega", "cornell_wf", "cornell_wf_nosort",
+        "bunny", "whiskey", "cornell_vpt",
+    ])
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_DETAILS.json"))
+    args = ap.parse_args()
+
+    rows = []
+    for name in args.scenes:
+        row = run_one(name, args.backend, args.quick)
+        if row.get("backend") == "timeout" and args.backend == "default":
+            row = run_one(name, "cpu", args.quick)
+            row["backend"] = row.get("backend", "cpu") + "_fallback"
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump({"rows": rows, "quick": args.quick}, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.multihost:
         jax.distributed.initialize()
-    import numpy as np
 
     from cuda_pt_tpu.core import film as film_mod
     from cuda_pt_tpu.parallel import distributed as dist

@@ -117,3 +117,18 @@ def test_distributed_wavefront_renderer(cbox):
     match = np.isclose(img, ref, atol=1e-4).mean()
     assert match > 0.75, match
     assert abs(img.mean() - ref.mean()) < 0.03
+
+
+def test_distributed_vpt_renderer(cbox):
+    """Volumetric PT (compacted) runs under shard_map via renderer="vpt";
+    in a vacuum scene it must agree with the surface PT estimator."""
+    import numpy as np
+
+    scene, cam, md = cbox
+    mesh = dist.make_mesh(sp=1)
+    img = np.asarray(dist.render_distributed(
+        scene, cam, md, spp=2, mesh=mesh, seed=5, use_bvh=False, renderer="vpt"))
+    assert np.isfinite(img).all() and img.max() > 0.01
+    ref = np.asarray(dist.render_distributed(
+        scene, cam, md, spp=2, mesh=mesh, seed=5, use_bvh=False))
+    assert abs(img.mean() - ref.mean()) < 0.05, (img.mean(), ref.mean())

@@ -128,3 +128,88 @@ def test_blackbody_rgb_monotone_hue():
     # low temp: red-dominant; 6500K ≈ white
     assert rgb[0, 0] > rgb[0, 2] * 5
     np.testing.assert_allclose(rgb[2], 1.0, rtol=1e-3)
+
+
+def _grid_scene(dens):
+    b = SceneBuilder()
+    b.add_bsdf(BSDFSpec())
+    b.add_sphere((0, 0, 0), 1.0, 0)
+    gid = b.add_grid(dens, (-1, -1, -1), (1, 1, 1))
+    b.add_medium(MediumSpec(mtype=T.MEDIUM_GRID, grid_id=gid, scale=1.0,
+                            sigma_s=(1.0, 1.0, 1.0)))
+    return b.compile()
+
+
+def test_residual_tracking_exact_on_constant_grid():
+    """With σ(x) ≡ σ_c the residual product is identically 1, so residual
+    tracking returns the analytic exp(-σ_c d) with ZERO variance."""
+    scene = _grid_scene(np.ones((8, 8, 8), np.float32) * 2.0)
+    B = 1024
+    o = jnp.tile(jnp.asarray([[-1.0, 0.0, 0.0]]), (B, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (B, 1))
+    dist = jnp.full(B, 1.5)
+    tr, _ = grid_med.transmittance_grid_residual(
+        scene, jnp.zeros(B, jnp.int32), o, d, dist, prng.seed(3, jnp.arange(B)),
+        jnp.ones(B, bool),
+    )
+    tr = np.asarray(tr)
+    ref = np.exp(-2.0 * 1.5)
+    np.testing.assert_allclose(tr, ref, rtol=1e-5)
+    assert tr.std() < 1e-6  # zero-variance: the whole point of the control
+
+
+def test_residual_tracking_unbiased_and_lower_variance():
+    """Smooth non-constant grid: residual estimator agrees with ratio
+    tracking in expectation and has lower per-sample variance
+    (reference residual_tracking_trans_estimate, vol_grid.cu:153-175)."""
+    z, y, x = np.meshgrid(
+        np.linspace(0, 1, 8), np.linspace(0, 1, 8), np.linspace(0, 1, 8),
+        indexing="ij",
+    )
+    dens = (1.5 + np.sin(3 * x) * np.cos(2 * y) * 0.8 + 0.4 * z).astype(np.float32)
+    scene = _grid_scene(dens)
+    B = 1 << 14
+    o = jnp.tile(jnp.asarray([[-1.0, 0.05, -0.1]]), (B, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (B, 1))
+    dist = jnp.full(B, 1.8)
+    mid = jnp.zeros(B, jnp.int32)
+    act = jnp.ones(B, bool)
+    tr_res, _ = grid_med.transmittance_grid_residual(
+        scene, mid, o, d, dist, prng.seed(5, jnp.arange(B)), act)
+    tr_rat, _ = grid_med.transmittance_grid(
+        scene, mid, o, d, dist, prng.seed(6, jnp.arange(B)), act)
+    tr_res = np.asarray(tr_res)
+    tr_rat = np.asarray(tr_rat)
+    m_res, m_rat = tr_res.mean(), tr_rat.mean()
+    assert abs(m_res - m_rat) / m_rat < 0.05, (m_res, m_rat)
+    assert tr_res.var() < tr_rat.var() * 0.7, (tr_res.var(), tr_rat.var())
+
+
+def test_vpt_homogeneous_slab_analytic_image():
+    """Analytic image test (ROADMAP #10): camera inside a purely absorbing
+    homogeneous medium looking head-on at a unit-radiance emitter plane at
+    distance 2 → each channel's pixel value must equal exp(-σ_a·2) (MIS of
+    emitter-hit + NEE both reduce to attenuated Le)."""
+    from cuda_pt_tpu.core import camera as cam_mod
+    from cuda_pt_tpu.core.config import MaxDepthParams
+    from cuda_pt_tpu.models import volume_pt
+    from cuda_pt_tpu.scene import testscenes
+    from cuda_pt_tpu.scene.builder import EmitterSpec
+
+    sigma_a = np.array([0.3, 0.6, 1.2], np.float32)
+    b = SceneBuilder()
+    dark = b.add_bsdf(BSDFSpec(k_d=(0, 0, 0)))
+    em = b.add_emitter(EmitterSpec(emission=(1, 1, 1), scaler=1.0))
+    b.add_medium(MediumSpec(mtype=T.MEDIUM_HOMOGENEOUS,
+                            sigma_a=tuple(sigma_a), sigma_s=(0, 0, 0)))
+    # big emitter quad at z=0 facing -z; camera on -z axis at distance 2
+    b.add_mesh(testscenes.quad([-4, -4, 0], [-4, 4, 0], [4, 4, 0], [4, -4, 0]),
+               dark, emitter_id=em)
+    b.cam_medium = 0
+    scene = b.compile()
+    cam = cam_mod.make_camera((0, 0, -2), (0, 0, 0), fov=8, width=12, height=12)
+    md = MaxDepthParams(max_depth=3, max_volume=8)
+    img = np.asarray(volume_pt.render(scene, cam, md, spp=256, seed=7, use_bvh=False))
+    expect = np.exp(-sigma_a * 2.0)
+    got = img.reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(got, expect, rtol=0.05)

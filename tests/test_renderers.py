@@ -1,7 +1,6 @@
 """Renderer-family tests: wavefront == megakernel, light tracer ≈ PT,
 volumetric PT sanity, depth + BVH-cost debug outputs."""
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

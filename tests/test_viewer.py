@@ -66,19 +66,20 @@ def test_viewer_hot_reload_resets_film(viewer):
         time.sleep(0.2)
     c0 = state.renderer.counter()
     assert c0 >= 3
+    g0 = state.generation
     _post(port, "/update", {"kind": "emitter", "id": 1, "field": "scaler", "value": 25.0})
     assert float(state.renderer.scene.emitters.scaler[1]) == 25.0
-    # after the dirty flag is consumed the count restarts from zero, so it
-    # can never reach c0 + passes-since-update; observe two more passes
+    # the render loop bumps the monotonic generation counter exactly when it
+    # consumes the dirty flag and resets the film — no counter-value race
     deadline = time.time() + 120
-    saw_reset = False
-    while time.time() < deadline:
-        c = state.renderer.counter()
-        if 0 < c < c0:
-            saw_reset = True
-            break
+    while time.time() < deadline and state.generation == g0:
         time.sleep(0.1)
-    assert saw_reset, (c0, state.renderer.counter())
+    assert state.generation > g0, (g0, state.generation)
+    # and accumulation restarts
+    deadline = time.time() + 120
+    while time.time() < deadline and state.renderer.counter() < 1:
+        time.sleep(0.1)
+    assert state.renderer.counter() >= 1
 
 
 def test_viewer_camera_move(viewer):
