@@ -67,6 +67,8 @@ def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int = 4):
     if TRAVERSAL_IMPL == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
+        if scene.forest is not None:
+            return tk.traverse_forest(scene.forest, o, d, max_leaf=max_leaf)
         if tk.scene_fits_vmem(scene.geom, scene.bvh):
             return tk.traverse_pallas(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
     return traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
@@ -78,6 +80,10 @@ def occluded(scene: T.Scene, o, d, t_far, use_bvh: bool, max_leaf: int = 4):
     if TRAVERSAL_IMPL == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
+        if scene.forest is not None:
+            return tk.traverse_forest(
+                scene.forest, o, d, t_far, max_leaf=max_leaf, occlusion=True
+            )["occluded"]
         if tk.scene_fits_vmem(scene.geom, scene.bvh):
             out = tk.traverse_pallas(
                 scene.geom, scene.bvh, o, d, t_far, max_leaf=max_leaf, occlusion=True

@@ -1,25 +1,36 @@
-"""Pallas TPU kernel: packet BVH traversal (closest-hit + any-hit).
+"""Pallas TPU kernel: packet BVH traversal with chunked HBM streaming.
 
-TPU re-design of the reference's per-thread stackless walk
-(src/renderer/tracing_func.cuh:44-181). A thread-per-ray walk needs per-lane
-dynamic gathers, which the VPU hates; instead each *grid program* owns a
-tile of rays that traverses the tree as a packet:
+TPU re-design of the reference's per-thread stackless walk + shared-memory
+node cache (src/renderer/tracing_func.cuh:44-181, src/core/bvh.cuh:182-251).
+A thread-per-ray walk needs per-lane dynamic gathers, which the VPU hates;
+instead each *grid program* owns a (R, 128) tile of rays that traverses a
+sub-BVH as a packet, and the scene is partitioned into spatially-coherent
+CHUNKS that stream HBM→VMEM through the pallas grid pipeline:
 
-- the node pointer is a SCALAR in the while_loop carry: node AABB + leaf
-  metadata are scalar loads from VMEM-resident SoA arrays (no vector
-  gathers anywhere);
+  grid = (ray_tiles, chunks): the chunk axis is innermost, so each ray
+  tile's best-hit state stays resident in VMEM while chunk node/prim blocks
+  are double-buffered in by the pallas pipeline — the TPU-idiomatic analogue
+  of the reference's "top levels in smem, rest walked from gmem" design.
+  A chunk whose root AABB misses every lane costs one loop iteration.
+
+Mosaic-lowering-safe data access (round-1 kernel used scalar dynamic loads
+from 1D VMEM refs — the known-risky pattern, ROADMAP r1 #3):
+
+- nodes/prims are packed 8 slots x 16 float32 fields per 128-lane row;
+  fetching node i is a DYNAMIC SUBLANE slice ``ref[pl.ds(i // 8, 1), :]``
+  (well-supported), never a dynamic lane index;
+- scalar fields come out of the fetched (1, 128) row via masked full
+  reductions (lane-iota == slot*16+field), never vector->scalar extracts;
 - the slab test and Möller-Trumbore run VECTORIZED over the (R, 128) ray
-  tile against scalar node/triangle data (triangle constants broadcast);
-- descend (ptr+1) when ANY lane hits an interior box, else jump skip[ptr] —
-  the same skip encoding as accel/bvh_build.py;
-- leaves test up to max_leaf primitives, each a scalar-constant triangle
-  or sphere vs the whole tile.
+  tile against scalar node/triangle constants.
 
-The whole BVH + primitive SoA lives in VMEM (guarded by VMEM_BUDGET; larger
-scenes fall back to the XLA gather traversal in accel/traverse.py). Packet
-coherence is the perf lever — callers sort rays (Morton / material) so tiles
-agree on their subtree (the analogue of the reference's ray sorting,
-src/pt_impl/wf_path_tracer.cu:68-80).
+Integer fields (skip/base/count/prim-id) are stored as exact small floats;
+prim ids are exact below 2^24 (the reference caps scenes at 64M prims —
+beyond 16M this layout needs a second int32 plane; documented limit).
+
+Packet coherence is the perf lever — callers sort rays (Morton / material)
+so tiles agree on their subtree (the analogue of the reference's ray
+sorting, src/pt_impl/wf_path_tracer.cu:68-80).
 """
 
 from __future__ import annotations
@@ -31,27 +42,185 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...scene.types import BVHArrays, Geometry
+from ...scene.types import BVHArrays, Geometry, TraversalForest
 
 TILE = 512  # rays per packet (4 sublane rows x 128 lanes)
+SLOTS = 8  # nodes/prims per 128-lane row
+SLOT_F = 16  # float32 fields per slot
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 HIT_EPS = 1e-4
+_BIG = 1e30
 
 
 def scene_fits_vmem(geom: Geometry, bvh: BVHArrays) -> bool:
-    nodes = bvh.num_nodes * (6 * 4 + 3 * 4)
-    prims = geom.num_prims * (9 * 4 + 4 + 1)
-    return (nodes + prims) < VMEM_BUDGET_BYTES
+    """Whole-scene-resident fast path: one chunk, no streaming."""
+    packed = (bvh.num_nodes + geom.num_prims) * SLOT_F * 4  # 64 B each
+    return packed < VMEM_BUDGET_BYTES
 
 
-def _kernel(flip,  # python bool: occlusion mode
-            max_leaf,  # python int
-            # refs:
-            nminx, nminy, nminz, nmaxx, nmaxy, nmaxz, nskip, nbase, ncount,
-            p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z, sph,
+def _pack_rows(cols, pad_vals):
+    """Pack per-item field columns into (rows, 128) f32: 8 slots of 16
+    fields per row. cols: list of (M,) arrays; pad_vals: per-field fill for
+    the tail slots (sentinels that make padding inert)."""
+    M = cols[0].shape[0]
+    Mp = -(-max(M, 1) // SLOTS) * SLOTS + SLOTS  # at least one full pad group
+    out = []
+    for c, pv in zip(cols, pad_vals):
+        c = jnp.asarray(c, jnp.float32)
+        out.append(jnp.concatenate([c, jnp.full((Mp - M,), pv, jnp.float32)]))
+    while len(out) < SLOT_F:
+        out.append(jnp.zeros((Mp,), jnp.float32))
+    arr = jnp.stack(out, axis=1)  # (Mp, 16)
+    return arr.reshape(Mp // SLOTS, SLOTS * SLOT_F)
+
+
+def pack_nodes(bvh: BVHArrays) -> jnp.ndarray:
+    """(Rn, 128) packed node rows. Padding nodes have an empty AABB and
+    skip pointing past the end, so walking into them exits immediately."""
+    M = bvh.num_nodes
+    Mp = -(-max(M, 1) // SLOTS) * SLOTS + SLOTS
+    return _pack_rows(
+        [
+            bvh.node_min[:, 0], bvh.node_min[:, 1], bvh.node_min[:, 2],
+            bvh.node_max[:, 0], bvh.node_max[:, 1], bvh.node_max[:, 2],
+            bvh.node_skip.astype(jnp.float32),
+            bvh.node_base.astype(jnp.float32),
+            bvh.node_count.astype(jnp.float32),
+        ],
+        [_BIG, _BIG, _BIG, -_BIG, -_BIG, -_BIG, float(Mp), 0.0, 0.0],
+    )
+
+
+def pack_prims(geom: Geometry, gid=None) -> jnp.ndarray:
+    """(Rp, 128) packed prim rows; field 10 = global prim id (exact < 2^24).
+    Padding prims are degenerate triangles (always rejected)."""
+    if gid is None:
+        gid = jnp.arange(geom.num_prims, dtype=jnp.float32)
+    return _pack_rows(
+        [
+            geom.p0[:, 0], geom.p0[:, 1], geom.p0[:, 2],
+            geom.e1[:, 0], geom.e1[:, 1], geom.e1[:, 2],
+            geom.e2[:, 0], geom.e2[:, 1], geom.e2[:, 2],
+            geom.is_sphere.astype(jnp.float32),
+            jnp.asarray(gid, jnp.float32),
+        ],
+        [0.0] * 9 + [0.0, -1.0],
+    )
+
+
+def single_chunk_forest(geom: Geometry, bvh: BVHArrays) -> TraversalForest:
+    """Whole scene as one VMEM-resident chunk (pure jnp — safe under jit;
+    XLA hoists it out of render loops as loop-invariant)."""
+    return TraversalForest(
+        nodes=pack_nodes(bvh)[None],
+        prims=pack_prims(geom)[None],
+        n_nodes=jnp.asarray([bvh.num_nodes], jnp.int32),
+    )
+
+
+def build_forest(geom: Geometry, chunk_prims: int = 65536, max_leaf: int = 4):
+    """Host-side forest build: Morton-partition prims into chunks, build a
+    skip-encoded sub-BVH per chunk (accel/bvh_build.py), pack rows.
+
+    Runs on concrete arrays (scene-compile time), NOT under jit. Chunks are
+    padded to a common row count so they stream as equal-shaped blocks."""
+    import numpy as np
+
+    from ...accel import bvh_build
+
+    p0 = np.asarray(geom.p0)
+    e1 = np.asarray(geom.e1)
+    e2 = np.asarray(geom.e2)
+    sph = np.asarray(geom.is_sphere)
+    N = p0.shape[0]
+    lo, hi, cent = bvh_build.prim_bounds(p0, e1, e2, sph)
+
+    # spatial ordering: Morton codes of centroids over the scene bounds
+    smin = lo.min(axis=0)
+    ext = np.maximum(hi.max(axis=0) - smin, 1e-8)
+    q = np.clip((cent - smin) / ext * 1023.0, 0, 1023).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    order = np.argsort(code, kind="stable")
+
+    chunks = [order[i : i + chunk_prims] for i in range(0, N, chunk_prims)]
+    node_arrs, prim_arrs, counts = [], [], []
+    for ids in chunks:
+        nodes = bvh_build.build_bvh(lo[ids], hi[ids], cent[ids], max_leaf=max_leaf)
+        sub = ids[nodes["order"]]  # chunk-local BVH order -> global prim ids
+        bvh_c = BVHArrays(
+            node_min=jnp.asarray(nodes["node_min"]),
+            node_max=jnp.asarray(nodes["node_max"]),
+            node_skip=jnp.asarray(nodes["node_skip"]),
+            node_base=jnp.asarray(nodes["node_base"]),
+            node_count=jnp.asarray(nodes["node_count"]),
+        )
+        node_arrs.append(pack_nodes(bvh_c))
+        prim_arrs.append(
+            _pack_rows(
+                [
+                    jnp.asarray(p0[sub, 0]), jnp.asarray(p0[sub, 1]),
+                    jnp.asarray(p0[sub, 2]),
+                    jnp.asarray(e1[sub, 0]), jnp.asarray(e1[sub, 1]),
+                    jnp.asarray(e1[sub, 2]),
+                    jnp.asarray(e2[sub, 0]), jnp.asarray(e2[sub, 1]),
+                    jnp.asarray(e2[sub, 2]),
+                    jnp.asarray(sph[sub].astype(np.float32)),
+                    jnp.asarray(sub.astype(np.float32)),
+                ],
+                [0.0] * 9 + [0.0, -1.0],
+            )
+        )
+        counts.append(nodes["node_min"].shape[0])
+
+    rn = max(a.shape[0] for a in node_arrs)
+    rp = max(a.shape[0] for a in prim_arrs)
+    pad_node_row = jnp.tile(
+        jnp.asarray(
+            [_BIG, _BIG, _BIG, -_BIG, -_BIG, -_BIG, float(rn * SLOTS), 0.0, 0.0]
+            + [0.0] * (SLOT_F - 9),
+            jnp.float32,
+        ),
+        (SLOTS,),
+    )
+
+    def padto(a, rows, node_pad=False):
+        pad = rows - a.shape[0]
+        if pad == 0:
+            return a
+        tail = (
+            jnp.tile(pad_node_row[None], (pad, 1))
+            if node_pad
+            else jnp.zeros((pad, a.shape[1]), jnp.float32)
+        )
+        return jnp.concatenate([a, tail], axis=0)
+
+    nodes = jnp.stack([padto(a, rn, True) for a in node_arrs])
+    prims = jnp.stack([padto(a, rp) for a in prim_arrs])
+    return TraversalForest(
+        nodes=nodes, prims=prims, n_nodes=jnp.asarray(counts, jnp.int32)
+    )
+
+
+def _field(row, idx):
+    """Scalar field extraction from a (1, 128) row via masked reduction
+    (no vector->scalar extract, no dynamic lane indexing)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.sum(jnp.where(lane == idx, row, 0.0))
+
+
+def _kernel(flip, max_leaf, rn,
+            nodes, prims,
             ox, oy, oz, dx, dy, dz, tfar,
             out_t, out_prim, out_b1, out_b2):
-    M = nskip.shape[0]
+    c = pl.program_id(1)
 
     o_x = ox[:]
     o_y = oy[:]
@@ -61,6 +230,13 @@ def _kernel(flip,  # python bool: occlusion mode
     d_z = dz[:]
     t_lim = tfar[:]
 
+    @pl.when(c == 0)
+    def _init():
+        out_t[:] = t_lim * (1.0 - 1e-3) if flip else jnp.full_like(o_x, jnp.inf)
+        out_prim[:] = jnp.full(o_x.shape, -1, jnp.int32)
+        out_b1[:] = jnp.zeros_like(o_x)
+        out_b2[:] = jnp.zeros_like(o_x)
+
     def safe_inv(v):
         return 1.0 / jnp.where(jnp.abs(v) < 1e-8, jnp.where(v < 0, -1e-8, 1e-8), v)
 
@@ -68,33 +244,29 @@ def _kernel(flip,  # python bool: occlusion mode
     iy = safe_inv(d_y)
     iz = safe_inv(d_z)
 
-    t_init = t_lim * (1.0 - 1e-3) if flip else jnp.full_like(o_x, jnp.inf)
-    init = (
-        jnp.int32(0),                                   # ptr
-        t_init,                                         # t
-        jnp.full(o_x.shape, -1, jnp.int32),             # prim
-        jnp.zeros_like(o_x),                            # b1
-        jnp.zeros_like(o_x),                            # b2
-    )
+    M_pad = rn * SLOTS
+    init = (jnp.int32(0), out_t[:], out_prim[:], out_b1[:], out_b2[:])
 
-    def cond(c):
-        ptr = c[0]
+    def cond(cr):
+        ptr = cr[0]
         if flip:
             # any-hit: stop early once every lane found an occluder
-            return (ptr < M) & jnp.any(c[2] < 0)
-        return ptr < M
+            return (ptr < M_pad) & jnp.any(cr[2] < 0)
+        return ptr < M_pad
 
-    def body(c):
-        ptr, t_best, prim, b1, b2 = c
-        lo_x = nminx[ptr]
-        lo_y = nminy[ptr]
-        lo_z = nminz[ptr]
-        hi_x = nmaxx[ptr]
-        hi_y = nmaxy[ptr]
-        hi_z = nmaxz[ptr]
-        cnt = ncount[ptr]
-        base = nbase[ptr]
-        skip = nskip[ptr]
+    def body(cr):
+        ptr, t_best, prim, b1, b2 = cr
+        row = nodes[0, pl.ds(ptr // SLOTS, 1), :]
+        sb = (ptr % SLOTS) * SLOT_F
+        lo_x = _field(row, sb + 0)
+        lo_y = _field(row, sb + 1)
+        lo_z = _field(row, sb + 2)
+        hi_x = _field(row, sb + 3)
+        hi_y = _field(row, sb + 4)
+        hi_z = _field(row, sb + 5)
+        skip = _field(row, sb + 6).astype(jnp.int32)
+        base = _field(row, sb + 7).astype(jnp.int32)
+        cnt = _field(row, sb + 8).astype(jnp.int32)
 
         tx0 = (lo_x - o_x) * ix
         tx1 = (hi_x - o_x) * ix
@@ -119,20 +291,21 @@ def _kernel(flip,  # python bool: occlusion mode
             t_best, prim, b1, b2 = carry
             for k in range(max_leaf):
                 pid = base + k
-                pidc = jnp.minimum(pid, p0x.shape[0] - 1)
-                valid = k < cnt
-                ax = p0x[pidc]
-                ay = p0y[pidc]
-                az = p0z[pidc]
-                ux = e1x[pidc]
-                uy = e1y[pidc]
-                uz = e1z[pidc]
-                vx = e2x[pidc]
-                vy = e2y[pidc]
-                vz = e2z[pidc]
-                is_sph = sph[pidc] > 0
+                prow = prims[0, pl.ds(pid // SLOTS, 1), :]
+                pb = (pid % SLOTS) * SLOT_F
+                ax = _field(prow, pb + 0)
+                ay = _field(prow, pb + 1)
+                az = _field(prow, pb + 2)
+                ux = _field(prow, pb + 3)
+                uy = _field(prow, pb + 4)
+                uz = _field(prow, pb + 5)
+                vx = _field(prow, pb + 6)
+                vy = _field(prow, pb + 7)
+                vz = _field(prow, pb + 8)
+                is_sph = _field(prow, pb + 9) > 0.0
+                gid = _field(prow, pb + 10).astype(jnp.int32)
 
-                # Möller-Trumbore against scalar triangle
+                # Möller-Trumbore against scalar triangle constants
                 hx = d_y * vz - d_z * vy
                 hy = d_z * vx - d_x * vz
                 hz = d_x * vy - d_y * vx
@@ -169,15 +342,20 @@ def _kernel(flip,  # python bool: occlusion mode
                 sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
 
                 t_k = jnp.where(is_sph, t_sph, t_tri)
-                ok = jnp.where(is_sph, sph_ok, tri_ok) & valid & (t_k < t_best) & live
+                ok = (
+                    jnp.where(is_sph, sph_ok, tri_ok)
+                    & (k < cnt)
+                    & (t_k < t_best)
+                    & live
+                )
                 t_best = jnp.where(ok, t_k, t_best)
-                prim = jnp.where(ok, pid, prim)
+                prim = jnp.where(ok, gid, prim)
                 b1 = jnp.where(ok, jnp.where(is_sph, 0.0, u), b1)
                 b2 = jnp.where(ok, jnp.where(is_sph, 0.0, v), b2)
             return t_best, prim, b1, b2
 
         t_best, prim, b1, b2 = jax.lax.cond(
-            any_hit & is_leaf, do_leaf, lambda c: c, (t_best, prim, b1, b2)
+            any_hit & is_leaf, do_leaf, lambda cr_: cr_, (t_best, prim, b1, b2)
         )
         ptr_next = jnp.where(any_hit & ~is_leaf, ptr + 1, skip)
         return ptr_next, t_best, prim, b1, b2
@@ -189,50 +367,56 @@ def _kernel(flip,  # python bool: occlusion mode
     out_b2[:] = b2
 
 
-@functools.partial(jax.jit, static_argnames=("max_leaf", "occlusion", "interpret"))
-def traverse_pallas(geom: Geometry, bvh: BVHArrays, o, d, t_far=None,
+# Global interpret-mode default (CPU tests flip this; on TPU the kernel
+# compiles through Mosaic). Resolved at trace time by traverse_forest.
+INTERPRET = False
+
+
+def traverse_forest(forest: TraversalForest, o, d, t_far=None,
                     max_leaf: int = 4, occlusion: bool = False,
-                    interpret: bool = False):
-    """Packet traversal over ray tiles. Returns dict(t, prim, hit, b1, b2)
-    (closest-hit) or with prim>=0 marking occluded lanes (occlusion)."""
+                    interpret=None):
+    """Packet traversal of a chunked forest over ray tiles.
+
+    Returns dict(t, prim, hit, b1, b2) (closest-hit) or {"occluded"}
+    (any-hit). Grid = (ray_tiles, chunks), chunk axis innermost: per-tile
+    best-hit state stays in VMEM while chunk blocks stream through.
+    Callers jit the surrounding render; this traces inline."""
+    if interpret is None:
+        interpret = INTERPRET
     B = o.shape[0]
     pad = (-B) % TILE
     Bp = B + pad
     R = TILE // 128
+    C, rn = forest.nodes.shape[0], forest.nodes.shape[1]
+    rp = forest.prims.shape[1]
 
     def prep(x):
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-        return x
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
     o_p = prep(o)
     d_p = prep(d)
     tf = (
         prep(t_far) if t_far is not None else jnp.full((Bp,), 1e8, jnp.float32)
     )
-    grid = Bp // TILE
+    T_ = Bp // TILE
 
-    ray_spec = pl.BlockSpec(
-        (R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    full = lambda x: pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    def c3(x, j):
+    def c2(x, j):
         return x[..., j].reshape(Bp // 128, 128)
 
+    def chunk_spec(rows):
+        return pl.BlockSpec(
+            (1, rows, 128), lambda t, c: (c, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    ray_spec = pl.BlockSpec((R, 128), lambda t, c: (t, 0), memory_space=pltpu.VMEM)
+
     args = (
-        bvh.node_min[:, 0], bvh.node_min[:, 1], bvh.node_min[:, 2],
-        bvh.node_max[:, 0], bvh.node_max[:, 1], bvh.node_max[:, 2],
-        bvh.node_skip, bvh.node_base, bvh.node_count,
-        geom.p0[:, 0], geom.p0[:, 1], geom.p0[:, 2],
-        geom.e1[:, 0], geom.e1[:, 1], geom.e1[:, 2],
-        geom.e2[:, 0], geom.e2[:, 1], geom.e2[:, 2],
-        geom.is_sphere.astype(jnp.int32),
-        c3(o_p, 0), c3(o_p, 1), c3(o_p, 2),
-        c3(d_p, 0), c3(d_p, 1), c3(d_p, 2),
+        forest.nodes, forest.prims,
+        c2(o_p, 0), c2(o_p, 1), c2(o_p, 2),
+        c2(d_p, 0), c2(d_p, 1), c2(d_p, 2),
         tf.reshape(Bp // 128, 128),
     )
-    n_scene = 19
-    in_specs = [full(None)] * n_scene + [ray_spec] * 7
+    in_specs = [chunk_spec(rn), chunk_spec(rp)] + [ray_spec] * 7
     out_specs = (ray_spec, ray_spec, ray_spec, ray_spec)
     out_shape = (
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
@@ -240,10 +424,10 @@ def traverse_pallas(geom: Geometry, bvh: BVHArrays, o, d, t_far=None,
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
     )
-    kern = functools.partial(_kernel, occlusion, max_leaf)
+    kern = functools.partial(_kernel, occlusion, max_leaf, rn)
     t, prim, b1, b2 = pl.pallas_call(
         kern,
-        grid=(grid,),
+        grid=(T_, C),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -257,3 +441,13 @@ def traverse_pallas(geom: Geometry, bvh: BVHArrays, o, d, t_far=None,
     if occlusion:
         return {"occluded": prim >= 0}
     return {"t": t, "prim": prim, "hit": prim >= 0, "b1": b1, "b2": b2}
+
+
+def traverse_pallas(geom: Geometry, bvh: BVHArrays, o, d, t_far=None,
+                    max_leaf: int = 4, occlusion: bool = False,
+                    interpret=None):
+    """Single-chunk compatibility wrapper: packs the scene's global BVH as
+    one VMEM-resident chunk (scene must pass scene_fits_vmem)."""
+    forest = single_chunk_forest(geom, bvh)
+    return traverse_forest(forest, o, d, t_far, max_leaf=max_leaf,
+                           occlusion=occlusion, interpret=interpret)

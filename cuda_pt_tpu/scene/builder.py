@@ -174,7 +174,10 @@ class SceneBuilder:
         return len(self.objects) - 1
 
     # -- compile -----------------------------------------------------------
-    def compile(self, bvh_cfg=None) -> T.Scene:
+    def compile(self, bvh_cfg=None, forest_chunk: int | None = None) -> T.Scene:
+        """forest_chunk: prims per chunk for the Pallas streaming traversal
+        (ops/pallas/traverse_kernel.build_forest). None → no forest; the
+        packet kernel then requires the whole scene in VMEM."""
         from ..core.config import BVHConfig
 
         cfg = bvh_cfg or BVHConfig()
@@ -448,7 +451,7 @@ class SceneBuilder:
                 pmf=jnp.ones((1, 1), jnp.float32),
             )
 
-        return T.Scene(
+        scene = T.Scene(
             present_bsdfs=present,
             env_importance=env_imp,
             geom=geom,
@@ -463,3 +466,10 @@ class SceneBuilder:
             cam_medium=jnp.int32(self.cam_medium),
             num_emitters=jnp.int32(num_emitters),
         )
+        if forest_chunk:
+            from ..ops.pallas import traverse_kernel as tk
+
+            scene = scene.replace(
+                forest=tk.build_forest(scene.geom, chunk_prims=forest_chunk)
+            )
+        return scene

@@ -56,3 +56,61 @@ def test_packet_occlusion_matches_brute(scene_and_rays):
         scene.geom, scene.bvh, o, d, t_far, occlusion=True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_p["occluded"]))
+
+
+def test_forest_multichunk_matches_brute(scene_and_rays):
+    """Chunked streaming path (grid = tiles x chunks): tiny chunk size
+    forces C > 1; results must match brute force exactly."""
+    from cuda_pt_tpu.ops.pallas.traverse_kernel import build_forest, traverse_forest
+
+    scene, o, d = scene_and_rays
+    forest = build_forest(scene.geom, chunk_prims=64)
+    assert forest.num_chunks > 3
+    brute = isect.closest_hit_brute(scene.geom, o, d)
+    pk = traverse_forest(forest, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(brute["hit"]), np.asarray(pk["hit"]))
+    hm = np.asarray(brute["hit"])
+    np.testing.assert_allclose(
+        np.asarray(brute["t"])[hm], np.asarray(pk["t"])[hm], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(brute["prim"])[hm], np.asarray(pk["prim"])[hm]
+    )
+
+
+def test_forest_multichunk_occlusion(scene_and_rays):
+    from cuda_pt_tpu.ops.pallas.traverse_kernel import build_forest, traverse_forest
+
+    scene, o, d = scene_and_rays
+    forest = build_forest(scene.geom, chunk_prims=64)
+    rng = np.random.default_rng(5)
+    t_far = jnp.asarray(rng.uniform(0.5, 4.0, size=(o.shape[0],)), jnp.float32)
+    occ_b = isect.occlusion_brute(scene.geom, o, d, t_far)
+    occ_p = traverse_forest(forest, o, d, t_far, occlusion=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_p["occluded"]))
+
+
+def test_forest_render_end_to_end():
+    """Megakernel render through the streaming forest (TRAVERSAL_IMPL=pallas,
+    interpret mode on CPU; real TPU compiles the same kernel) matches the
+    XLA gather-loop render — exercises scene.forest through
+    closest_hit/occluded inside the full bounce loop."""
+    from cuda_pt_tpu.core.config import MaxDepthParams
+    from cuda_pt_tpu.models import path_tracer as pt
+    from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
+    from cuda_pt_tpu.scene import testscenes
+
+    scene, cam, _ = testscenes.cornell_box(width=24, height=24)
+    scene_f = scene.replace(forest=tk.build_forest(scene.geom, chunk_prims=8))
+    assert scene_f.forest.num_chunks > 2
+    md = MaxDepthParams(max_depth=3)
+
+    ref = np.asarray(pt.render(scene, cam, md, spp=2, seed=1, use_bvh=True))
+    tk.INTERPRET = True
+    pt.TRAVERSAL_IMPL = "pallas"
+    try:
+        img = np.asarray(pt.render(scene_f, cam, md, spp=2, seed=1, use_bvh=True))
+    finally:
+        pt.TRAVERSAL_IMPL = "xla"
+        tk.INTERPRET = False
+    np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
