@@ -41,7 +41,9 @@ def render_depth(
     (src/pt_impl/depth.cu:42-113)."""
     o, d = _primary_rays(cam, seed)
     if use_bvh:
-        hit = traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d)
+        hit = traverse.closest_hit_bvh(
+            scene.geom, scene.bvh, o, d, max_leaf=scene.bvh.max_leaf
+        )
     else:
         hit = isect.closest_hit_brute(scene.geom, o, d)
     t = jnp.where(hit["hit"], hit["t"], jnp.nan)
@@ -70,7 +72,9 @@ def render_bvh_cost(
     """Traversal-cost heatmap (reference ray_intersect_cost,
     src/pt_impl/bvh_cost.cu:38-130)."""
     o, d = _primary_rays(cam, seed)
-    out = traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d, count_cost=True)
+    out = traverse.closest_hit_bvh(
+        scene.geom, scene.bvh, o, d, count_cost=True, max_leaf=scene.bvh.max_leaf
+    )
     node = out["node_cnt"].astype(jnp.float32)
     prim = out["prim_cnt"].astype(jnp.float32)
     cost = {"node": node, "prim": prim}.get(mode, node + prim)

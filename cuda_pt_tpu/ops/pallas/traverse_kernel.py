@@ -190,17 +190,19 @@ def build_forest(geom: Geometry, chunk_prims: int = 65536, max_leaf: int = 4):
         ),
         (SLOTS,),
     )
+    # padding prims: degenerate geometry with gid = -1 (never referenced by
+    # any node, and inert even if they were)
+    pad_prim_row = jnp.tile(
+        jnp.asarray([0.0] * 10 + [-1.0] + [0.0] * (SLOT_F - 11), jnp.float32),
+        (SLOTS,),
+    )
 
     def padto(a, rows, node_pad=False):
         pad = rows - a.shape[0]
         if pad == 0:
             return a
-        tail = (
-            jnp.tile(pad_node_row[None], (pad, 1))
-            if node_pad
-            else jnp.zeros((pad, a.shape[1]), jnp.float32)
-        )
-        return jnp.concatenate([a, tail], axis=0)
+        row = pad_node_row if node_pad else pad_prim_row
+        return jnp.concatenate([a, jnp.tile(row[None], (pad, 1))], axis=0)
 
     nodes = jnp.stack([padto(a, rn, True) for a in node_arrs])
     prims = jnp.stack([padto(a, rp) for a in prim_arrs])

@@ -417,6 +417,7 @@ class SceneBuilder:
             node_skip=jnp.asarray(nodes["node_skip"]),
             node_base=jnp.asarray(nodes["node_base"]),
             node_count=jnp.asarray(nodes["node_count"]),
+            max_leaf=int(np.asarray(nodes["node_count"]).max(initial=1)),
         )
         num_emitters = sum(1 for e in self.emitters if e.etype != T.EMITTER_NULL)
         present = tuple(sorted({b.btype for b in self.bsdfs}))

@@ -187,6 +187,11 @@ class BVHArrays:
     node_skip: jnp.ndarray  # (M,) int32 — absolute next index on AABB miss
     node_base: jnp.ndarray  # (M,) int32 — leaf prim base (0 for interior)
     node_count: jnp.ndarray  # (M,) int32 — leaf prim count (0 for interior)
+    # static: the leaf capacity this tree was BUILT with. Traversal unrolls
+    # exactly this many prim tests per leaf — using a smaller constant than
+    # the build's silently skips prims (whiskey's max_node_num=8 scenes
+    # rendered with the default 4 missed closer hits on ~15% of camera rays).
+    max_leaf: int = flax.struct.field(pytree_node=False, default=4)
 
     @property
     def num_nodes(self) -> int:

@@ -226,3 +226,40 @@ def test_sbvh_scene_render_matches_bvh():
     match = np.isclose(a, bimg, atol=1e-4).mean()
     assert match > 0.93, match
     assert abs(a.mean() - bimg.mean()) < 0.02
+
+
+def test_wide_leaf_bvh_traversal_matches_brute():
+    """Regression: trees built with max_node_num > 4 (whiskey.xml uses 8)
+    must unroll the FULL leaf in traversal — with the old hardcoded
+    max_leaf=4 default, prims 5..8 of each leaf were never intersected and
+    ~15% of whiskey camera rays returned a farther hit."""
+    from cuda_pt_tpu.core.config import BVHConfig
+    from cuda_pt_tpu.models import path_tracer as pt
+
+    rng = np.random.default_rng(11)
+    b = SceneBuilder()
+    mat = b.add_bsdf(BSDFSpec())
+    center = rng.uniform(-1, 1, size=(400, 1, 3))
+    tris = center + rng.normal(scale=0.08, size=(400, 3, 3))
+    b.add_mesh(tris.astype(np.float32), mat)
+    scene = b.compile(BVHConfig(max_prims_per_leaf=8))
+    assert scene.bvh.max_leaf > 4, scene.bvh.max_leaf
+
+    B = 1024
+    o = jnp.asarray(rng.uniform(-2, 2, size=(B, 3)), jnp.float32)
+    d = vm.normalize(jnp.asarray(rng.normal(size=(B, 3)), jnp.float32))
+    brute = isect.closest_hit_brute(scene.geom, o, d)
+    out = pt.closest_hit(scene, o, d, use_bvh=True)  # must pick up bvh.max_leaf
+    np.testing.assert_array_equal(np.asarray(brute["hit"]), np.asarray(out["hit"]))
+    hm = np.asarray(brute["hit"])
+    np.testing.assert_allclose(
+        np.asarray(brute["t"])[hm], np.asarray(out["t"])[hm], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(brute["prim"])[hm], np.asarray(out["prim"])[hm]
+    )
+    # occlusion side of the same bug
+    t_far = jnp.asarray(rng.uniform(0.5, 3.0, size=(B,)), jnp.float32)
+    occ_b = isect.occlusion_brute(scene.geom, o, d, t_far)
+    occ = pt.occluded(scene, o, d, t_far, use_bvh=True)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ))

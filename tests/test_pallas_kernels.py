@@ -114,3 +114,45 @@ def test_forest_render_end_to_end():
         pt.TRAVERSAL_IMPL = "xla"
         tk.INTERPRET = False
     np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_whiskey_forest_traversal_matches_xla():
+    """Real mesh scene (whiskey.xml, ~68k prims, reference assets) through
+    the chunked Pallas path: forest build integrity + packet traversal vs
+    the XLA gather traversal on coherent camera rays (VERDICT r2 item 3).
+    Interpret mode on CPU; the same kernel compiles on TPU."""
+    import os
+
+    xml = "/root/reference/scene/xml/whiskey.xml"
+    if not os.path.exists(xml):
+        pytest.skip("reference scenes not mounted")
+    import jax.numpy as jnp
+
+    from cuda_pt_tpu.core import camera as cam_mod
+    from cuda_pt_tpu.core import rng as prng
+    from cuda_pt_tpu.models import path_tracer as pt
+    from cuda_pt_tpu.ops.pallas.traverse_kernel import build_forest, traverse_forest
+    from cuda_pt_tpu.scene.xml_parser import load_xml
+
+    ps = load_xml(xml, override_res=(32, 16))
+    scene = ps.scene
+    assert scene.geom.num_prims > 60_000
+    assert scene.bvh.max_leaf == 8  # whiskey.xml max_node_num=32 → clamp 8
+
+    forest = build_forest(scene.geom, chunk_prims=32768)
+    assert forest.nodes.shape[0] >= 2  # actually exercises chunk streaming
+    # integrity: every global prim id appears exactly once across chunks
+    gids = np.asarray(forest.prims[..., 10::16]).reshape(-1)
+    gids = gids[gids >= 0].astype(np.int64)
+    assert len(gids) == scene.geom.num_prims
+    assert len(np.unique(gids)) == scene.geom.num_prims
+
+    lane = jnp.arange(512, dtype=jnp.int32)
+    o, d, _ = cam_mod.generate_rays(ps.camera, lane, prng.seed(1, lane))
+    pk = traverse_forest(forest, o, d, interpret=True)
+    ref = pt.closest_hit(scene, o, d, use_bvh=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]), np.asarray(pk["hit"]))
+    hm = np.asarray(ref["hit"])
+    np.testing.assert_allclose(
+        np.asarray(ref["t"])[hm], np.asarray(pk["t"])[hm], rtol=1e-3
+    )
