@@ -79,6 +79,85 @@ def guided_mix_pdf(net, params, p_norm, n, bsdf_pdf, d):
     return (1.0 - sel) * bsdf_pdf + sel * vmf_pdf(axis, kappa, d)
 
 
+# ---------------------------------------------------------------------------
+# renderer integration (wavefront/megakernel scatter stage, behind a flag)
+# ---------------------------------------------------------------------------
+
+_NET = GuideNet(hidden=32)  # fixed architecture so `guide` is a plain pytree
+
+
+def make_guide(scene, rng_key):
+    """Guide pytree {params, lo, ext} for a scene (scene-normalized inputs).
+    Pass as ``guide=`` to wavefront.render / path_tracer.shade_stage."""
+    params = _NET.init(rng_key, jnp.zeros((1, 6)))
+    lo = jnp.min(scene.bvh.node_min[0:1], axis=0)
+    hi = jnp.max(scene.bvh.node_max[0:1], axis=0)
+    return {
+        "params": params,
+        "lo": lo,
+        "ext": jnp.maximum(hi - lo, 1e-6),
+    }
+
+
+def guide_lobe(guide, p, n):
+    """(axis, kappa, sel) at world positions p with normals n."""
+    p_norm = (p - guide["lo"]) / guide["ext"]
+    return lobe_params(_NET, guide["params"], p_norm, n)
+
+
+def collect_samples(scene, cam, md, seed: int, use_bvh: bool, spp: int = 4):
+    """Radiance-driven training tuples from the renderer's own paths:
+    at each primary hit, scatter one BSDF direction and trace the remaining
+    path; the tuple (hit position, normal, direction, path luminance) says
+    which directions carried light (reference NASG data flow,
+    src/pt_impl/wavefront_pt.cu:324-474)."""
+    from ..bsdf import eval as bsdf_eval
+    from ..core import camera as cam_mod
+    from ..core import rng as prng
+    from ..ops import intersect as isect
+    from . import path_tracer as pt
+
+    B = cam.width * cam.height
+    lane = jnp.arange(B, dtype=jnp.int32)
+    outs = []
+    for i in range(spp):
+        rng = prng.seed(jnp.uint32(seed) + jnp.uint32(i) * jnp.uint32(7919), lane)
+        o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+        hit = pt.closest_hit(scene, o, d, use_bvh)
+        prim = jnp.maximum(hit["prim"], 0)
+        t_safe = jnp.where(hit["hit"], hit["t"], 1.0)
+        p = o + t_safe[:, None] * d
+        inter = isect.surface_interaction(scene.geom, prim, hit["b1"], hit["b2"], p, d)
+        bid = jnp.maximum(scene.objects.bsdf_id[inter["obj"]], 0)
+        ctx = bsdf_eval.make_ctx(scene, bid, inter["uv"], inter["n_s"])
+        bs, rng = bsdf_eval.sample_bsdf(ctx, -d, rng)
+        o2 = p + inter["n_g"] * jnp.sign(
+            vm.dot(inter["n_g"], bs["wi"], keepdims=True)
+        ) * 1e-3
+        import dataclasses
+
+        md2 = dataclasses.replace(md, max_depth=max(md.max_depth - 1, 1))
+        L = pt.trace_paths(scene, md2, o2, bs["wi"], rng, use_bvh)
+        lum = jnp.sum(L * bs["weight"], axis=-1) / 3.0
+        ok = hit["hit"] & ~bs["is_delta"] & (lum > 0.0)
+        outs.append((p, ctx["n"], bs["wi"], jnp.where(ok, lum, 0.0)))
+    cat = lambda j: jnp.concatenate([o[j] for o in outs])
+    return cat(0), cat(1), cat(2), cat(3)
+
+
+def train_guide(scene, cam, md, seed: int = 0, use_bvh: bool = True,
+                spp: int = 4, steps: int = 120, lr: float = 1e-2):
+    """Init + collect + fit: the online-fitting entry the viewer/renderer
+    calls between accumulation passes. Returns (guide, final_loss)."""
+    guide = make_guide(scene, jax.random.PRNGKey(seed))
+    p, n, d, lum = collect_samples(scene, cam, md, seed, use_bvh, spp)
+    p_norm = (p - guide["lo"]) / guide["ext"]
+    params, loss = fit(_NET, guide["params"], p_norm, n, d, lum,
+                       steps=steps, lr=lr)
+    guide["params"] = params
+    return guide, loss
+
+
 def fit(net, params, p_norm, n, d, radiance_lum, steps: int = 100, lr: float = 1e-2):
     """Fit the lobe to observed bright directions (luminance-weighted NLL)."""
     opt = optax.adam(lr)

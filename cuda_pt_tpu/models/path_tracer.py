@@ -61,9 +61,13 @@ class PTState:
 TRAVERSAL_IMPL = "xla"
 
 
-def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int = 4):
+def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int | None = None):
     if not use_bvh:
         return isect.closest_hit_brute(scene.geom, o, d)
+    # The leaf unroll must cover the tree's actual leaf capacity: a smaller
+    # constant silently skips prims (see BVHArrays.max_leaf).
+    if max_leaf is None:
+        max_leaf = scene.bvh.max_leaf
     if TRAVERSAL_IMPL == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
@@ -74,9 +78,11 @@ def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int = 4):
     return traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
 
 
-def occluded(scene: T.Scene, o, d, t_far, use_bvh: bool, max_leaf: int = 4):
+def occluded(scene: T.Scene, o, d, t_far, use_bvh: bool, max_leaf: int | None = None):
     if not use_bvh:
         return isect.occlusion_brute(scene.geom, o, d, t_far)
+    if max_leaf is None:
+        max_leaf = scene.bvh.max_leaf
     if TRAVERSAL_IMPL == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
@@ -108,10 +114,16 @@ def intersect_stage(scene: T.Scene, s: PTState, use_bvh: bool):
 
 def shade_stage(
     scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: PTState, hit,
-    fixed_rr: bool = False,
+    fixed_rr: bool = False, guide=None,
 ) -> PTState:
     """Wavefront stage 2: emitter MIS + NEE + BSDF scatter + RR (reference
-    fused_ray_bounce_shader, src/pt_impl/wavefront_pt.cu:213-314)."""
+    fused_ray_bounce_shader, src/pt_impl/wavefront_pt.cu:213-314).
+
+    guide: optional path-guiding pytree (models/guiding.make_guide) — the
+    scatter step becomes a one-sample-MIS mixture of BSDF sampling and a
+    learned vMF lobe (reference guided_ray_scatter_net_eval_shader skeleton,
+    src/pt_impl/wavefront_pt.cu:324-474). The mixture pdf replaces the BSDF
+    pdf everywhere downstream, so an untrained guide stays unbiased."""
     B = s.o.shape[0]
     t = hit["t"]
     hit_ok = hit["hit"] & s.active
@@ -152,9 +164,29 @@ def shade_stage(
     ctx = bsdf_eval.make_ctx(scene, bid, inter["uv"], inter["n_s"])
     wo = -s.d
 
+    # ---- path-guiding lobe (one-sample MIS mixture) ----------------------
+    # Computed before NEE because the NEE MIS weight must use the SAME
+    # scatter density as the scatter step (mixture, not plain BSDF pdf) —
+    # otherwise the two strategies' weights no longer sum to 1 toward the
+    # light and guided renders are biased bright. Only purely-smooth BSDF
+    # types are guided so the mixture density is exact; mixed discrete/smooth
+    # types (plastic) keep plain BSDF sampling (g_sel forced to 0).
+    if guide is not None:
+        from . import guiding
+
+        g_axis, g_kappa, g_sel = guiding.guide_lobe(guide, p, ctx["n"])
+        guidable = (ctx["btype"] == T.BSDF_LAMBERTIAN) | (
+            ctx["btype"] == T.BSDF_GGX_CONDUCTOR
+        )
+        g_sel = jnp.where(guidable, g_sel, 0.0)
+
     # ---- NEE (megakernel_pt.cu:112-152) ---------------------------------
     es, rng = emitters.sample_emitter(scene, p, ctx["n"], s.rng)
     f_cos, bpdf = bsdf_eval.eval_bsdf(ctx, wo, es["dir"])
+    if guide is not None:
+        bpdf = (1.0 - g_sel) * bpdf + g_sel * guiding.vmf_pdf(
+            g_axis, g_kappa, es["dir"]
+        )
     off_sign = jnp.sign(vm.dot(inter["n_g"], es["dir"], keepdims=True))
     p_shadow = p + inter["n_g"] * off_sign * 1e-3
     # The origin offset shortens the true segment: subtract its projection
@@ -177,6 +209,24 @@ def shade_stage(
 
     # ---- BSDF sampling (megakernel_pt.cu:154-160) ------------------------
     bs, rng = bsdf_eval.sample_bsdf(ctx, wo, rng, wl=s.wl)
+    if guide is not None:
+        u_g, rng = prng.next1d(rng)
+        u2_g, rng = prng.next2d(rng)
+        d_guided = guiding.vmf_sample(g_axis, g_kappa, u2_g)
+        use_g = u_g < g_sel  # g_sel == 0 on non-guidable lanes
+        wi = jnp.where(use_g[:, None], d_guided, bs["wi"])
+        f_cos_g, bpdf_g = bsdf_eval.eval_bsdf(ctx, wo, wi)
+        mix_pdf = (1.0 - g_sel) * bpdf_g + g_sel * guiding.vmf_pdf(
+            g_axis, g_kappa, wi
+        )
+        w_mix = f_cos_g / jnp.maximum(mix_pdf, 1e-12)[:, None]
+        can_mix = g_sel > 0.0
+        bs = {
+            **bs,
+            "wi": wi,
+            "pdf": jnp.where(can_mix, mix_pdf, bs["pdf"]),
+            "weight": jnp.where(can_mix[:, None], w_mix, bs["weight"]),
+        }
     thp = s.thp * bs["weight"]
     # NaN guard (megakernel_pt.cu:162-163)
     thp = jnp.where(jnp.isfinite(thp), thp, 0.0)

@@ -67,6 +67,7 @@ def trace_paths_wavefront(
     sort_rays: bool = True,
     compact: bool = False,
     compact_levels: int = 7,
+    guide=None,
 ):
     """Bounce loop with per-bounce sort; returns (L, pixel_perm) where L[i]
     belongs to original lane pixel_perm[i].
@@ -97,7 +98,7 @@ def trace_paths_wavefront(
             s = _permute(s, perm)
             hit = {k: v[perm] for k, v in hit.items()}
             pix = pix[perm]
-        s = pt.shade_stage(scene, md, use_bvh, s, hit)
+        s = pt.shade_stage(scene, md, use_bvh, s, hit, guide=guide)
         return s, pix
 
     def body_compact(carry):
@@ -124,7 +125,7 @@ def trace_paths_wavefront(
                     sub = _permute(sub, p2)
                     hit = {k: v[p2] for k, v in hit.items()}
                     pix = pix.at[:size].set(pix[:size][p2])
-                sub = pt.shade_stage(scene, md, use_bvh, sub, hit)
+                sub = pt.shade_stage(scene, md, use_bvh, sub, hit, guide=guide)
                 s2 = jax.tree_util.tree_map(
                     lambda full, part: full.at[:size].set(part)
                     if hasattr(full, "ndim") and full.ndim >= 1 and full.shape[0] == B
@@ -161,6 +162,7 @@ def render_sample(
     use_bvh: bool,
     sort_rays: bool = True,
     compact: bool = False,
+    guide=None,
 ):
     """One 1-spp wavefront pass → (H, W, 3)."""
     B = cam.width * cam.height
@@ -171,7 +173,8 @@ def render_sample(
         lane,
     )
     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-    L, pix = trace_paths_wavefront(scene, md, o, d, rng, use_bvh, sort_rays, compact)
+    L, pix = trace_paths_wavefront(scene, md, o, d, rng, use_bvh, sort_rays,
+                                   compact, guide=guide)
     img = jnp.zeros((B, 3), jnp.float32).at[pix].add(L)
     return img.reshape(cam.height, cam.width, 3)
 
@@ -185,12 +188,14 @@ def render(
     use_bvh=None,
     sort_rays: bool = True,
     compact: bool = False,
+    guide=None,
 ):
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
 
     def body(i, acc):
-        return acc + render_sample(scene, cam, md, seed, i, use_bvh, sort_rays, compact)
+        return acc + render_sample(scene, cam, md, seed, i, use_bvh, sort_rays,
+                                   compact, guide=guide)
 
     acc = jax.lax.fori_loop(
         0, spp, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)

@@ -51,3 +51,66 @@ def test_fit_moves_lobe_toward_bright_direction():
     align = float(jnp.mean(vm.dot(axis, jnp.broadcast_to(bright_dir, (B, 3)))))
     assert align > 0.8, align
     assert np.isfinite(loss)
+
+
+def _slot_scene():
+    """Light visible only through a narrow slot: NEE from the floor is
+    mostly occluded and cosine BSDF sampling rarely finds the slot — the
+    classic configuration where guided scattering wins."""
+    import numpy as np
+
+    from cuda_pt_tpu.scene import testscenes
+    from cuda_pt_tpu.scene.builder import BSDFSpec, EmitterSpec, SceneBuilder
+
+    b = SceneBuilder()
+    white = b.add_bsdf(BSDFSpec(k_d=(0.75, 0.75, 0.75)))
+    dark = b.add_bsdf(BSDFSpec(k_d=(0, 0, 0)))
+    em = b.add_emitter(EmitterSpec(emission=(1, 1, 1), scaler=60.0))
+    q = testscenes.quad
+    # floor (normal +y, toward the light)
+    b.add_mesh(q([-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1]), white)
+    # bright light above a panel with a narrow slot at x in [0.05, 0.25]
+    # (normal -y: one-sided emission must face the floor)
+    b.add_mesh(q([-1, 1.6, -1], [1, 1.6, -1], [1, 1.6, 1], [-1, 1.6, 1]),
+               dark, emitter_id=em)
+    # occluder panel at y=1.0 with the slot cut out (two pieces, normals -y)
+    b.add_mesh(q([-1, 1.0, -1], [0.05, 1.0, -1], [0.05, 1.0, 1], [-1, 1.0, 1]), white)
+    b.add_mesh(q([0.25, 1.0, -1], [1, 1.0, -1], [1, 1.0, 1], [0.25, 1.0, 1]), white)
+    scene = b.compile()
+    from cuda_pt_tpu.core import camera as cam_mod
+
+    cam = cam_mod.make_camera((0, 0.7, -2.6), (0, 0.3, 0), fov=35,
+                              width=20, height=20)
+    return scene, cam
+
+
+def test_guided_wavefront_unbiased_and_lower_variance():
+    """Equal-spp comparison on the slot scene: guided scatter must agree
+    with the unguided estimator in expectation and reduce seed-to-seed
+    variance (VERDICT r1 item 8)."""
+    import numpy as np
+
+    from cuda_pt_tpu.core.config import MaxDepthParams
+    from cuda_pt_tpu.models import guiding, wavefront
+
+    scene, cam = _slot_scene()
+    md = MaxDepthParams(max_depth=3)
+    guide, loss = guiding.train_guide(scene, cam, md, seed=3, use_bvh=False,
+                                      spp=6, steps=150)
+    assert np.isfinite(loss)
+
+    def stats(g, n_seeds=8, spp=6):
+        imgs = [
+            np.asarray(wavefront.render(scene, cam, md, spp=spp, seed=50 + s,
+                                        use_bvh=False, guide=g))
+            for s in range(n_seeds)
+        ]
+        imgs = np.stack(imgs)
+        return imgs.mean(), imgs.var(axis=0).mean()
+
+    m_un, v_un = stats(None)
+    m_g, v_g = stats(guide)
+    # unbiased: means agree (MC tolerance)
+    assert abs(m_g - m_un) / max(m_un, 1e-6) < 0.15, (m_g, m_un)
+    # variance reduction on the guided estimator
+    assert v_g < v_un, (v_g, v_un)
