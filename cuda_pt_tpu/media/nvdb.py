@@ -6,12 +6,15 @@ TPUs cannot chase NanoVDB tree pointers, we decode the sparse tree into a
 dense (D, H, W) array once on the host and upload it as an HBM array that
 the trilinear sampler in media/grid.py gathers from.
 
-Implements the published NanoVDB 32.x memory layout for uncompressed float
-grids: FileHeader → FileMetaData (+ grid name) → raw GridData blob; leaf
-nodes (8³ voxels, 2144 bytes for float) are read directly from the
-tree's leaf-node segment and scattered into the dense array at their
-origin coordinates. Compressed codecs (zip/blosc) and non-float grid types
-raise — callers fall back gracefully (scene/xml_parser.py).
+Implements the published NanoVDB 32.x memory layout for float grids:
+FileHeader → FileMetaData (+ grid name) → GridData blob; leaf nodes
+(8³ voxels, 2144 bytes for float) are read directly from the tree's
+leaf-node segment and scattered into the dense array at their origin
+coordinates. The ZIP codec (zlib-deflated grid blob prefixed by a uint64
+compressed size) is decompressed transparently; BLOSC and non-float grid
+types raise — callers fall back gracefully (scene/xml_parser.py).
+Constant-value tiles in internal nodes are a documented limit (regions
+covered only by tiles read as zero density).
 
 Also supports ``.npy``/``.npz`` dense grids as the framework-native volume
 format.
@@ -63,7 +66,7 @@ def load_nvdb_density(path: str):
     _version, grid_count, codec = struct.unpack_from("<IHH", buf, 8)
     if grid_count < 1:
         raise ValueError("nvdb: no grids")
-    if codec != 0:
+    if codec not in (0, 1):  # 0 = NONE, 1 = ZIP (zlib); 2 = BLOSC unsupported
         raise ValueError(f"nvdb: compressed codec {codec} unsupported")
     off = 16
 
@@ -81,6 +84,18 @@ def load_nvdb_density(path: str):
 
     if grid_type != _GRID_TYPE_FLOAT:
         raise ValueError(f"nvdb: grid type {grid_type} unsupported (want float)")
+
+    if codec == 1:
+        # ZIP codec (nanovdb/util/IO.h): uint64 compressed byte count, then
+        # a zlib-deflated GridData blob of `grid_size` bytes when inflated.
+        import zlib
+
+        comp_size = struct.unpack_from("<Q", buf, off)[0]
+        blob = zlib.decompress(buf[off + 8 : off + 8 + comp_size])
+        if len(blob) < grid_size:
+            raise ValueError("nvdb: zip blob shorter than grid_size")
+        buf = blob
+        off = 0
 
     grid_start = off  # GridData begins here
     # TreeData offset: GridData is 672 bytes in v32.3

@@ -184,3 +184,40 @@ def test_ggx_anisotropic_eval_sample_consistency():
     f_cos, _ = bsdf_eval.eval_bsdf(ctx, wo, wi)
     est_un = np.asarray(f_cos).mean(axis=0) * 4.0 * np.pi
     np.testing.assert_allclose(est_is, est_un, rtol=0.1)
+
+
+def test_cie_xyz_fit_matches_published_tables():
+    """The analytic CMF fit (bsdf/spectral.py, Wyman-Sloan-Shirley 2013)
+    must track the CIE 1931 2-degree standard-observer tables the reference
+    ships as data (src/impl/xyz.cu). Sampled values below are the published
+    CIE table entries (public physical constants)."""
+    import numpy as np
+
+    from cuda_pt_tpu.bsdf import spectral
+
+    # wl(nm): (xbar, ybar, zbar) — CIE 1931 2° standard observer
+    table = {
+        400.0: (0.01431, 0.000396, 0.06785),
+        450.0: (0.33620, 0.038000, 1.77211),
+        470.0: (0.19536, 0.090980, 1.28764),
+        500.0: (0.00490, 0.323000, 0.27200),
+        520.0: (0.06327, 0.710000, 0.07825),
+        550.0: (0.43345, 0.994950, 0.00875),
+        580.0: (0.91630, 0.870000, 0.00165),
+        600.0: (1.06220, 0.631000, 0.00080),
+        650.0: (0.28350, 0.107000, 0.00000),
+        700.0: (0.01136, 0.004102, 0.00000),
+    }
+    wl = jnp.asarray(sorted(table), jnp.float32)
+    fx, fy, fz = (np.asarray(v) for v in spectral.xyz_fit(wl))
+    ref = np.array([table[float(w)] for w in sorted(table)])
+    err = np.abs(np.stack([fx, fy, fz], axis=-1) - ref)
+    assert err.max() < 0.035, err.max()  # multi-lobe fit abs-error bound
+
+    # peak wavelengths of the fit agree with the observer (±5 nm)
+    dense = jnp.linspace(380.0, 780.0, 2001)
+    gx, gy, gz = (np.asarray(v) for v in spectral.xyz_fit(dense))
+    dn = np.asarray(dense)
+    assert abs(dn[gx.argmax()] - 599.0) < 6.0
+    assert abs(dn[gy.argmax()] - 555.0) < 6.0
+    assert abs(dn[gz.argmax()] - 446.0) < 6.0

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cuda_pt_tpu.core import rng as prng
 from cuda_pt_tpu.media import grid as grid_med
@@ -213,3 +214,86 @@ def test_vpt_homogeneous_slab_analytic_image():
     expect = np.exp(-sigma_a * 2.0)
     got = img.reshape(-1, 3).mean(axis=0)
     np.testing.assert_allclose(got, expect, rtol=0.05)
+
+
+def _write_synthetic_nvdb(path, leaves, index_bbox, codec=0):
+    """Emit the NanoVDB 32.x file layout media/nvdb.py documents: FileHeader,
+    FileMetaData + name, GridData(672B) + TreeData with leaf nodes only.
+    leaves: list of (origin_xyz, (8,8,8) float array indexed [z][y][x])."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    tree_off_in_grid = 672
+    tree_data_size = 64  # 4 offsets + 4 counts + padding
+    leaf_seg_off = tree_off_in_grid + tree_data_size
+    leaf_blobs = []
+    for origin, vals in leaves:
+        hdr = struct.pack("<3i", *origin) + b"\0" * (96 - 12)
+        v = np.asarray(vals, np.float32).transpose(2, 1, 0)  # [z][y][x] -> [x][y][z]
+        leaf_blobs.append(hdr + v.tobytes())
+    grid_size = leaf_seg_off + sum(len(b) for b in leaf_blobs)
+
+    grid = bytearray(grid_size)
+    struct.pack_into(
+        "<4Q", grid, tree_off_in_grid, leaf_seg_off, 0, 0, 0
+    )  # node offsets: leaf,lower,upper,root
+    pos = leaf_seg_off
+    for b in leaf_blobs:
+        grid[pos : pos + len(b)] = b
+        pos += len(b)
+
+    name = b"density\0"
+    meta = bytearray(176)
+    struct.pack_into("<QQQQ", meta, 0, grid_size, grid_size, 0, 512 * len(leaves))
+    struct.pack_into("<II", meta, 32, 1, 0)  # float, unknown class
+    struct.pack_into("<6d", meta, 40, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<6i", meta, 88, *index_bbox)
+    struct.pack_into("<3d", meta, 112, 1.0, 1.0, 1.0)
+    struct.pack_into("<I", meta, 136, len(name))
+    struct.pack_into("<4I", meta, 140, len(leaves), 0, 0, 1)
+
+    header = struct.pack("<QIHH", 0x304244566F6E614E, 32 << 21, 1, codec)
+    body = bytes(grid)
+    if codec == 1:
+        comp = zlib.compress(body)
+        body = struct.pack("<Q", len(comp)) + comp
+    with open(path, "wb") as f:
+        f.write(header + bytes(meta) + name + body)
+
+
+@pytest.mark.parametrize("codec", [0, 1])
+def test_nvdb_roundtrip_dense(tmp_path, codec):
+    """Decoder reads back exactly what the documented layout encodes —
+    leaf placement, [x][y][z] value order, bbox, and the ZIP codec path."""
+    import numpy as np
+
+    from cuda_pt_tpu.media.nvdb import load_nvdb_density
+
+    rng = np.random.default_rng(5)
+    v0 = rng.uniform(0.1, 1.0, size=(8, 8, 8)).astype(np.float32)
+    v1 = rng.uniform(0.1, 1.0, size=(8, 8, 8)).astype(np.float32)
+    path = str(tmp_path / f"synth{codec}.nvdb")
+    # two leaves: origins (0,0,0) and (8,0,0); index bbox covers 16x8x8
+    _write_synthetic_nvdb(
+        path, [((0, 0, 0), v0), ((8, 0, 0), v1)], (0, 0, 0, 15, 7, 7), codec=codec
+    )
+    dense, bmin, bmax = load_nvdb_density(path)
+    assert dense.shape == (8, 8, 16)  # (D=z, H=y, W=x)
+    np.testing.assert_allclose(dense[:, :, :8], v0)
+    np.testing.assert_allclose(dense[:, :, 8:], v1)
+    np.testing.assert_allclose(bmin, 0.0)
+    np.testing.assert_allclose(bmax, 1.0)
+
+
+def test_nvdb_blosc_codec_raises(tmp_path):
+    import numpy as np
+
+    from cuda_pt_tpu.media.nvdb import load_nvdb_density
+
+    v = np.zeros((8, 8, 8), np.float32)
+    path = str(tmp_path / "blosc.nvdb")
+    _write_synthetic_nvdb(path, [((0, 0, 0), v)], (0, 0, 0, 7, 7, 7), codec=2)
+    with pytest.raises(ValueError, match="codec"):
+        load_nvdb_density(path)
