@@ -47,9 +47,12 @@ from ...scene.types import BVHArrays, Geometry, TraversalForest
 TILE = 512  # rays per packet (4 sublane rows x 128 lanes)
 SLOTS = 8  # nodes/prims per 128-lane row
 SLOT_F = 16  # float32 fields per slot
+SLOTS16 = 16  # bf16 node format: nodes per row
+SLOT_F16 = 8  # bf16 node format: f32 fields per slot (3 packed AABB + 3 int)
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 HIT_EPS = 1e-4
 _BIG = 1e30
+_BF16_MAX = 3.3895314e38  # largest finite bf16
 
 
 def scene_fits_vmem(geom: Geometry, bvh: BVHArrays) -> bool:
@@ -108,6 +111,68 @@ def pack_prims(geom: Geometry, gid=None) -> jnp.ndarray:
     )
 
 
+def _bf16_directed(x, up: bool):
+    """Round f32 → bf16 bits with directed rounding (numpy, host-side).
+    up=False: result <= x (for box minima); up=True: result >= x (maxima)."""
+    import numpy as np
+
+    x = np.clip(np.asarray(x, np.float32), -_BF16_MAX, _BF16_MAX)
+    u = x.view(np.uint32)
+    t = u & np.uint32(0xFFFF0000)  # truncate: rounds toward zero
+    tv = t.view(np.float32)
+    # Truncation moves toward zero for BOTH signs (positive: down, negative:
+    # up), so whenever the truncated value is on the wrong side we step one
+    # bf16 ulp AWAY from zero — on IEEE bit patterns that is always +1 in
+    # the (sign-inclusive) unsigned ordering.
+    sv = (((t >> 16) + np.uint32(1)) << 16).view(np.float32)
+    need_up = up & (tv < x)
+    need_dn = (not up) & (tv > x)
+    out = np.where(need_up | need_dn, sv, tv)
+    return np.clip(out, -_BF16_MAX, _BF16_MAX).astype(np.float32)
+
+
+def _pack2(hi_f32, lo_f32):
+    """Two bf16 payloads in one f32 lane: hi in bits 31..16, lo in 15..0."""
+    import numpy as np
+
+    h = np.asarray(hi_f32, np.float32).view(np.uint32) & np.uint32(0xFFFF0000)
+    l_ = np.asarray(lo_f32, np.float32).view(np.uint32) >> 16
+    return (h | l_).view(np.float32)
+
+
+def pack_nodes_bf16(bvh: BVHArrays) -> jnp.ndarray:
+    """(R, 128) rows of 16 node slots x 8 f32 fields — 32 B/node.
+
+    Fields per slot: 0 = lo_x|hi_x (packed bf16, lo rounded down / hi up:
+    the box only GROWS, so traversal stays conservative-exact), 1 = lo_y|
+    hi_y, 2 = lo_z|hi_z, 3 = skip, 4 = base, 5 = count (exact f32 ints)."""
+    import numpy as np
+
+    nmin = np.asarray(bvh.node_min)
+    nmax = np.asarray(bvh.node_max)
+    M = nmin.shape[0]
+    Mp = -(-max(M, 1) // SLOTS16) * SLOTS16 + SLOTS16
+    lo = _bf16_directed(nmin, up=False)
+    hi = _bf16_directed(nmax, up=True)
+    cols = [
+        _pack2(lo[:, 0], hi[:, 0]),
+        _pack2(lo[:, 1], hi[:, 1]),
+        _pack2(lo[:, 2], hi[:, 2]),
+        np.asarray(bvh.node_skip, np.float32),
+        np.asarray(bvh.node_base, np.float32),
+        np.asarray(bvh.node_count, np.float32),
+    ]
+    # padding nodes: empty box (lo=+BIG, hi=-BIG), skip past the end
+    pads = [_pack2(_BIG, -_BIG)] * 3 + [float(Mp), 0.0, 0.0]
+    out = []
+    for c, pv in zip(cols, pads):
+        out.append(np.concatenate([c, np.full(Mp - M, pv, np.float32)]))
+    while len(out) < SLOT_F16:
+        out.append(np.zeros(Mp, np.float32))
+    arr = np.stack(out, axis=1).reshape(Mp // SLOTS16, SLOTS16 * SLOT_F16)
+    return jnp.asarray(arr)
+
+
 def single_chunk_forest(geom: Geometry, bvh: BVHArrays) -> TraversalForest:
     """Whole scene as one VMEM-resident chunk (pure jnp — safe under jit;
     XLA hoists it out of render loops as loop-invariant)."""
@@ -118,9 +183,13 @@ def single_chunk_forest(geom: Geometry, bvh: BVHArrays) -> TraversalForest:
     )
 
 
-def build_forest(geom: Geometry, chunk_prims: int = 65536, max_leaf: int = 4):
+def build_forest(geom: Geometry, chunk_prims: int = 65536, max_leaf: int = 4,
+                 node_fmt: str = "f32"):
     """Host-side forest build: Morton-partition prims into chunks, build a
     skip-encoded sub-BVH per chunk (accel/bvh_build.py), pack rows.
+
+    node_fmt="bf16" packs nodes at 32 B each with conservatively-rounded
+    bf16 AABBs (2x node VMEM capacity, identical hits — boxes only grow).
 
     Runs on concrete arrays (scene-compile time), NOT under jit. Chunks are
     padded to a common row count so they stream as equal-shaped blocks."""
@@ -162,7 +231,9 @@ def build_forest(geom: Geometry, chunk_prims: int = 65536, max_leaf: int = 4):
             node_base=jnp.asarray(nodes["node_base"]),
             node_count=jnp.asarray(nodes["node_count"]),
         )
-        node_arrs.append(pack_nodes(bvh_c))
+        node_arrs.append(
+            pack_nodes_bf16(bvh_c) if node_fmt == "bf16" else pack_nodes(bvh_c)
+        )
         prim_arrs.append(
             _pack_rows(
                 [
@@ -182,14 +253,25 @@ def build_forest(geom: Geometry, chunk_prims: int = 65536, max_leaf: int = 4):
 
     rn = max(a.shape[0] for a in node_arrs)
     rp = max(a.shape[0] for a in prim_arrs)
-    pad_node_row = jnp.tile(
-        jnp.asarray(
-            [_BIG, _BIG, _BIG, -_BIG, -_BIG, -_BIG, float(rn * SLOTS), 0.0, 0.0]
-            + [0.0] * (SLOT_F - 9),
-            jnp.float32,
-        ),
-        (SLOTS,),
-    )
+    if node_fmt == "bf16":
+        pad_node_row = jnp.tile(
+            jnp.asarray(
+                [float(_pack2(_BIG, -_BIG))] * 3
+                + [float(rn * SLOTS16), 0.0, 0.0]
+                + [0.0] * (SLOT_F16 - 6),
+                jnp.float32,
+            ),
+            (SLOTS16,),
+        )
+    else:
+        pad_node_row = jnp.tile(
+            jnp.asarray(
+                [_BIG, _BIG, _BIG, -_BIG, -_BIG, -_BIG, float(rn * SLOTS), 0.0, 0.0]
+                + [0.0] * (SLOT_F - 9),
+                jnp.float32,
+            ),
+            (SLOTS,),
+        )
     # padding prims: degenerate geometry with gid = -1 (never referenced by
     # any node, and inert even if they were)
     pad_prim_row = jnp.tile(
@@ -207,7 +289,8 @@ def build_forest(geom: Geometry, chunk_prims: int = 65536, max_leaf: int = 4):
     nodes = jnp.stack([padto(a, rn, True) for a in node_arrs])
     prims = jnp.stack([padto(a, rp) for a in prim_arrs])
     return TraversalForest(
-        nodes=nodes, prims=prims, n_nodes=jnp.asarray(counts, jnp.int32)
+        nodes=nodes, prims=prims, n_nodes=jnp.asarray(counts, jnp.int32),
+        node_fmt=node_fmt,
     )
 
 
@@ -218,7 +301,15 @@ def _field(row, idx):
     return jnp.sum(jnp.where(lane == idx, row, 0.0))
 
 
-def _kernel(flip, max_leaf, rn,
+def _unpack2(pk):
+    """Invert _pack2 on a scalar f32: (hi-bits value, lo-bits value)."""
+    u = jax.lax.bitcast_convert_type(pk, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    b = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return a, b
+
+
+def _kernel(flip, max_leaf, rn, node_fmt,
             nodes, prims,
             ox, oy, oz, dx, dy, dz, tfar,
             out_t, out_prim, out_b1, out_b2):
@@ -246,7 +337,8 @@ def _kernel(flip, max_leaf, rn,
     iy = safe_inv(d_y)
     iz = safe_inv(d_z)
 
-    M_pad = rn * SLOTS
+    n_slots = SLOTS16 if node_fmt == "bf16" else SLOTS
+    M_pad = rn * n_slots
     init = (jnp.int32(0), out_t[:], out_prim[:], out_b1[:], out_b2[:])
 
     def cond(cr):
@@ -258,17 +350,26 @@ def _kernel(flip, max_leaf, rn,
 
     def body(cr):
         ptr, t_best, prim, b1, b2 = cr
-        row = nodes[0, pl.ds(ptr // SLOTS, 1), :]
-        sb = (ptr % SLOTS) * SLOT_F
-        lo_x = _field(row, sb + 0)
-        lo_y = _field(row, sb + 1)
-        lo_z = _field(row, sb + 2)
-        hi_x = _field(row, sb + 3)
-        hi_y = _field(row, sb + 4)
-        hi_z = _field(row, sb + 5)
-        skip = _field(row, sb + 6).astype(jnp.int32)
-        base = _field(row, sb + 7).astype(jnp.int32)
-        cnt = _field(row, sb + 8).astype(jnp.int32)
+        row = nodes[0, pl.ds(ptr // n_slots, 1), :]
+        if node_fmt == "bf16":
+            sb = (ptr % SLOTS16) * SLOT_F16
+            lo_x, hi_x = _unpack2(_field(row, sb + 0))
+            lo_y, hi_y = _unpack2(_field(row, sb + 1))
+            lo_z, hi_z = _unpack2(_field(row, sb + 2))
+            skip = _field(row, sb + 3).astype(jnp.int32)
+            base = _field(row, sb + 4).astype(jnp.int32)
+            cnt = _field(row, sb + 5).astype(jnp.int32)
+        else:
+            sb = (ptr % SLOTS) * SLOT_F
+            lo_x = _field(row, sb + 0)
+            lo_y = _field(row, sb + 1)
+            lo_z = _field(row, sb + 2)
+            hi_x = _field(row, sb + 3)
+            hi_y = _field(row, sb + 4)
+            hi_z = _field(row, sb + 5)
+            skip = _field(row, sb + 6).astype(jnp.int32)
+            base = _field(row, sb + 7).astype(jnp.int32)
+            cnt = _field(row, sb + 8).astype(jnp.int32)
 
         tx0 = (lo_x - o_x) * ix
         tx1 = (hi_x - o_x) * ix
@@ -426,7 +527,7 @@ def traverse_forest(forest: TraversalForest, o, d, t_far=None,
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
     )
-    kern = functools.partial(_kernel, occlusion, max_leaf, rn)
+    kern = functools.partial(_kernel, occlusion, max_leaf, rn, forest.node_fmt)
     t, prim, b1, b2 = pl.pallas_call(
         kern,
         grid=(T_, C),

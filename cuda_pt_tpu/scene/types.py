@@ -214,6 +214,11 @@ class TraversalForest:
     nodes: jnp.ndarray  # (C, Rn, 128) f32
     prims: jnp.ndarray  # (C, Rp, 128) f32
     n_nodes: jnp.ndarray  # (C,) int32 real node count per chunk
+    # static: node row format. "f32" = 8 slots x 16 fields (64 B/node);
+    # "bf16" = 16 slots x 8 fields with conservatively-rounded bf16 AABBs
+    # (32 B/node, 2x VMEM capacity — the analogue of the reference's
+    # half-precision CompactNode, src/core/bvh.cuh:182-251).
+    node_fmt: str = flax.struct.field(pytree_node=False, default="f32")
 
     @property
     def num_chunks(self) -> int:

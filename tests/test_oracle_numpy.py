@@ -208,3 +208,137 @@ def test_oracle_mirror_scene_matches():
     oracle_mean /= reps
     rel = np.abs(jax_mean - oracle_mean) / np.maximum(oracle_mean, 1e-3)
     assert rel.max() < 0.08, (jax_mean, oracle_mean, rel)
+
+
+def _oracle_mean_glass(scene_np, cam_np, w, h, n_paths, depth, rng):
+    """Naive PT with diffuse + smooth-dielectric (glass) materials.
+
+    Independent implementation of the standard physics: exact dielectric
+    Fresnel, Snell refraction, TIR, and the radiance-transport 1/eta_rel^2
+    factor on refraction (pbrt convention, matching translucent.cuh)."""
+    p0, e1, e2 = scene_np["p0"], scene_np["e1"], scene_np["e2"]
+    albedo, emission = scene_np["albedo"], scene_np["emission"]
+    is_glass, tint, ior = scene_np["is_glass"], scene_np["tint"], scene_np["ior"]
+    P = n_paths
+
+    px = rng.uniform(0, w, P)
+    py = rng.uniform(0, h, P)
+    d_cam = np.stack([px - 0.5 * w, 0.5 * h - py, np.full(P, cam_np["focal"])], -1)
+    d = d_cam @ cam_np["R"].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(cam_np["t"], (P, 3)).copy()
+    thp = np.ones((P, 3))
+    L = np.zeros((P, 3))
+    alive = np.ones(P, bool)
+
+    for _ in range(depth):
+        h_ = np.cross(d[:, None, :], e2[None])
+        a = np.einsum("nj,pnj->pn", e1, h_)
+        f = 1.0 / np.where(np.abs(a) < 1e-12, 1e-12, a)
+        s = o[:, None, :] - p0[None]
+        u = f * np.einsum("pnj,pnj->pn", s, h_)
+        q = np.cross(s, e1[None])
+        v = f * np.einsum("pj,pnj->pn", d, q)
+        t = f * np.einsum("nj,pnj->pn", e2, q)
+        ok = (np.abs(a) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-4)
+        t = np.where(ok, t, np.inf)
+        k = np.argmin(t, axis=1)
+        tk = t[np.arange(P), k]
+        hit = np.isfinite(tk) & alive
+        alive = hit
+        if not alive.any():
+            break
+        kh = np.where(hit, k, 0)
+        L += np.where(hit[:, None], thp * emission[kh], 0.0)
+        n = np.cross(e1[kh], e2[kh])
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        backside = np.einsum("pj,pj->p", n, d) > 0  # hit from inside
+        n = np.where(backside[:, None], -n, n)  # n now faces the ray
+        hit_p = o + np.where(hit, tk, 0.0)[:, None] * d
+        glass = is_glass[kh]
+
+        # --- dielectric branch -------------------------------------------
+        cos_i = -np.einsum("pj,pj->p", d, n)  # > 0
+        eta_rel = np.where(backside, 1.0 / ior[kh], ior[kh])  # n_t / n_i
+        sin2_t = np.maximum(1.0 - cos_i * cos_i, 0.0) / (eta_rel * eta_rel)
+        tir = sin2_t >= 1.0
+        cos_t = np.sqrt(np.maximum(1.0 - sin2_t, 0.0))
+        r_par = (eta_rel * cos_i - cos_t) / np.maximum(eta_rel * cos_i + cos_t, 1e-8)
+        r_per = (cos_i - eta_rel * cos_t) / np.maximum(cos_i + eta_rel * cos_t, 1e-8)
+        F = np.where(tir, 1.0, 0.5 * (r_par * r_par + r_per * r_per))
+        u_f = rng.uniform(size=P)
+        refl = (u_f < F) | tir
+        d_ref = d + 2.0 * cos_i[:, None] * n
+        inv_eta = 1.0 / eta_rel
+        d_ref2 = d * inv_eta[:, None] + (inv_eta * cos_i - cos_t)[:, None] * n
+        d_ref2 /= np.maximum(np.linalg.norm(d_ref2, axis=-1, keepdims=True), 1e-12)
+        d_glass = np.where(refl[:, None], d_ref, d_ref2)
+        w_glass = tint[kh] * np.where(
+            refl, 1.0, 1.0 / (eta_rel * eta_rel)
+        )[:, None]
+
+        # --- diffuse branch ----------------------------------------------
+        u1 = rng.uniform(size=P)
+        u2 = rng.uniform(size=P)
+        r = np.sqrt(u1)
+        phi = 2 * np.pi * u2
+        local = np.stack([r * np.cos(phi), r * np.sin(phi), np.sqrt(np.maximum(1 - u1, 0))], -1)
+        up = np.where(
+            (np.abs(n[:, 2]) > 0.9)[:, None], np.array([1.0, 0, 0]), np.array([0, 0, 1.0])
+        )
+        tx = np.cross(up, n)
+        tx /= np.maximum(np.linalg.norm(tx, axis=-1, keepdims=True), 1e-12)
+        ty = np.cross(n, tx)
+        d_dif = local[:, 0:1] * tx + local[:, 1:2] * ty + local[:, 2:3] * n
+
+        d = np.where(glass[:, None], d_glass, d_dif)
+        thp = np.where(hit[:, None], thp * np.where(glass[:, None], w_glass, albedo[kh]), thp)
+        off = np.where((glass & ~refl)[:, None], -n, n)  # cross surface on refract
+        o = hit_p + off * 1e-3
+    return L.mean(axis=0)
+
+
+def test_oracle_glass_scene_matches():
+    """Cornell with a smooth-dielectric tall box: validates refraction,
+    Fresnel lobe choice, TIR, and the radiance eta^2 convention against the
+    independent oracle (ROADMAP r1 #10 / VERDICT r1 weak 8)."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec
+
+    _, cam, bld = testscenes.cornell_box(width=24, height=24)
+    glass = bld.add_bsdf(
+        BSDFSpec(btype=T.BSDF_TRANSLUCENT, k_s=(1.0, 1.0, 1.0), ior=1.5)
+    )
+    bld.objects[6].bsdf_id = glass  # tall box
+    scene = bld.compile()
+
+    p0 = np.asarray(scene.geom.p0)
+    e1 = np.asarray(scene.geom.e1)
+    e2 = np.asarray(scene.geom.e2)
+    obj = np.asarray(scene.geom.obj_idx)
+    bid = np.asarray(scene.objects.bsdf_id)[obj]
+    btype = np.asarray(scene.bsdfs.btype)[bid]
+    kd = np.asarray(scene.bsdfs.k_d)[bid]
+    ks = np.asarray(scene.bsdfs.k_s)[bid]
+    ior = np.asarray(scene.bsdfs.params)[bid, T.P_IOR]
+    eid = np.asarray(scene.objects.emitter_id)[obj]
+    em = np.asarray(scene.emitters.emission) * np.asarray(scene.emitters.scaler)[:, None]
+    emission = np.where((eid > 0)[:, None], em[np.maximum(eid, 0)], 0.0)
+    scene_np = {
+        "p0": p0, "e1": e1, "e2": e2, "albedo": kd, "emission": emission,
+        "is_glass": btype == T.BSDF_TRANSLUCENT, "tint": ks, "ior": ior,
+    }
+    cam_np = {"R": np.asarray(cam.R), "t": np.asarray(cam.t), "focal": float(cam.focal)}
+
+    md = MaxDepthParams(max_depth=5, max_specular=5, max_transmit=5)
+    img = np.asarray(pt.render(scene, cam, md, spp=160, seed=13, use_bvh=True))
+    jax_mean = img.mean(axis=(0, 1))
+
+    rng = np.random.default_rng(99)
+    oracle_mean = np.zeros(3)
+    reps = 4
+    for _ in range(reps):
+        oracle_mean += _oracle_mean_glass(scene_np, cam_np, 24, 24, 200_000, 6, rng)
+    oracle_mean /= reps
+    rel = np.abs(jax_mean - oracle_mean) / np.maximum(oracle_mean, 1e-3)
+    assert rel.max() < 0.08, (jax_mean, oracle_mean, rel)

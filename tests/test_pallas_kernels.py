@@ -156,3 +156,113 @@ def test_whiskey_forest_traversal_matches_xla():
     np.testing.assert_allclose(
         np.asarray(ref["t"])[hm], np.asarray(pk["t"])[hm], rtol=1e-3
     )
+
+
+def test_bf16_directed_rounding_conservative():
+    """Round-down stays <= x, round-up stays >= x, over the full float range
+    including negatives and values near bf16 rounding boundaries."""
+    from cuda_pt_tpu.ops.pallas.traverse_kernel import _bf16_directed
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([
+        rng.normal(scale=10.0 ** rng.uniform(-6, 6, 20000), size=20000),
+        [0.0, -0.0, 1.0, -1.0, 1e30, -1e30, 3.14159, -2.71828],
+    ]).astype(np.float32)
+    dn = _bf16_directed(x, up=False)
+    up = _bf16_directed(x, up=True)
+    assert (dn <= x).all()
+    assert (up >= x).all()
+    # tight: within one bf16 ulp (relative 2^-7) for normal magnitudes
+    m = np.abs(x) > 1e-30
+    assert (np.abs(dn - x)[m] <= np.abs(x)[m] * 2.0 ** -6).all()
+    assert (np.abs(up - x)[m] <= np.abs(x)[m] * 2.0 ** -6).all()
+
+
+def test_bf16_forest_matches_brute(scene_and_rays):
+    """bf16 node format: conservative boxes must yield EXACTLY the same hits
+    as brute force (leaf prim tests stay f32-exact; boxes only grow)."""
+    from cuda_pt_tpu.ops.pallas.traverse_kernel import build_forest, traverse_forest
+
+    scene, o, d = scene_and_rays
+    forest = build_forest(scene.geom, chunk_prims=64, node_fmt="bf16")
+    assert forest.node_fmt == "bf16"
+    brute = isect.closest_hit_brute(scene.geom, o, d)
+    pk = traverse_forest(forest, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(brute["hit"]), np.asarray(pk["hit"]))
+    hm = np.asarray(brute["hit"])
+    np.testing.assert_allclose(
+        np.asarray(brute["t"])[hm], np.asarray(pk["t"])[hm], rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(brute["prim"])[hm], np.asarray(pk["prim"])[hm]
+    )
+    # occlusion variant through the same format
+    t_far = jnp.full((o.shape[0],), 2.0)
+    occ_b = isect.occlusion_brute(scene.geom, o, d, t_far)
+    occ_p = traverse_forest(forest, o, d, t_far, occlusion=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_p["occluded"]))
+
+
+def test_streaming_forest_beyond_vmem_wall():
+    """~300k-prim scene (past the 10 MB VMEM budget that capped round 1):
+    bf16 chunked forest vs the XLA gather traversal on coherent rays."""
+    import dataclasses
+
+    from cuda_pt_tpu.accel import bvh_build, traverse
+    from cuda_pt_tpu.ops.pallas.traverse_kernel import (
+        VMEM_BUDGET_BYTES,
+        build_forest,
+        scene_fits_vmem,
+        traverse_forest,
+    )
+    from cuda_pt_tpu.scene.types import BVHArrays, Geometry
+
+    rng = np.random.default_rng(21)
+    N = 300_000
+    center = rng.uniform(-10, 10, size=(N, 1, 3)).astype(np.float32)
+    tri = center + rng.normal(scale=0.05, size=(N, 3, 3)).astype(np.float32)
+    p0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    zeros2 = np.zeros((N, 2), np.float32)
+    geom = Geometry(
+        p0=jnp.asarray(p0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+        n0=jnp.asarray(e1), n1=jnp.asarray(e1), n2=jnp.asarray(e1),
+        uv0=jnp.asarray(zeros2), uv1=jnp.asarray(zeros2), uv2=jnp.asarray(zeros2),
+        obj_idx=jnp.zeros(N, jnp.int32), is_sphere=jnp.zeros(N, bool),
+    )
+    lo, hi, cent = bvh_build.prim_bounds(p0, e1, e2, np.zeros(N, bool))
+    nodes = bvh_build.build_bvh(lo, hi, cent, max_leaf=4)
+    order = np.asarray(nodes["order"])
+    geom_r = dataclasses.replace(
+        geom, p0=geom.p0[order], e1=geom.e1[order], e2=geom.e2[order],
+        is_sphere=geom.is_sphere[order],
+    )
+    bvh = BVHArrays(
+        node_min=jnp.asarray(nodes["node_min"]),
+        node_max=jnp.asarray(nodes["node_max"]),
+        node_skip=jnp.asarray(nodes["node_skip"]),
+        node_base=jnp.asarray(nodes["node_base"]),
+        node_count=jnp.asarray(nodes["node_count"]),
+    )
+    assert not scene_fits_vmem(geom, bvh)  # genuinely past the wall
+
+    forest = build_forest(geom, chunk_prims=65536, node_fmt="bf16")
+    assert forest.num_chunks >= 4
+    per_chunk_bytes = (forest.nodes.shape[1] + forest.prims.shape[1]) * 128 * 4
+    assert per_chunk_bytes < VMEM_BUDGET_BYTES  # each streamed block fits
+
+    B = 512
+    o = np.broadcast_to(np.array([0.0, 0.0, -30.0], np.float32), (B, 3))
+    tgt = rng.uniform(-10, 10, size=(B, 3)).astype(np.float32)
+    d = tgt - o
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    o = jnp.asarray(o.copy())
+
+    ref = traverse.closest_hit_bvh(geom_r, bvh, o, d)
+    pk = traverse_forest(forest, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]), np.asarray(pk["hit"]))
+    hm = np.asarray(ref["hit"])
+    np.testing.assert_allclose(
+        np.asarray(ref["t"])[hm], np.asarray(pk["t"])[hm], rtol=1e-3
+    )
