@@ -40,11 +40,18 @@ from cuda_pt_tpu.scene import testscenes
 pt.TRAVERSAL_IMPL = os.environ.get("BENCH_IMPL", "xla")
 K = int(os.environ.get("BENCH_SPP_PER_PASS", "1"))
 RENDERER = os.environ.get("BENCH_RENDERER", "megakernel")
+FOREST_CHUNK = int(os.environ.get("BENCH_FOREST_CHUNK", "0"))
+NODE_FMT = os.environ.get("BENCH_NODE_FMT", "f32")
 
 W = H = 512 if backend != "cpu" else 128
 SPP = 16 if backend != "cpu" else 2
 MAXD = 5
 scene, cam, _ = testscenes.cornell_box(width=W, height=H)
+if FOREST_CHUNK:
+    from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
+
+    scene = scene.replace(forest=tk.build_forest(
+        scene.geom, chunk_prims=FOREST_CHUNK, node_fmt=NODE_FMT))
 md = MaxDepthParams(max_depth=MAXD)
 
 if RENDERER == "wavefront":

@@ -102,20 +102,43 @@ def load_nvdb_density(path: str):
     tree_off = grid_start + 672
     node_offsets = struct.unpack_from("<4Q", buf, tree_off)  # leaf,lower,upper,root
     leaf_count = node_counts[0]
-    leaf_off = grid_start + node_offsets[0]
 
     i0 = np.asarray(index_bbox[:3])
     i1 = np.asarray(index_bbox[3:])
     dims = (i1 - i0 + 1).astype(np.int64)  # (x, y, z) extents
     dense = np.zeros((dims[2], dims[1], dims[0]), np.float32)  # (D=z, H=y, W=x)
 
-    if leaf_count == 0 or leaf_off + _LEAF_SIZE_FLOAT > len(buf):
+    if leaf_count == 0:
         raise ValueError("nvdb: no readable leaf nodes")
 
-    raw = np.frombuffer(
-        buf, np.uint8, count=leaf_count * _LEAF_SIZE_FLOAT, offset=leaf_off
-    ).reshape(leaf_count, _LEAF_SIZE_FLOAT)
-    origins = raw[:, :12].copy().view(np.int32).reshape(leaf_count, 3)
+    def read_leaves(leaf_off):
+        if leaf_off + leaf_count * _LEAF_SIZE_FLOAT > len(buf):
+            return None, None
+        raw = np.frombuffer(
+            buf, np.uint8, count=leaf_count * _LEAF_SIZE_FLOAT, offset=leaf_off
+        ).reshape(leaf_count, _LEAF_SIZE_FLOAT)
+        org = raw[:, :12].copy().view(np.int32).reshape(leaf_count, 3)
+        return raw, org
+
+    def plausible(org):
+        """Fraction of leaf origins that are 8-aligned and inside the index
+        bbox — the discriminator between the two offset conventions."""
+        if org is None:
+            return -1.0
+        aligned = (org & 7 == 0).all(axis=1)
+        inside = ((org >= i0 - 8) & (org <= i1)).all(axis=1)
+        return float((aligned & inside).mean())
+
+    # mNodeOffset convention differs across NanoVDB writer versions:
+    # relative to TreeData (32.3 headers) vs relative to GridData. Probe
+    # both and keep whichever yields structurally valid leaf origins.
+    cand = [grid_start + node_offsets[0], tree_off + node_offsets[0]]
+    raws = [read_leaves(c) for c in cand]
+    scores = [plausible(o) for _, o in raws]
+    best = int(np.argmax(scores))
+    if scores[best] < 0.5:
+        raise ValueError(f"nvdb: leaf segment not found (scores {scores})")
+    raw, origins = raws[best]
     values = (
         raw[:, _LEAF_VALUES_OFF : _LEAF_VALUES_OFF + 2048]
         .copy()

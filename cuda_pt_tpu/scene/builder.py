@@ -174,10 +174,12 @@ class SceneBuilder:
         return len(self.objects) - 1
 
     # -- compile -----------------------------------------------------------
-    def compile(self, bvh_cfg=None, forest_chunk: int | None = None) -> T.Scene:
+    def compile(self, bvh_cfg=None, forest_chunk: int | None = None,
+                node_fmt: str = "f32") -> T.Scene:
         """forest_chunk: prims per chunk for the Pallas streaming traversal
         (ops/pallas/traverse_kernel.build_forest). None → no forest; the
-        packet kernel then requires the whole scene in VMEM."""
+        packet kernel then requires the whole scene in VMEM.
+        node_fmt: forest node row format ("f32" | "bf16" half-size nodes)."""
         from ..core.config import BVHConfig
 
         cfg = bvh_cfg or BVHConfig()
@@ -471,6 +473,8 @@ class SceneBuilder:
             from ..ops.pallas import traverse_kernel as tk
 
             scene = scene.replace(
-                forest=tk.build_forest(scene.geom, chunk_prims=forest_chunk)
+                forest=tk.build_forest(
+                    scene.geom, chunk_prims=forest_chunk, node_fmt=node_fmt
+                )
             )
         return scene

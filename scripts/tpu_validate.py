@@ -146,6 +146,50 @@ t0 = time.time(); img = fn(scene, 1); img.block_until_ready()
 print(json.dumps({"sec_per_frame": round(time.time() - t0, 3)}))
 """
 
+_RUNGS["pallas-bf16"] = r"""
+import jax, jax.numpy as jnp, numpy as np, time
+from cuda_pt_tpu.core import math as vm
+from cuda_pt_tpu.ops import intersect as isect
+from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
+from cuda_pt_tpu.scene import testscenes
+scene, cam, _ = testscenes.cornell_box()
+forest = tk.build_forest(scene.geom, chunk_prims=8, node_fmt="bf16")
+rng = np.random.default_rng(2)
+o = jnp.asarray(rng.uniform(-0.9, 0.9, size=(1024, 3)), jnp.float32)
+d = vm.normalize(jnp.asarray(rng.normal(size=(1024, 3)), jnp.float32))
+fn = jax.jit(lambda o, d: tk.traverse_forest(forest, o, d, interpret=False))
+t0 = time.time(); out = fn(o, d); out["t"].block_until_ready()
+brute = isect.closest_hit_brute(scene.geom, o, d)
+ok = bool(jnp.all(out["hit"] == brute["hit"]))
+print(json.dumps({"fmt": "bf16", "compile_s": round(time.time() - t0, 1),
+                  "matches": ok}))
+assert ok
+"""
+
+_RUNGS["whiskey-512-forest"] = r"""
+import jax, time
+from cuda_pt_tpu.models import path_tracer as pt
+from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
+from cuda_pt_tpu.scene.xml_parser import load_xml
+ps = load_xml("/root/reference/scene/xml/whiskey.xml", override_res=(512, 512))
+scene = ps.scene.replace(
+    forest=tk.build_forest(ps.scene.geom, chunk_prims=32768, node_fmt="bf16"))
+md = ps.config.md
+pt.TRAVERSAL_IMPL = "pallas"
+fn = jax.jit(lambda s, i: pt.render(s, cam_ := ps.camera, md, spp=4, seed=i,
+                                    use_bvh=True))
+fn(scene, 0).block_until_ready()
+t0 = time.time(); img = fn(scene, 1); img.block_until_ready()
+dt = time.time() - t0
+pt.TRAVERSAL_IMPL = "xla"
+rays = int(jax.jit(lambda s: pt.count_rays(s, ps.camera, md, spp=4, seed=1,
+                                           use_bvh=True))(scene))
+print(json.dumps({"scene": "whiskey", "prims": int(scene.geom.num_prims),
+                  "chunks": int(scene.forest.num_chunks),
+                  "sec_per_frame": round(dt, 3), "rays": rays,
+                  "mrays_per_s": round(rays / dt / 1e6, 2)}))
+"""
+
 _RUNGS["grad-step"] = r"""
 import jax, jax.numpy as jnp, time
 from cuda_pt_tpu.core.config import MaxDepthParams
