@@ -10,11 +10,14 @@ Implements the published NanoVDB 32.x memory layout for float grids:
 FileHeader → FileMetaData (+ grid name) → GridData blob; leaf nodes
 (8³ voxels, 2144 bytes for float) are read directly from the tree's
 leaf-node segment and scattered into the dense array at their origin
-coordinates. The ZIP codec (zlib-deflated grid blob prefixed by a uint64
-compressed size) is decompressed transparently; BLOSC and non-float grid
-types raise — callers fall back gracefully (scene/xml_parser.py).
-Constant-value tiles in internal nodes are a documented limit (regions
-covered only by tiles read as zero density).
+coordinates. Constant-value tiles in the internal nodes (lower 16³-child
+nodes, 33,856 B; upper 32³-child nodes, 270,400 B — the standard 5-4-3
+float tree) are expanded too: active value-mask entries without a child
+fill their 8³ / 128³ footprint with the tile value. The ZIP codec
+(zlib-deflated grid blob prefixed by a uint64 compressed size) is
+decompressed transparently; BLOSC and non-float grid types raise —
+callers fall back gracefully (scene/xml_parser.py). Root-level tiles
+remain a documented limit (read as zero density).
 
 Also supports ``.npy``/``.npz`` dense grids as the framework-native volume
 format.
@@ -34,6 +37,17 @@ _GRID_TYPE_FLOAT = 1
 
 _LEAF_SIZE_FLOAT = 2144  # 96-byte header + 512 float values
 _LEAF_VALUES_OFF = 96
+
+# InternalData<float> layout (NanoVDB.h, 5-4-3 tree). Per node:
+#   mBBox (2×Coord, 24 B) | mFlags (8 B) | mValueMask | mChildMask |
+#   min/max/avg/stddev (16 B) | pad to 32 | mTable (8 B/tile union)
+# lower (LOG2DIM=4): 4096 tiles, masks 512 B → table at 1088, size 33856
+# upper (LOG2DIM=5): 32768 tiles, masks 4096 B → table at 8256, size 270400
+_INTERNAL = {
+    # level: (log2dim, node_size, mask_bytes, table_off, child_span)
+    1: (4, 33856, 512, 1088, 8),      # lower: children are 8³ leaves
+    2: (5, 270400, 4096, 8256, 128),  # upper: children are 128³ lower nodes
+}
 
 
 def load_dense(path: str):
@@ -139,6 +153,52 @@ def load_nvdb_density(path: str):
     if scores[best] < 0.5:
         raise ValueError(f"nvdb: leaf segment not found (scores {scores})")
     raw, origins = raws[best]
+    base = cand[best] - node_offsets[0]  # winning offset convention base
+
+    # Expand constant-value tiles stored in the internal nodes: an active
+    # value-mask bit without a child covers its whole child footprint with
+    # one value (NanoVDB InternalData mTable union). Children overwrite
+    # later (leaves are scattered after this).
+    for level in (2, 1):  # upper first so lower tiles can refine
+        count = node_counts[level]
+        seg = base + node_offsets[level]
+        log2dim, nsize, mask_b, table_off, child_span = _INTERNAL[level]
+        if count == 0 or node_offsets[level] == 0:
+            continue
+        if seg + count * nsize > len(buf):
+            continue  # segment missing/unparseable — skip tiles, keep leaves
+        node_span = child_span << log2dim
+        for k in range(count):
+            nb = seg + k * nsize
+            bmin_n = np.frombuffer(buf, np.int32, 3, nb)
+            org = bmin_n & ~(node_span - 1)
+            vmask = np.unpackbits(
+                np.frombuffer(buf, np.uint8, mask_b, nb + 32), bitorder="little"
+            )
+            cmask = np.unpackbits(
+                np.frombuffer(buf, np.uint8, mask_b, nb + 32 + mask_b),
+                bitorder="little",
+            )
+            tile_idx = np.nonzero(vmask & ~cmask)[0]
+            if tile_idx.size == 0:
+                continue
+            table = np.frombuffer(
+                buf, np.float32, (1 << (3 * log2dim)) * 2, nb + table_off
+            )[::2]
+            dim = 1 << log2dim
+            iz = tile_idx & (dim - 1)
+            iy = (tile_idx >> log2dim) & (dim - 1)
+            ix = tile_idx >> (2 * log2dim)
+            for j in range(tile_idx.size):
+                lo = org + np.asarray(
+                    [ix[j], iy[j], iz[j]], np.int64
+                ) * child_span - i0
+                hi = lo + child_span
+                cl = np.maximum(lo, 0)
+                ch = np.minimum(hi, dims)
+                if (cl >= ch).any():
+                    continue
+                dense[cl[2]:ch[2], cl[1]:ch[1], cl[0]:ch[0]] = table[tile_idx[j]]
     values = (
         raw[:, _LEAF_VALUES_OFF : _LEAF_VALUES_OFF + 2048]
         .copy()

@@ -216,10 +216,48 @@ def test_vpt_homogeneous_slab_analytic_image():
     np.testing.assert_allclose(got, expect, rtol=0.05)
 
 
-def _write_synthetic_nvdb(path, leaves, index_bbox, codec=0):
+def _internal_node_blob(level, origin, value_tiles, child_tiles):
+    """Serialize one InternalData<float> node (media/nvdb.py _INTERNAL layout).
+    value_tiles: {(ix,iy,iz): float}; child_tiles: [(ix,iy,iz)]."""
+    import struct
+
+    import numpy as np
+
+    log2dim, nsize, mask_b, table_off, _span = {
+        1: (4, 33856, 512, 1088, 8),
+        2: (5, 270400, 4096, 8256, 128),
+    }[level]
+    blob = bytearray(nsize)
+    struct.pack_into("<3i", blob, 0, *origin)  # mBBox.min (node-aligned)
+    vmask = np.zeros(mask_b * 8, np.uint8)
+    cmask = np.zeros(mask_b * 8, np.uint8)
+
+    def idx(t):
+        ix, iy, iz = t
+        return (ix << (2 * log2dim)) | (iy << log2dim) | iz
+
+    table = np.zeros((1 << (3 * log2dim)) * 2, np.float32)
+    for t, val in value_tiles.items():
+        vmask[idx(t)] = 1
+        table[2 * idx(t)] = val
+    for t in child_tiles:
+        cmask[idx(t)] = 1
+        vmask[idx(t)] = 1  # child tiles may also be marked active
+    blob[32 : 32 + mask_b] = np.packbits(vmask, bitorder="little").tobytes()
+    blob[32 + mask_b : 32 + 2 * mask_b] = np.packbits(
+        cmask, bitorder="little"
+    ).tobytes()
+    blob[table_off : table_off + table.nbytes] = table.tobytes()
+    return bytes(blob)
+
+
+def _write_synthetic_nvdb(
+    path, leaves, index_bbox, codec=0, lower_nodes=(), upper_nodes=()
+):
     """Emit the NanoVDB 32.x file layout media/nvdb.py documents: FileHeader,
-    FileMetaData + name, GridData(672B) + TreeData with leaf nodes only.
-    leaves: list of (origin_xyz, (8,8,8) float array indexed [z][y][x])."""
+    FileMetaData + name, GridData(672B) + TreeData + upper/lower/leaf node
+    segments. leaves: list of (origin_xyz, (8,8,8) float array indexed
+    [z][y][x]); lower/upper_nodes: (origin, value_tiles, child_tiles)."""
     import struct
     import zlib
 
@@ -227,20 +265,30 @@ def _write_synthetic_nvdb(path, leaves, index_bbox, codec=0):
 
     tree_off_in_grid = 672
     tree_data_size = 64  # 4 offsets + 4 counts + padding
-    leaf_seg_off = tree_off_in_grid + tree_data_size
     leaf_blobs = []
     for origin, vals in leaves:
         hdr = struct.pack("<3i", *origin) + b"\0" * (96 - 12)
         v = np.asarray(vals, np.float32).transpose(2, 1, 0)  # [z][y][x] -> [x][y][z]
         leaf_blobs.append(hdr + v.tobytes())
+    upper_blobs = [_internal_node_blob(2, o, vt, ct) for o, vt, ct in upper_nodes]
+    lower_blobs = [_internal_node_blob(1, o, vt, ct) for o, vt, ct in lower_nodes]
+    upper_off = tree_off_in_grid + tree_data_size
+    lower_off = upper_off + sum(len(b) for b in upper_blobs)
+    leaf_seg_off = lower_off + sum(len(b) for b in lower_blobs)
     grid_size = leaf_seg_off + sum(len(b) for b in leaf_blobs)
 
     grid = bytearray(grid_size)
-    struct.pack_into(
-        "<4Q", grid, tree_off_in_grid, leaf_seg_off, 0, 0, 0
-    )  # node offsets: leaf,lower,upper,root
-    pos = leaf_seg_off
-    for b in leaf_blobs:
+    struct.pack_into(  # node offsets: leaf, lower, upper, root (grid-relative)
+        "<4Q",
+        grid,
+        tree_off_in_grid,
+        leaf_seg_off,
+        lower_off if lower_blobs else 0,
+        upper_off if upper_blobs else 0,
+        0,
+    )
+    pos = upper_off
+    for b in upper_blobs + lower_blobs + leaf_blobs:
         grid[pos : pos + len(b)] = b
         pos += len(b)
 
@@ -252,7 +300,9 @@ def _write_synthetic_nvdb(path, leaves, index_bbox, codec=0):
     struct.pack_into("<6i", meta, 88, *index_bbox)
     struct.pack_into("<3d", meta, 112, 1.0, 1.0, 1.0)
     struct.pack_into("<I", meta, 136, len(name))
-    struct.pack_into("<4I", meta, 140, len(leaves), 0, 0, 1)
+    struct.pack_into(
+        "<4I", meta, 140, len(leaves), len(lower_blobs), len(upper_blobs), 1
+    )
 
     header = struct.pack("<QIHH", 0x304244566F6E614E, 32 << 21, 1, codec)
     body = bytes(grid)
@@ -285,6 +335,45 @@ def test_nvdb_roundtrip_dense(tmp_path, codec):
     np.testing.assert_allclose(dense[:, :, 8:], v1)
     np.testing.assert_allclose(bmin, 0.0)
     np.testing.assert_allclose(bmax, 1.0)
+
+
+def test_nvdb_internal_tile_values(tmp_path):
+    """Constant-value tiles in lower/upper internal nodes expand to their
+    8³/128³ footprints; child tiles defer to the leaf data (reference
+    reads these through the NanoVDB tree, src/impl/vol_grid.cu:216-295)."""
+    import numpy as np
+
+    from cuda_pt_tpu.media.nvdb import load_nvdb_density
+
+    rng = np.random.default_rng(11)
+    leaf_vals = rng.uniform(0.1, 1.0, size=(8, 8, 8)).astype(np.float32)
+    path = str(tmp_path / "tiles.nvdb")
+    _write_synthetic_nvdb(
+        path,
+        [((0, 0, 0), leaf_vals)],
+        (0, 0, 0, 15, 15, 15),
+        lower_nodes=[
+            (
+                (0, 0, 0),
+                {(1, 0, 0): 0.25, (0, 1, 1): 0.5},  # two constant 8³ tiles
+                [(0, 0, 0)],  # child covering the leaf
+            )
+        ],
+        upper_nodes=[
+            (
+                (0, 0, 0),
+                {(1, 0, 0): 9.0},  # 128³ tile fully outside the bbox → clipped
+                [(0, 0, 0)],  # child covering the lower node
+            )
+        ],
+    )
+    dense, _, _ = load_nvdb_density(path)
+    assert dense.shape == (16, 16, 16)
+    np.testing.assert_allclose(dense[:8, :8, :8], leaf_vals)  # leaf wins
+    np.testing.assert_allclose(dense[:8, :8, 8:16], 0.25)  # tile (ix=1,0,0)
+    np.testing.assert_allclose(dense[8:16, 8:16, :8], 0.5)  # tile (0,1,1)
+    np.testing.assert_allclose(dense[8:16, :8, 8:16], 0.0)  # untouched region
+    assert not np.any(dense == 9.0)  # out-of-bbox upper tile clipped away
 
 
 def test_nvdb_blosc_codec_raises(tmp_path):
