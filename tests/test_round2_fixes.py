@@ -286,3 +286,24 @@ def test_distributed_rejects_non_divisible_spp():
     mesh = dist.make_mesh(jax.devices()[:4], sp=2)
     with pytest.raises(AssertionError):
         dist.render_distributed(scene, cam, md, spp=3, mesh=mesh)
+
+
+def test_inverse_render_script_smoke(tmp_path):
+    """scripts/inverse_render.py (worked differentiable-rendering example)
+    runs end-to-end and recovers the dimmed emitter."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "inverse_render.py"),
+         "--param", "emitter", "--steps", "25", "--res", "16",
+         "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=420, cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    last = json.loads(out.stdout.strip().splitlines()[-1])
+    assert last["recovered"] is True
+    assert (tmp_path / "final.png").exists()
