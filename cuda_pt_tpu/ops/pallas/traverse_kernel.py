@@ -309,10 +309,10 @@ def _unpack2(pk):
     return a, b
 
 
-def _kernel(flip, max_leaf, rn, node_fmt,
+def _kernel(flip, max_leaf, rn, node_fmt, count_iters,
             nodes, prims,
             ox, oy, oz, dx, dy, dz, tfar,
-            out_t, out_prim, out_b1, out_b2):
+            out_t, out_prim, out_b1, out_b2, out_it=None):
     c = pl.program_id(1)
 
     o_x = ox[:]
@@ -329,6 +329,8 @@ def _kernel(flip, max_leaf, rn, node_fmt,
         out_prim[:] = jnp.full(o_x.shape, -1, jnp.int32)
         out_b1[:] = jnp.zeros_like(o_x)
         out_b2[:] = jnp.zeros_like(o_x)
+        if count_iters:
+            out_it[:] = jnp.zeros_like(o_x)
 
     def safe_inv(v):
         return 1.0 / jnp.where(jnp.abs(v) < 1e-8, jnp.where(v < 0, -1e-8, 1e-8), v)
@@ -339,7 +341,8 @@ def _kernel(flip, max_leaf, rn, node_fmt,
 
     n_slots = SLOTS16 if node_fmt == "bf16" else SLOTS
     M_pad = rn * n_slots
-    init = (jnp.int32(0), out_t[:], out_prim[:], out_b1[:], out_b2[:])
+    init = (jnp.int32(0), out_t[:], out_prim[:], out_b1[:], out_b2[:],
+            jnp.int32(0))
 
     def cond(cr):
         ptr = cr[0]
@@ -349,7 +352,7 @@ def _kernel(flip, max_leaf, rn, node_fmt,
         return ptr < M_pad
 
     def body(cr):
-        ptr, t_best, prim, b1, b2 = cr
+        ptr, t_best, prim, b1, b2, it = cr
         row = nodes[0, pl.ds(ptr // n_slots, 1), :]
         if node_fmt == "bf16":
             sb = (ptr % SLOTS16) * SLOT_F16
@@ -461,13 +464,17 @@ def _kernel(flip, max_leaf, rn, node_fmt,
             any_hit & is_leaf, do_leaf, lambda cr_: cr_, (t_best, prim, b1, b2)
         )
         ptr_next = jnp.where(any_hit & ~is_leaf, ptr + 1, skip)
-        return ptr_next, t_best, prim, b1, b2
+        return ptr_next, t_best, prim, b1, b2, it + 1
 
-    _, t_best, prim, b1, b2 = jax.lax.while_loop(cond, body, init)
+    _, t_best, prim, b1, b2, it = jax.lax.while_loop(cond, body, init)
     out_t[:] = t_best
     out_prim[:] = prim
     out_b1[:] = b1
     out_b2[:] = b2
+    if count_iters:
+        # per-tile node-fetch count, accumulated over the chunk axis (every
+        # lane of the tile carries the same value — packet-wide work metric)
+        out_it[:] = out_it[:] + jnp.full_like(o_x, 1.0) * it.astype(jnp.float32)
 
 
 # Global interpret-mode default (CPU tests flip this; on TPU the kernel
@@ -477,19 +484,28 @@ INTERPRET = False
 
 def traverse_forest(forest: TraversalForest, o, d, t_far=None,
                     max_leaf: int = 4, occlusion: bool = False,
-                    interpret=None):
+                    interpret=None, count_iters: bool = False,
+                    tile: int | None = None):
     """Packet traversal of a chunked forest over ray tiles.
 
     Returns dict(t, prim, hit, b1, b2) (closest-hit) or {"occluded"}
     (any-hit). Grid = (ray_tiles, chunks), chunk axis innermost: per-tile
     best-hit state stays in VMEM while chunk blocks stream through.
-    Callers jit the surrounding render; this traces inline."""
+    Callers jit the surrounding render; this traces inline.
+
+    count_iters additionally returns "tile_iters": per-ray-tile node-fetch
+    counts summed over chunks — the packet-divergence work metric (each
+    iteration slab-tests ONE node against the whole TILE-ray packet, so
+    lane-work = tile_iters * TILE; see scripts/packet_divergence.py)."""
     if interpret is None:
         interpret = INTERPRET
+    if tile is None:
+        tile = TILE  # module knob: benches sweep it (BENCH_TILE)
+    assert tile % 128 == 0 and tile > 0, "packet size must be lane-multiple"
     B = o.shape[0]
-    pad = (-B) % TILE
+    pad = (-B) % tile
     Bp = B + pad
-    R = TILE // 128
+    R = tile // 128
     C, rn = forest.nodes.shape[0], forest.nodes.shape[1]
     rp = forest.prims.shape[1]
 
@@ -501,7 +517,7 @@ def traverse_forest(forest: TraversalForest, o, d, t_far=None,
     tf = (
         prep(t_far) if t_far is not None else jnp.full((Bp,), 1e8, jnp.float32)
     )
-    T_ = Bp // TILE
+    T_ = Bp // tile
 
     def c2(x, j):
         return x[..., j].reshape(Bp // 128, 128)
@@ -520,37 +536,48 @@ def traverse_forest(forest: TraversalForest, o, d, t_far=None,
         tf.reshape(Bp // 128, 128),
     )
     in_specs = [chunk_spec(rn), chunk_spec(rp)] + [ray_spec] * 7
-    out_specs = (ray_spec, ray_spec, ray_spec, ray_spec)
-    out_shape = (
+    out_specs = [ray_spec, ray_spec, ray_spec, ray_spec]
+    out_shape = [
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.int32),
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
         jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
-    )
-    kern = functools.partial(_kernel, occlusion, max_leaf, rn, forest.node_fmt)
-    t, prim, b1, b2 = pl.pallas_call(
+    ]
+    if count_iters:
+        out_specs.append(ray_spec)
+        out_shape.append(jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32))
+    kern = functools.partial(_kernel, occlusion, max_leaf, rn,
+                             forest.node_fmt, count_iters)
+    outs = pl.pallas_call(
         kern,
         grid=(T_, C),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*args)
+    t, prim, b1, b2 = outs[:4]
 
     t = t.reshape(-1)[:B]
     prim = prim.reshape(-1)[:B]
     b1 = b1.reshape(-1)[:B]
     b2 = b2.reshape(-1)[:B]
     if occlusion:
-        return {"occluded": prim >= 0}
-    return {"t": t, "prim": prim, "hit": prim >= 0, "b1": b1, "b2": b2}
+        res = {"occluded": prim >= 0}
+    else:
+        res = {"t": t, "prim": prim, "hit": prim >= 0, "b1": b1, "b2": b2}
+    if count_iters:
+        # rows within a tile carry identical values; one row per tile
+        res["tile_iters"] = outs[4][::R, 0].astype(jnp.int32)
+    return res
 
 
 def traverse_pallas(geom: Geometry, bvh: BVHArrays, o, d, t_far=None,
                     max_leaf: int = 4, occlusion: bool = False,
-                    interpret=None):
+                    interpret=None, count_iters: bool = False):
     """Single-chunk compatibility wrapper: packs the scene's global BVH as
     one VMEM-resident chunk (scene must pass scene_fits_vmem)."""
     forest = single_chunk_forest(geom, bvh)
     return traverse_forest(forest, o, d, t_far, max_leaf=max_leaf,
-                           occlusion=occlusion, interpret=interpret)
+                           occlusion=occlusion, interpret=interpret,
+                           count_iters=count_iters)

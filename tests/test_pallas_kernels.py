@@ -266,3 +266,40 @@ def test_streaming_forest_beyond_vmem_wall():
     np.testing.assert_allclose(
         np.asarray(ref["t"])[hm], np.asarray(pk["t"])[hm], rtol=1e-3
     )
+
+
+def test_packet_iter_counter(scene_and_rays):
+    """count_iters: per-tile node-fetch counts are positive, bounded by the
+    padded node count, and coherent rays fetch no more nodes than the same
+    rays shuffled (the packet-divergence metric scripts/packet_divergence.py
+    sweeps; results identical interpret vs compiled — pure loop counts)."""
+    from cuda_pt_tpu.ops.pallas.traverse_kernel import (
+        SLOTS,
+        build_forest,
+        traverse_forest,
+    )
+
+    scene, o, d = scene_and_rays
+    # coherent bundle: all rays aimed at one octant from one origin
+    rng = np.random.default_rng(11)
+    B = 1024
+    oc = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -3.0]), (B, 3)).astype(jnp.float32)
+    tgt = jnp.asarray(rng.uniform(0.2, 0.9, size=(B, 3)), jnp.float32)
+    dc = vm.normalize(tgt - oc)
+
+    forest = build_forest(scene.geom, chunk_prims=64)
+    res = traverse_forest(forest, oc, dc, interpret=True, count_iters=True)
+    iters = np.asarray(res["tile_iters"])
+    assert iters.shape == (B // 512,)
+    m_pad = forest.nodes.shape[0] * forest.nodes.shape[1] * SLOTS
+    assert np.all(iters > 0) and np.all(iters <= m_pad)
+
+    # same rays, shuffled across tiles: never cheaper than coherent order
+    perm = jnp.asarray(rng.permutation(B))
+    res_s = traverse_forest(forest, oc[perm], dc[perm], interpret=True,
+                            count_iters=True)
+    assert int(np.sum(np.asarray(res_s["tile_iters"]))) >= int(np.sum(iters))
+
+    # counting must not change the traversal result
+    base = traverse_forest(forest, oc, dc, interpret=True)
+    np.testing.assert_array_equal(np.asarray(base["prim"]), np.asarray(res["prim"]))
