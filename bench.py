@@ -52,6 +52,11 @@ if FOREST_CHUNK:
 
     scene = scene.replace(forest=tk.build_forest(
         scene.geom, chunk_prims=FOREST_CHUNK, node_fmt=NODE_FMT))
+if pt.TRAVERSAL_IMPL == "auto":
+    from cuda_pt_tpu.accel.autotune import with_tuned_traversal
+
+    pt.TRAVERSAL_IMPL = "xla"
+    scene = with_tuned_traversal(scene, cam)
 md = MaxDepthParams(max_depth=MAXD)
 
 if RENDERER == "wavefront":

@@ -33,12 +33,22 @@ class Renderer:
     """Stateful renderer over a compiled scene (any renderer family)."""
 
     def __init__(self, source, renderer: RendererType | None = None,
-                 seed_offset: int = 0, override_res=None):
+                 seed_offset: int = 0, override_res=None,
+                 traversal: str | None = None):
+        """traversal: None = module default, "xla" / "pallas" = pin that
+        backend, "auto" = time both on the live backend and keep the winner
+        (accel/autotune.py)."""
         if isinstance(source, str):
             self.parsed: ParsedScene = load_xml(source, override_res=override_res)
         else:
             self.parsed = source
         self.scene: T.Scene = self.parsed.scene
+        if traversal == "auto":
+            from .accel.autotune import with_tuned_traversal
+
+            self.scene = with_tuned_traversal(self.scene, self.parsed.camera)
+        elif traversal:
+            self.scene = self.scene.replace(traversal=traversal)
         self.camera: cam_mod.Camera = self.parsed.camera
         self.config = self.parsed.config
         self.rtype = renderer or self.config.renderer
@@ -127,6 +137,7 @@ class Renderer:
             "num_nodes": self.scene.bvh.num_nodes,
             "spp_accumulated": self.counter(),
             "use_bvh": self.use_bvh,
+            "traversal": self.scene.traversal or pt.TRAVERSAL_IMPL,
         }
 
     def update_camera(self, camera: cam_mod.Camera):

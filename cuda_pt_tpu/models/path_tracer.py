@@ -68,7 +68,7 @@ def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int | None = None
     # constant silently skips prims (see BVHArrays.max_leaf).
     if max_leaf is None:
         max_leaf = scene.bvh.max_leaf
-    if TRAVERSAL_IMPL == "pallas":
+    if (scene.traversal or TRAVERSAL_IMPL) == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
         if scene.forest is not None:
@@ -83,7 +83,7 @@ def occluded(scene: T.Scene, o, d, t_far, use_bvh: bool, max_leaf: int | None = 
         return isect.occlusion_brute(scene.geom, o, d, t_far)
     if max_leaf is None:
         max_leaf = scene.bvh.max_leaf
-    if TRAVERSAL_IMPL == "pallas":
+    if (scene.traversal or TRAVERSAL_IMPL) == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
         if scene.forest is not None:

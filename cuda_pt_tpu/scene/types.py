@@ -267,3 +267,8 @@ class Scene:
     present_bsdfs: tuple = flax.struct.field(
         pytree_node=False, default=tuple(range(NUM_BSDF_TYPES))
     )
+    # STATIC per-scene traversal backend: "" = defer to the module global
+    # (models/path_tracer.TRAVERSAL_IMPL), "xla" = batched gather loop,
+    # "pallas" = packet kernel. Static so flipping it retraces — set by
+    # accel/autotune.autotune_traversal (measured, per scene+backend).
+    traversal: str = flax.struct.field(pytree_node=False, default="")

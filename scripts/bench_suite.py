@@ -89,6 +89,21 @@ elif name in ("bunny", "whiskey", "vader"):
     scene, cam = from_xml(name + ".xml", res)
     fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
     counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+elif name == "whiskey_pallas":
+    # VERDICT r2 item 3: whiskey through the Pallas streaming-forest path.
+    # Compiled-only (Mosaic): on the CPU backend this would be interpret
+    # mode at minutes/frame, so the row is TPU-gated.
+    if backend == "cpu" or jax.default_backend() == "cpu":
+        print(json.dumps({"name": name, "backend": "skipped_cpu",
+                          "mrays_per_s": 0.0}))
+        raise SystemExit(0)
+    from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
+    scene, cam = from_xml("whiskey.xml", res_big)
+    scene = scene.replace(
+        forest=tk.build_forest(scene.geom, chunk_prims=32768),
+        traversal="pallas")
+    fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
+    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name == "cornell_vpt":
     from cuda_pt_tpu.models import volume_pt
     scene, cam = cornell_medium(min(res_big, 256))
@@ -138,7 +153,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small res/spp")
     ap.add_argument("--scenes", nargs="*", default=[
         "cornell_mega", "cornell_wf", "cornell_wf_nosort",
-        "bunny", "whiskey", "cornell_vpt",
+        "bunny", "whiskey", "whiskey_pallas", "cornell_vpt",
     ])
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_DETAILS.json"))
     args = ap.parse_args()
