@@ -12,12 +12,21 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj(path: str):
+def load_obj(path: str, native: bool = True):
     """Parse an OBJ file.
 
     Returns dict with float32 arrays: ``p`` (T,3,3), ``n`` (T,3,3),
     ``uv`` (T,3,2) — triangle corners in file order.
-    """
+
+    Uses the native C++ parser (scene/cpp/obj_loader.cpp, ~100× faster) when
+    compiled; ``native=False`` forces this pure-Python path (also the
+    fallback when g++ is unavailable)."""
+    if native:
+        from . import native_obj
+
+        out = native_obj.load_obj_native(path)
+        if out is not None:
+            return out
     vs: list = []
     vns: list = []
     vts: list = []
@@ -26,6 +35,8 @@ def load_obj(path: str):
         for line in f:
             if not line or line[0] in "#\n":
                 continue
+            if "#" in line:  # strip trailing comment
+                line = line.split("#", 1)[0]
             parts = line.split()
             if not parts:
                 continue
