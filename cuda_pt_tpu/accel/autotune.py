@@ -84,14 +84,20 @@ def autotune_traversal(scene: T.Scene, cam=None, n_rays: int = 4096,
     if key in _CACHE:
         return dict(_CACHE[key], cached=True)
 
-    candidates = ["xla"]
+    candidates = ["xla", "wide"]
     if scene.forest is not None or tk.scene_fits_vmem(scene.geom, scene.bvh):
         candidates.append("pallas")
+
+    wide = scene.wide
+    if wide is None:
+        from . import wide_build
+
+        wide = wide_build.from_bvharrays(scene.bvh)
 
     o, d = _probe_rays(scene, cam, n_rays)
     timings: dict[str, float] = {}
     for impl in candidates:
-        sc = scene.replace(traversal=impl)
+        sc = scene.replace(traversal=impl, wide=wide if impl == "wide" else scene.wide)
 
         def hot(s, o, d):
             res = pt.closest_hit(s, o, d, use_bvh=True)
@@ -117,7 +123,7 @@ def autotune_traversal(scene: T.Scene, cam=None, n_rays: int = 4096,
     best = min(timings, key=timings.get)
     if not np.isfinite(timings[best]):
         best = "xla"
-    out = {"impl": best, "timings_ms": timings}
+    out = {"impl": best, "timings_ms": timings, "wide": wide}
     _CACHE[key] = out
     if verbose:
         print(f"[autotune] {key[0]}: {timings} -> {best}")
@@ -125,5 +131,9 @@ def autotune_traversal(scene: T.Scene, cam=None, n_rays: int = 4096,
 
 
 def with_tuned_traversal(scene: T.Scene, cam=None, **kw) -> T.Scene:
-    """Scene with ``traversal`` pinned to the measured winner."""
-    return scene.replace(traversal=autotune_traversal(scene, cam, **kw)["impl"])
+    """Scene with ``traversal`` pinned to the measured winner (and the wide
+    BVH attached when the 8-ary backend wins)."""
+    res = autotune_traversal(scene, cam, **kw)
+    if res["impl"] == "wide":
+        scene = scene.replace(wide=res["wide"])
+    return scene.replace(traversal=res["impl"])

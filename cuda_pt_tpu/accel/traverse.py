@@ -46,12 +46,16 @@ def closest_hit_bvh(
     bvh: BVHArrays,
     o: jnp.ndarray,
     d: jnp.ndarray,
-    max_leaf: int = 4,
+    max_leaf: int | None = None,
     count_cost: bool = False,
 ):
     """Closest hit via stackless traversal. Same contract as
     ops.intersect.closest_hit_brute. With count_cost, also returns per-ray
-    node/prim test counters."""
+    node/prim test counters. max_leaf defaults to the tree's own build
+    capacity — passing a smaller constant silently skips prims (see
+    BVHArrays.max_leaf)."""
+    if max_leaf is None:
+        max_leaf = bvh.max_leaf
     B = o.shape[0]
     M = bvh.num_nodes
     N = geom.num_prims
@@ -127,10 +131,13 @@ def occlusion_bvh(
     o: jnp.ndarray,
     d: jnp.ndarray,
     t_far: jnp.ndarray,
-    max_leaf: int = 4,
+    max_leaf: int | None = None,
 ):
     """Any-hit shadow test (early-out per lane by parking ptr at M).
-    Reference: occlusion_test_bvh, src/renderer/tracing_func.cuh:44-99."""
+    Reference: occlusion_test_bvh, src/renderer/tracing_func.cuh:44-99.
+    max_leaf defaults to the tree's own build capacity."""
+    if max_leaf is None:
+        max_leaf = bvh.max_leaf
     B = o.shape[0]
     M = bvh.num_nodes
     N = geom.num_prims

@@ -35,9 +35,10 @@ class Renderer:
     def __init__(self, source, renderer: RendererType | None = None,
                  seed_offset: int = 0, override_res=None,
                  traversal: str | None = None):
-        """traversal: None = module default, "xla" / "pallas" = pin that
-        backend, "auto" = time both on the live backend and keep the winner
-        (accel/autotune.py)."""
+        """traversal: None = module default, "xla" / "pallas" / "wide" =
+        pin that backend ("wide" collapses an 8-ary BVH on first use),
+        "auto" = time all eligible backends on the live backend and keep
+        the winner (accel/autotune.py)."""
         if isinstance(source, str):
             self.parsed: ParsedScene = load_xml(source, override_res=override_res)
         else:
@@ -47,6 +48,10 @@ class Renderer:
             from .accel.autotune import with_tuned_traversal
 
             self.scene = with_tuned_traversal(self.scene, self.parsed.camera)
+        elif traversal == "wide":
+            from .accel.wide_build import with_wide
+
+            self.scene = with_wide(self.scene)
         elif traversal:
             self.scene = self.scene.replace(traversal=traversal)
         self.camera: cam_mod.Camera = self.parsed.camera

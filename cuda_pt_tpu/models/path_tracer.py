@@ -68,13 +68,18 @@ def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int | None = None
     # constant silently skips prims (see BVHArrays.max_leaf).
     if max_leaf is None:
         max_leaf = scene.bvh.max_leaf
-    if (scene.traversal or TRAVERSAL_IMPL) == "pallas":
+    impl = scene.traversal or TRAVERSAL_IMPL
+    if impl == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
         if scene.forest is not None:
             return tk.traverse_forest(scene.forest, o, d, max_leaf=max_leaf)
         if tk.scene_fits_vmem(scene.geom, scene.bvh):
             return tk.traverse_pallas(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
+    if impl == "wide" and scene.wide is not None:
+        from ..accel import wide_traverse
+
+        return wide_traverse.closest_hit_wide(scene.geom, scene.wide, o, d)
     return traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
 
 
@@ -83,7 +88,8 @@ def occluded(scene: T.Scene, o, d, t_far, use_bvh: bool, max_leaf: int | None = 
         return isect.occlusion_brute(scene.geom, o, d, t_far)
     if max_leaf is None:
         max_leaf = scene.bvh.max_leaf
-    if (scene.traversal or TRAVERSAL_IMPL) == "pallas":
+    impl = scene.traversal or TRAVERSAL_IMPL
+    if impl == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
         if scene.forest is not None:
@@ -95,6 +101,10 @@ def occluded(scene: T.Scene, o, d, t_far, use_bvh: bool, max_leaf: int | None = 
                 scene.geom, scene.bvh, o, d, t_far, max_leaf=max_leaf, occlusion=True
             )
             return out["occluded"]
+    if impl == "wide" and scene.wide is not None:
+        from ..accel import wide_traverse
+
+        return wide_traverse.occlusion_wide(scene.geom, scene.wide, o, d, t_far)
     return traverse.occlusion_bvh(scene.geom, scene.bvh, o, d, t_far, max_leaf=max_leaf)
 
 

@@ -199,6 +199,46 @@ class BVHArrays:
 
 
 @flax.struct.dataclass
+class WideBVHArrays:
+    """8-wide BVH (collapsed from the binary SAH/SBVH tree) for the ordered
+    stack traversal in accel/wide_traverse.py.
+
+    TPU rationale: the binary skip walk (accel/traverse.py) costs one
+    serial lax.while_loop step per *node* per worst lane; an 8-ary node
+    tests all 8 child AABBs in one step's vector ops, cutting the serial
+    step count ~4-6x, and — unlike skip encoding, which is pinned to DFS
+    order — a real stack lets children be visited near-first so t_best
+    prunes far subtrees. The reference gets ordering implicitly from SIMT
+    per-thread stacks (src/renderer/tracing_func.cuh:117-181); this is the
+    vector-machine redesign, not a translation.
+
+    Child slot encoding in ``child_node``: >= 0 → wide node id of an
+    interior child; < 0 → leaf reference ``-(leaf_id+1)`` into
+    ``leaf_base/leaf_count``. Empty slots carry an inverted AABB
+    (min=+inf, max=-inf) so the slab test rejects them with no extra mask
+    array."""
+
+    child_min: jnp.ndarray  # (W, 8, 3) f32 child AABB minima
+    child_max: jnp.ndarray  # (W, 8, 3) f32 child AABB maxima
+    child_node: jnp.ndarray  # (W, 8) int32 — see encoding above
+    leaf_base: jnp.ndarray  # (L,) int32 prim base per leaf
+    leaf_count: jnp.ndarray  # (L,) int32 prim count per leaf
+    # static: leaf capacity the source tree was built with (same contract
+    # as BVHArrays.max_leaf) and a safe per-lane traversal stack bound
+    # (1 + max over root paths of sum(children-1), computed at build).
+    max_leaf: int = flax.struct.field(pytree_node=False, default=4)
+    max_stack: int = flax.struct.field(pytree_node=False, default=32)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.child_min.shape[0]
+
+    @property
+    def num_leaves(self) -> int:
+        return self.leaf_base.shape[0]
+
+
+@flax.struct.dataclass
 class TraversalForest:
     """Chunked, row-packed BVH forest for the Pallas streaming traversal
     (ops/pallas/traverse_kernel.py). The scene is partitioned into C
@@ -260,6 +300,9 @@ class Scene:
     # (scene/builder.py compile(..., forest_chunk=K); None → packed lazily
     # for VMEM-resident scenes, XLA gather loop otherwise).
     forest: TraversalForest = None
+    # Optional 8-wide collapsed BVH (accel/wide_build.with_wide); used when
+    # traversal == "wide". None → the binary gather loop serves instead.
+    wide: WideBVHArrays = None
     # STATIC upper bound of BSDF families present (compile-time dispatch
     # pruning: absent families are skipped entirely in bsdf/eval.py). Type
     # hot-reload to a family outside this set requires a scene recompile —
@@ -269,6 +312,7 @@ class Scene:
     )
     # STATIC per-scene traversal backend: "" = defer to the module global
     # (models/path_tracer.TRAVERSAL_IMPL), "xla" = batched gather loop,
-    # "pallas" = packet kernel. Static so flipping it retraces — set by
+    # "pallas" = packet kernel, "wide" = 8-ary ordered-stack loop (needs
+    # scene.wide). Static so flipping it retraces — set by
     # accel/autotune.autotune_traversal (measured, per scene+backend).
     traversal: str = flax.struct.field(pytree_node=False, default="")

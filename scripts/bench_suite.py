@@ -84,9 +84,13 @@ elif name == "cornell_wf_nosort":
     fn = jax.jit(lambda s, i: wavefront.render(
         s, cam, md, spp=spp, seed=i, use_bvh=True, sort_rays=False, compact=False))
     counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
-elif name in ("bunny", "whiskey", "vader"):
-    res = min(res_big, 256) if name != "bunny" else res_big
-    scene, cam = from_xml(name + ".xml", res)
+elif name in ("bunny", "whiskey", "vader", "bunny_wide", "whiskey_wide"):
+    base = name.removesuffix("_wide")
+    res = min(res_big, 256) if base != "bunny" else res_big
+    scene, cam = from_xml(base + ".xml", res)
+    if name.endswith("_wide"):
+        from cuda_pt_tpu.accel.wide_build import with_wide
+        scene = with_wide(scene)
     fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
     counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name == "whiskey_pallas":
@@ -146,6 +150,14 @@ elif name == "cornell_vpt":
 else:
     raise SystemExit(f"unknown bench {name}")
 
+_impl = os.environ.get("BENCH_IMPL", "")
+if _impl == "wide" and scene.wide is None:
+    from cuda_pt_tpu.accel.wide_build import with_wide
+    scene = with_wide(scene)
+elif _impl == "auto":
+    from cuda_pt_tpu.accel.autotune import with_tuned_traversal
+    scene = with_tuned_traversal(scene, cam)
+
 fn(scene, 0).block_until_ready()
 reps = 3
 t0 = time.perf_counter()
@@ -186,7 +198,8 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small res/spp")
     ap.add_argument("--scenes", nargs="*", default=[
         "cornell_mega", "cornell_wf", "cornell_wf_nosort",
-        "bunny", "whiskey", "whiskey_pallas", "cornell_vpt", "cornell_grad",
+        "bunny", "bunny_wide", "whiskey", "whiskey_wide", "whiskey_pallas",
+        "cornell_vpt", "cornell_grad",
     ])
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_DETAILS.json"))
     ap.add_argument("--update-baseline", action="store_true",
