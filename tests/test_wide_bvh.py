@@ -154,6 +154,62 @@ def test_degenerate_single_leaf_tree():
     )
 
 
+def test_wide_scale_quarter_million_prims():
+    """Capacity + correctness at scale (reference design point is tens of
+    millions of prims, src/impl/scene.cu:28-29): native SAH build -> wide
+    collapse -> traversal parity vs the binary walk on aimed rays, with the
+    serial-step reduction that motivates the 8-ary layout."""
+    from cuda_pt_tpu.accel import bvh_build, native
+    from cuda_pt_tpu.scene.types import BVHArrays, Geometry
+
+    if not native.available():
+        pytest.skip("native builder unavailable")
+    n = 250_000
+    rng = np.random.default_rng(0)
+    p0 = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.02, 0.02, (n, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.02, 0.02, (n, 3)).astype(np.float32)
+    lo, hi, cent = bvh_build.prim_bounds(p0, e1, e2, np.zeros(n, bool))
+    nodes = native.build_bvh_native(lo, hi, cent, max_leaf=8)
+    order = np.asarray(nodes["order"])  # leaves index *reordered* prims
+    p0, e1, e2 = p0[order], e1[order], e2[order]
+    wb = wide_build.collapse_wide(nodes, max_leaf=8)
+    bvh = BVHArrays(
+        node_min=jnp.asarray(nodes["node_min"]),
+        node_max=jnp.asarray(nodes["node_max"]),
+        node_skip=jnp.asarray(nodes["node_skip"]),
+        node_base=jnp.asarray(nodes["node_base"]),
+        node_count=jnp.asarray(nodes["node_count"]),
+        max_leaf=8,
+    )
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    z2 = jnp.zeros((n, 2), jnp.float32)
+    geom = Geometry(
+        p0=jnp.asarray(p0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+        n0=z3, n1=z3, n2=z3, uv0=z2, uv1=z2, uv2=z2,
+        obj_idx=jnp.zeros(n, jnp.int32), is_sphere=jnp.zeros(n, bool),
+    )
+    B = 1024
+    o_np = np.full((B, 3), -1.0, np.float32)
+    idx = rng.integers(0, n, B)
+    tgt = p0[idx] + 0.25 * e1[idx] + 0.25 * e2[idx]  # a point ON prim idx
+    dn = tgt - o_np
+    dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+    o, d = jnp.asarray(o_np), jnp.asarray(dn.astype(np.float32))
+
+    rw = wide_traverse.closest_hit_wide(geom, wb, o, d, count_cost=True)
+    rb = traverse.closest_hit_bvh(geom, bvh, o, d, count_cost=True)
+    tb, tw = np.asarray(rb["t"]), np.asarray(rw["t"])
+    assert np.isfinite(tb).mean() > 0.95  # aimed rays really hit
+    ok = np.isclose(tb, tw, rtol=1e-4, atol=1e-5) | (np.isinf(tb) & np.isinf(tw))
+    assert ok.all()
+    np.testing.assert_array_equal(np.asarray(rb["prim"]), np.asarray(rw["prim"]))
+    assert int(np.asarray(rw["max_sp"]).max()) <= wb.max_stack
+    bin_steps = int(np.asarray(rb["node_cnt"]).max())
+    wide_steps = int(np.asarray(rw["pop_cnt"]).max())
+    assert wide_steps * 2 < bin_steps, (wide_steps, bin_steps)
+
+
 def test_autotune_includes_wide():
     from cuda_pt_tpu.accel import autotune
 
