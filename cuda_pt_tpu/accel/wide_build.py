@@ -38,8 +38,15 @@ def _surface_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
-def collapse_wide(nodes: dict, max_leaf: int = 4) -> WideBVHArrays:
-    """nodes: the binary builder dict (node_min/max/skip/base/count)."""
+def collapse_wide(nodes: dict, max_leaf: int = 4,
+                  box_dtype: str = "f32") -> WideBVHArrays:
+    """nodes: the binary builder dict (node_min/max/skip/base/count).
+
+    box_dtype="bf16" stores child AABBs as bfloat16 rounded *outward*
+    (minima down, maxima up — ops/pallas/traverse_kernel._bf16_directed),
+    halving node-gather bandwidth at the cost of a few extra conservative
+    node visits; hits are never lost. The analogue of the reference's
+    half-precision CompactNode (src/core/bvh.cuh:182-251)."""
     nmin = np.asarray(nodes["node_min"], np.float32)
     nmax = np.asarray(nodes["node_max"], np.float32)
     skip = np.asarray(nodes["node_skip"], np.int64)
@@ -83,7 +90,7 @@ def collapse_wide(nodes: dict, max_leaf: int = 4) -> WideBVHArrays:
         cnode_rows[wid][0] = new_leaf(0)
         nchild = np.array([1], np.int32)
         return _finish(cmin_rows, cmax_rows, cnode_rows, leaf_base, leaf_count,
-                       nchild, max_leaf)
+                       nchild, max_leaf, box_dtype)
 
     new_wide(0)
     nchild: list = []
@@ -107,16 +114,24 @@ def collapse_wide(nodes: dict, max_leaf: int = 4) -> WideBVHArrays:
         nchild[wid] = len(frontier)
 
     return _finish(cmin_rows, cmax_rows, cnode_rows, leaf_base, leaf_count,
-                   np.asarray(nchild, np.int32), max_leaf)
+                   np.asarray(nchild, np.int32), max_leaf, box_dtype)
 
 
 def _finish(cmin_rows, cmax_rows, cnode_rows, leaf_base, leaf_count, nchild,
-            max_leaf) -> WideBVHArrays:
+            max_leaf, box_dtype="f32") -> WideBVHArrays:
     import jax.numpy as jnp
 
     cmin = np.stack(cmin_rows)
     cmax = np.stack(cmax_rows)
     cnode = np.stack(cnode_rows)
+    box_jdtype = jnp.float32
+    if box_dtype == "bf16":
+        from ..ops.pallas.traverse_kernel import _bf16_directed
+
+        fin = np.isfinite(cmin)  # keep empty-slot ±inf sentinels intact
+        cmin = np.where(fin, _bf16_directed(cmin, up=False), cmin)
+        cmax = np.where(fin, _bf16_directed(cmax, up=True), cmax)
+        box_jdtype = jnp.bfloat16
 
     # Safe stack bound: popping a node replaces 1 entry by its c children
     # (net +c-1); the worst lane is the root path maximizing sum(c-1).
@@ -135,8 +150,8 @@ def _finish(cmin_rows, cmax_rows, cnode_rows, leaf_base, leaf_count, nchild,
     if not leaf_base:  # keep arrays non-empty for gather safety
         leaf_base, leaf_count = [0], [0]
     return WideBVHArrays(
-        child_min=jnp.asarray(cmin),
-        child_max=jnp.asarray(cmax),
+        child_min=jnp.asarray(cmin, box_jdtype),
+        child_max=jnp.asarray(cmax, box_jdtype),
         child_node=jnp.asarray(cnode),
         leaf_base=jnp.asarray(np.asarray(leaf_base, np.int32)),
         leaf_count=jnp.asarray(np.asarray(leaf_count, np.int32)),
@@ -145,7 +160,7 @@ def _finish(cmin_rows, cmax_rows, cnode_rows, leaf_base, leaf_count, nchild,
     )
 
 
-def from_bvharrays(bvh) -> WideBVHArrays:
+def from_bvharrays(bvh, box_dtype: str = "f32") -> WideBVHArrays:
     """Collapse an already-device BVHArrays (pulls arrays to host once)."""
     nodes = {
         "node_min": np.asarray(bvh.node_min),
@@ -154,10 +169,10 @@ def from_bvharrays(bvh) -> WideBVHArrays:
         "node_base": np.asarray(bvh.node_base),
         "node_count": np.asarray(bvh.node_count),
     }
-    return collapse_wide(nodes, max_leaf=bvh.max_leaf)
+    return collapse_wide(nodes, max_leaf=bvh.max_leaf, box_dtype=box_dtype)
 
 
-def with_wide(scene):
+def with_wide(scene, box_dtype: str = "f32"):
     """Return scene with a wide BVH attached and traversal pinned to it."""
-    wide = from_bvharrays(scene.bvh)
+    wide = from_bvharrays(scene.bvh, box_dtype=box_dtype)
     return scene.replace(wide=wide, traversal="wide")

@@ -49,9 +49,11 @@ class _WideState:
 
 
 def _child_slabs(wb: WideBVHArrays, nid, o, inv_d, t_best):
-    """(B,8) t_near + hit mask for the 8 children of wide nodes nid."""
-    cmin = wb.child_min[nid]  # (B, 8, 3)
-    cmax = wb.child_max[nid]
+    """(B,8) t_near + hit mask for the 8 children of wide nodes nid.
+    bf16 boxes (conservatively rounded outward at build) upcast to f32
+    after the gather — the bandwidth saving is in the gather itself."""
+    cmin = wb.child_min[nid].astype(jnp.float32)  # (B, 8, 3)
+    cmax = wb.child_max[nid].astype(jnp.float32)
     t0 = (cmin - o[:, None, :]) * inv_d[:, None, :]
     t1 = (cmax - o[:, None, :]) * inv_d[:, None, :]
     tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (B, 8)

@@ -210,6 +210,46 @@ def test_wide_scale_quarter_million_prims():
     assert wide_steps * 2 < bin_steps, (wide_steps, bin_steps)
 
 
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference scenes not mounted")
+def test_wide_bf16_boxes_conservative_and_exact_hits():
+    """bf16 child boxes are rounded outward, so they can only ADMIT extra
+    node visits — closest hits must be bit-identical to the f32 wide walk
+    (prim intersection math stays f32 either way)."""
+    from cuda_pt_tpu.scene.xml_parser import load_xml
+
+    ps = load_xml(os.path.join(REF, "bunny.xml"), override_res=(32, 32))
+    scene = ps.scene
+    wf = wide_build.from_bvharrays(scene.bvh)
+    wh = wide_build.from_bvharrays(scene.bvh, box_dtype="bf16")
+    assert wh.child_min.dtype == jnp.bfloat16
+    # containment: bf16 box ⊇ f32 box on every real slot
+    fin = np.isfinite(np.asarray(wf.child_min, np.float32))
+    lo16 = np.asarray(wh.child_min, np.float32)
+    hi16 = np.asarray(wh.child_max, np.float32)
+    lo32 = np.asarray(wf.child_min, np.float32)
+    hi32 = np.asarray(wf.child_max, np.float32)
+    assert (lo16[fin] <= lo32[fin]).all()
+    assert (hi16[fin] >= hi32[fin]).all()
+
+    B = 32 * 32
+    st = prng.seed(jnp.uint32(11), jnp.arange(B, dtype=jnp.uint32))
+    o, d, _ = cam_mod.generate_rays(ps.camera, jnp.arange(B, dtype=jnp.int32), st)
+    rf = wide_traverse.closest_hit_wide(scene.geom, wf, o, d)
+    rh = wide_traverse.closest_hit_wide(scene.geom, wh, o, d)
+    # t is bit-identical (prim math is f32 both ways; conservative boxes can
+    # only ADD candidate prims, never drop the true closest). prim may differ
+    # only on exact-t ties (shared mesh edges) where visit order breaks the
+    # tie — assert those lanes really are ties.
+    np.testing.assert_array_equal(np.asarray(rf["t"]), np.asarray(rh["t"]))
+    pf, ph = np.asarray(rf["prim"]), np.asarray(rh["prim"])
+    tie = pf != ph
+    assert ((np.asarray(rf["t"]) == np.asarray(rh["t"])) | ~tie).all()
+    assert tie.mean() < 0.02, f"{tie.sum()} differing prims is not a tie tail"
+    occf = wide_traverse.occlusion_wide(scene.geom, wf, o, d, rf["t"] * 0.9)
+    occh = wide_traverse.occlusion_wide(scene.geom, wh, o, d, rf["t"] * 0.9)
+    np.testing.assert_array_equal(np.asarray(occf), np.asarray(occh))
+
+
 def test_autotune_includes_wide():
     from cuda_pt_tpu.accel import autotune
 
