@@ -164,16 +164,27 @@ def main():
             best = max(results, key=lambda r: r["mrays"])
             _emit("cornell_pt_mrays_per_s", best["mrays"])
             return
-    # tunnel down or every accelerator config failed: CPU fallback
-    res = _run_code(_CHILD_CODE, ["cpu"], TIMEOUT_S,
-                    {"BENCH_IMPL": "xla", "BENCH_RENDERER": "megakernel"})
-    if res is None:
+    # tunnel down or every accelerator config failed: CPU fallback — still
+    # tuned (compacted wavefront beats the megakernel ~2x on CPU)
+    results = []
+    for cfg in (
+        {"name": "xla_wf", "BENCH_IMPL": "xla", "BENCH_RENDERER": "wavefront"},
+        {"name": "xla_mega", "BENCH_IMPL": "xla", "BENCH_RENDERER": "megakernel"},
+    ):
+        env = {k: v for k, v in cfg.items() if k != "name"}
+        r = _run_code(_CHILD_CODE, ["cpu"], TIMEOUT_S, env)
+        if r:
+            results.append(dict(r, config=cfg["name"]))
+    with open(os.path.join(_HERE, "BENCH_SWEEP.json"), "w") as f:
+        json.dump({"backend": "cpu_fallback", "results": results}, f, indent=1)
+    if not results:
         print(json.dumps({
             "metric": "cornell_pt_mrays_per_s",
             "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
         }))
         return
-    _emit("cornell_pt_mrays_per_s_cpu_fallback", res["mrays"])
+    best = max(results, key=lambda r: r["mrays"])
+    _emit("cornell_pt_mrays_per_s_cpu_fallback", best["mrays"])
 
 
 if __name__ == "__main__":
