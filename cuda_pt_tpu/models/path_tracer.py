@@ -337,21 +337,26 @@ def init_state(o, d, rng) -> PTState:
 
 def trace_paths_final(
     scene: T.Scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
-    differentiable: bool = False,
+    differentiable: bool | str = False,
 ) -> PTState:
     """Run the bounce loop to completion; returns the final PTState.
 
     Forward-only renders use an early-exiting while_loop; reverse-mode AD
     needs a static trip count, so differentiable renders run exactly
-    md.max_depth masked bounces (fori_loop → scan under grad)."""
+    md.max_depth masked bounces (fori_loop → scan under grad).
+
+    differentiable="remat" wraps each bounce in ``jax.checkpoint``: the
+    backward pass recomputes the bounce body instead of saving its
+    activations, cutting peak HBM by ~max_depth× (the lever that lets
+    512²-scale gradient renders fit) for ~1 extra forward of compute.
+    Gradients are bit-for-bit the same estimator (tests/test_diff_render)."""
     state = init_state(o, d, rng)
 
     if differentiable:
-        return jax.lax.fori_loop(
-            0, md.max_depth,
-            lambda i, s: pt_bounce(scene, md, use_bvh, s, fixed_rr=True),
-            state,
-        )
+        bounce = lambda s: pt_bounce(scene, md, use_bvh, s, fixed_rr=True)  # noqa: E731
+        if differentiable == "remat":
+            bounce = jax.checkpoint(bounce)
+        return jax.lax.fori_loop(0, md.max_depth, lambda i, s: bounce(s), state)
 
     def cond(s: PTState):
         return jnp.any(s.active) & (s.bounce < md.max_depth)
@@ -364,7 +369,7 @@ def trace_paths_final(
 
 def trace_paths(
     scene: T.Scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
-    differentiable: bool = False,
+    differentiable: bool | str = False,
 ):
     """Radiance (B, 3) for a batch of camera rays."""
     return trace_paths_final(scene, md, o, d, rng, use_bvh, differentiable).L
@@ -407,7 +412,7 @@ def render_sample(
     seed,
     sample_idx,
     use_bvh: bool,
-    differentiable: bool = False,
+    differentiable: bool | str = False,
 ):
     """One 1-spp pass over all pixels → (H, W, 3) radiance."""
     B = cam.width * cam.height
@@ -430,7 +435,7 @@ def render_pass_batched(
     pass_idx,
     k: int,
     use_bvh: bool,
-    differentiable: bool = False,
+    differentiable: bool | str = False,
 ):
     """k samples/pixel in ONE flat batch (B = W*H*k lanes) → (H, W, 3) sum.
 
@@ -462,13 +467,15 @@ def render(
     spp: int,
     seed: int = 0,
     use_bvh=None,
-    differentiable: bool = False,
+    differentiable: bool | str = False,
     samples_per_pass: int = 1,
 ):
     """Multi-spp render with on-device accumulation (lax.fori over passes).
 
     With differentiable=True the whole estimator is reverse-mode
-    differentiable w.r.t. the scene tables. samples_per_pass folds k samples
+    differentiable w.r.t. the scene tables; "remat" additionally
+    checkpoints each bounce (same gradients, ~max_depth× less activation
+    memory, ~2× backward compute). samples_per_pass folds k samples
     into one flat batch per pass (must divide spp). Returns (H, W, 3) mean.
     """
     if use_bvh is None:

@@ -374,11 +374,12 @@ def trace_paths(scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
     — returns (L, lane_perm) instead of L so the caller can splat."""
     state = init_state(scene, o, d, rng)
     if differentiable:
-        final = jax.lax.fori_loop(
-            0, md.max_depth,
-            lambda i, s: vpt_bounce(scene, md, use_bvh, s, fixed_rr=True),
-            state,
-        )
+        # "remat" checkpoints each bounce: backward recomputes the bounce
+        # body instead of saving its activations (see path_tracer).
+        bounce = lambda s: vpt_bounce(scene, md, use_bvh, s, fixed_rr=True)  # noqa: E731
+        if differentiable == "remat":
+            bounce = jax.checkpoint(bounce)
+        final = jax.lax.fori_loop(0, md.max_depth, lambda i, s: bounce(s), state)
         return (final.L, None) if compact else final.L
 
     if not compact:

@@ -97,6 +97,79 @@ def test_grad_homogeneous_sigma_matches_fd():
     assert g_ad != 0.0
 
 
+def test_remat_gradients_match(cbox):
+    """differentiable="remat" (jax.checkpoint per bounce) is the SAME
+    estimator: identical primal image, gradients equal to the non-remat
+    path up to fp reassociation."""
+    scene, cam, md = cbox
+
+    def make(diff):
+        def f(s):
+            sc = scene.replace(
+                emitters=scene.emitters.replace(
+                    scaler=scene.emitters.scaler.at[1].set(s))
+            )
+            return jnp.mean(
+                pt.render(sc, cam, md, spp=2, seed=3, use_bvh=False,
+                          differentiable=diff))
+        return f
+
+    s0 = jnp.float32(12.0)
+    v_plain, g_plain = jax.value_and_grad(make(True))(s0)
+    v_remat, g_remat = jax.value_and_grad(make("remat"))(s0)
+    np.testing.assert_array_equal(np.asarray(v_plain), np.asarray(v_remat))
+    np.testing.assert_allclose(float(g_plain), float(g_remat), rtol=1e-6)
+
+
+def test_remat_gradients_match_vpt():
+    scene0, cam, bld = testscenes.cornell_box(width=8, height=8)
+    md = MaxDepthParams(max_depth=3)
+
+    def make(diff):
+        def f(s):
+            sc = scene0.replace(
+                emitters=scene0.emitters.replace(
+                    scaler=scene0.emitters.scaler.at[1].set(s))
+            )
+            return jnp.mean(
+                volume_pt.render(sc, cam, md, spp=2, seed=4, use_bvh=False,
+                                 differentiable=diff))
+        return f
+
+    s0 = jnp.float32(10.0)
+    v_plain, g_plain = jax.value_and_grad(make(True))(s0)
+    v_remat, g_remat = jax.value_and_grad(make("remat"))(s0)
+    np.testing.assert_array_equal(np.asarray(v_plain), np.asarray(v_remat))
+    np.testing.assert_allclose(float(g_plain), float(g_remat), rtol=1e-6)
+
+
+def test_remat_cuts_backward_memory():
+    """The point of "remat": XLA's own accounting shows the backward pass
+    needs a fraction of the activation memory (2.6x at 64² depth 8; the
+    ratio grows with depth x resolution)."""
+    scene, cam, _ = testscenes.cornell_box(width=64, height=64)
+    md = MaxDepthParams(max_depth=8)
+
+    def loss(diff):
+        def f(s):
+            sc = scene.replace(emitters=scene.emitters.replace(
+                scaler=scene.emitters.scaler.at[1].set(s)))
+            return jnp.mean(pt.render(sc, cam, md, spp=4, seed=3,
+                                      use_bvh=True, differentiable=diff))
+        return f
+
+    def temp_bytes(diff):
+        c = jax.jit(jax.grad(loss(diff))).lower(jnp.float32(12.0)).compile()
+        ma = c.memory_analysis()
+        return None if ma is None else ma.temp_size_in_bytes
+
+    plain = temp_bytes(True)
+    if not plain:  # backend without memory analysis
+        pytest.skip("memory_analysis unavailable on this backend")
+    remat = temp_bytes("remat")
+    assert remat * 2 < plain, (remat, plain)
+
+
 def test_grad_env_scale_matches_fd():
     scene, cam, _ = testscenes.furnace(width=10, height=10, albedo=0.6)
     md = MaxDepthParams(max_depth=4, max_diffuse=4)
