@@ -483,12 +483,21 @@ def render(
     k = max(1, samples_per_pass)
     assert spp % k == 0, (spp, k)
 
-    def body(i, acc):
+    def one_pass(i):
         if k == 1:
-            return acc + render_sample(scene, cam, md, seed, i, use_bvh, differentiable)
-        return acc + render_pass_batched(
+            return render_sample(scene, cam, md, seed, i, use_bvh, differentiable)
+        return render_pass_batched(
             scene, cam, md, seed, i, k, use_bvh, differentiable
         )
+
+    if differentiable == "remat":
+        # also checkpoint per PASS: under grad the pass fori_loop becomes a
+        # scan whose residuals are each pass's bounce carries — rematting
+        # the pass body makes grad memory independent of spp.
+        one_pass = jax.checkpoint(one_pass)
+
+    def body(i, acc):
+        return acc + one_pass(i)
 
     acc = jax.lax.fori_loop(
         0, spp // k, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)

@@ -484,7 +484,7 @@ def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,
     B = cam.width * cam.height
     lane = jnp.arange(B, dtype=jnp.int32)
 
-    def body(i, acc):
+    def one_pass(i):
         rng = prng.seed(
             jnp.asarray(seed, jnp.uint32)
             + jnp.asarray(i, jnp.uint32) * jnp.uint32(9781),
@@ -497,7 +497,15 @@ def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,
         else:
             L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
             img = L
-        return acc + img.reshape(cam.height, cam.width, 3)
+        return img.reshape(cam.height, cam.width, 3)
+
+    if differentiable == "remat":
+        # per-pass checkpoint: grad memory independent of spp (see
+        # path_tracer.render)
+        one_pass = jax.checkpoint(one_pass)
+
+    def body(i, acc):
+        return acc + one_pass(i)
 
     acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32))
     return acc / spp
