@@ -146,8 +146,13 @@ def render_train_step(
     mesh: Mesh,
     spp: int = 1,
     seed: int = 0,
+    remat: bool = False,
 ):
     """One differentiable-render training step (inverse-rendering style).
+
+    remat=True checkpoints each bounce and pass (jax.checkpoint): same
+    gradients, backward memory independent of spp and depth — use it when
+    the grad render does not fit HBM.
 
     Loss = MSE(render, target); returns (loss, grads) where grads cover the
     differentiable scene tables (BSDF/emitter/media). Gradients are psum'd
@@ -168,7 +173,8 @@ def render_train_step(
                 sigma_a=p["sigma_a"], sigma_s=p["sigma_s"], scale=p["med_scale"]
             ),
         )
-        img = render_distributed(s, cam, md, spp, mesh, seed=seed, differentiable=True)
+        img = render_distributed(s, cam, md, spp, mesh, seed=seed,
+                                 differentiable="remat" if remat else True)
         return jnp.mean((img - target) ** 2)
 
     params = diff_params(scene)

@@ -63,6 +63,17 @@ def test_train_step_grads_allreduced(cbox):
     g_em = np.asarray(grads["emission"])
     assert g_em[1].sum() > 0.0
 
+    # remat=True is the same estimator: identical loss and gradients
+    loss_r, grads_r = jax.jit(
+        lambda s: dist.render_train_step(s, cam, md, target, mesh, spp=2,
+                                         seed=0, remat=True)
+    )(scene)
+    np.testing.assert_array_equal(np.asarray(loss), np.asarray(loss_r))
+    for a, b in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(grads_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
 
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
