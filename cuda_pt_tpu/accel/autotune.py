@@ -84,20 +84,26 @@ def autotune_traversal(scene: T.Scene, cam=None, n_rays: int = 4096,
     if key in _CACHE:
         return dict(_CACHE[key], cached=True)
 
-    candidates = ["xla", "wide"]
+    candidates = ["xla", "wide", "wide_bf16"]
     if scene.forest is not None or tk.scene_fits_vmem(scene.geom, scene.bvh):
         candidates.append("pallas")
 
+    from . import wide_build
+
     wide = scene.wide
     if wide is None:
-        from . import wide_build
-
         wide = wide_build.from_bvharrays(scene.bvh)
+    # bf16 variant: conservatively rounded boxes, half the node-gather bytes
+    wide_bf16 = wide_build.from_bvharrays(scene.bvh, box_dtype="bf16")
+    wide_of = {"wide": wide, "wide_bf16": wide_bf16}
 
     o, d = _probe_rays(scene, cam, n_rays)
     timings: dict[str, float] = {}
     for impl in candidates:
-        sc = scene.replace(traversal=impl, wide=wide if impl == "wide" else scene.wide)
+        sc = scene.replace(
+            traversal="wide" if impl in wide_of else impl,
+            wide=wide_of.get(impl, scene.wide),
+        )
 
         def hot(s, o, d):
             res = pt.closest_hit(s, o, d, use_bvh=True)
@@ -123,7 +129,8 @@ def autotune_traversal(scene: T.Scene, cam=None, n_rays: int = 4096,
     best = min(timings, key=timings.get)
     if not np.isfinite(timings[best]):
         best = "xla"
-    out = {"impl": best, "timings_ms": timings, "wide": wide}
+    out = {"impl": best, "timings_ms": timings,
+           "wide": wide_of.get(best, wide)}
     _CACHE[key] = out
     if verbose:
         print(f"[autotune] {key[0]}: {timings} -> {best}")
@@ -132,8 +139,8 @@ def autotune_traversal(scene: T.Scene, cam=None, n_rays: int = 4096,
 
 def with_tuned_traversal(scene: T.Scene, cam=None, **kw) -> T.Scene:
     """Scene with ``traversal`` pinned to the measured winner (and the wide
-    BVH attached when the 8-ary backend wins)."""
+    BVH — f32 or bf16 — attached when an 8-ary backend wins)."""
     res = autotune_traversal(scene, cam, **kw)
-    if res["impl"] == "wide":
-        scene = scene.replace(wide=res["wide"])
+    if res["impl"].startswith("wide"):
+        return scene.replace(wide=res["wide"], traversal="wide")
     return scene.replace(traversal=res["impl"])
