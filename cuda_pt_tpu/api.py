@@ -124,6 +124,15 @@ class Renderer:
             self.render_raw()
         return np.asarray(self.film.mean)
 
+    def render_aovs(self, spp: int = 1) -> dict:
+        """First-hit denoiser AOVs (albedo/normal/emission/depth/coverage)
+        as numpy arrays — see models/debug_renderers.render_aovs."""
+        out = jax.jit(
+            lambda s, c: debug_renderers.render_aovs(
+                s, c, spp=spp, seed=self.seed, use_bvh=self.use_bvh)
+        )(self.scene, self.camera)
+        return {k: np.asarray(v) for k, v in out.items()}
+
     def variance(self) -> np.ndarray:
         return np.asarray(film_mod.variance(self.film))
 
