@@ -133,6 +133,23 @@ class Renderer:
         )(self.scene, self.camera)
         return {k: np.asarray(v) for k, v in out.items()}
 
+    def denoise(self, aov_spp: int = 4) -> np.ndarray:
+        """Edge-avoiding à-trous denoise of the accumulated film using
+        freshly rendered first-hit AOVs (models/denoise.atrous_denoise).
+        AOVs use a decorrelated seed — measured better than seed-aligned
+        (tests/test_denoise.py)."""
+        from .models import denoise as dn
+
+        out = jax.jit(
+            lambda s, c, img: dn.atrous_denoise(
+                img,
+                debug_renderers.render_aovs(
+                    s, c, spp=aov_spp, seed=self.seed + 7919,
+                    use_bvh=self.use_bvh),
+            )
+        )(self.scene, self.camera, self.film.mean)
+        return np.asarray(out)
+
     def variance(self) -> np.ndarray:
         return np.asarray(film_mod.variance(self.film))
 

