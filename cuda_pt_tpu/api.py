@@ -124,14 +124,21 @@ class Renderer:
             self.render_raw()
         return np.asarray(self.film.mean)
 
+    def _jit_cached(self, key, make):
+        """Per-instance jit cache: building a fresh lambda every call would
+        retrace each time (the viewer calls denoise per frame)."""
+        cache = self.__dict__.setdefault("_jits", {})
+        if key not in cache:
+            cache[key] = jax.jit(make())
+        return cache[key]
+
     def render_aovs(self, spp: int = 1) -> dict:
         """First-hit denoiser AOVs (albedo/normal/emission/depth/coverage)
         as numpy arrays — see models/debug_renderers.render_aovs."""
-        out = jax.jit(
+        f = self._jit_cached(("aovs", spp), lambda: (
             lambda s, c: debug_renderers.render_aovs(
-                s, c, spp=spp, seed=self.seed, use_bvh=self.use_bvh)
-        )(self.scene, self.camera)
-        return {k: np.asarray(v) for k, v in out.items()}
+                s, c, spp=spp, seed=self.seed, use_bvh=self.use_bvh)))
+        return {k: np.asarray(v) for k, v in f(self.scene, self.camera).items()}
 
     def denoise(self, aov_spp: int = 4) -> np.ndarray:
         """Edge-avoiding à-trous denoise of the accumulated film using
@@ -140,15 +147,14 @@ class Renderer:
         (tests/test_denoise.py)."""
         from .models import denoise as dn
 
-        out = jax.jit(
+        f = self._jit_cached(("denoise", aov_spp), lambda: (
             lambda s, c, img: dn.atrous_denoise(
                 img,
                 debug_renderers.render_aovs(
                     s, c, spp=aov_spp, seed=self.seed + 7919,
                     use_bvh=self.use_bvh),
-            )
-        )(self.scene, self.camera, self.film.mean)
-        return np.asarray(out)
+            )))
+        return np.asarray(f(self.scene, self.camera, self.film.mean))
 
     def variance(self) -> np.ndarray:
         return np.asarray(film_mod.variance(self.film))

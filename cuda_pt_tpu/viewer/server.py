@@ -46,6 +46,8 @@ canvas{image-rendering:pixelated;border:1px solid #444}
 <option value="vpt">volumetric PT</option><option value="lt">light tracer</option>
 <option value="depth">depth</option><option value="bvh-cost">BVH cost</option>
 </select>
+<div class=row><label><input type="checkbox" style="width:auto"
+ onchange="post({kind:'denoise', value:this.checked})"> denoise (à-trous)</label></div>
 <h3>Camera (WASD+RF move, drag rotate)</h3>
 <h3>Emitters</h3><div id="emitters"></div>
 <h3>Materials</h3><div id="materials"></div>
@@ -106,6 +108,7 @@ class ViewerState:
         # restarts accumulation (tests observe this instead of racing the
         # spp counter — VERDICT r1 flagged the polling test as flaky)
         self.generation = 0
+        self.denoise_on = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
 
     def start(self):
@@ -121,8 +124,18 @@ class ViewerState:
                     self.dirty = False
                     self.generation += 1
             self.renderer.render_raw()  # 1 spp accumulate (render_online)
+            if self.denoise_on:
+                import numpy as np
+
+                from ..core import film as film_mod
+
+                lin = self.renderer.denoise(aov_spp=1)
+                arr = np.asarray(
+                    (film_mod.to_srgb(lin) * 255).astype("uint8"))
+            else:
+                arr = self.renderer.get_image_buffer()
             buf = io.BytesIO()
-            Image.fromarray(self.renderer.get_image_buffer()).save(buf, "PNG")
+            Image.fromarray(arr).save(buf, "PNG")
             self.png = buf.getvalue()
 
     # ---- hot-reload ops (called from HTTP handlers) ----------------------
@@ -136,6 +149,8 @@ class ViewerState:
 
                 r.rtype = RendererType(msg["value"])
                 r._render_1spp = r._build()
+            elif kind == "denoise":
+                self.denoise_on = bool(msg["value"])
             elif kind == "camera_move":
                 r.camera = cam_mod.move(r.camera, msg["delta"])
             elif kind == "camera_rotate":

@@ -89,3 +89,19 @@ def test_viewer_camera_move(viewer):
     time.sleep(0.5)
     t_after = np.asarray(state.renderer.camera.t)
     assert not np.allclose(t_before, t_after)
+
+
+def test_viewer_denoise_toggle(viewer):
+    state, port = viewer
+    _post(port, "/update", {"kind": "denoise", "value": True})
+    assert state.denoise_on
+    # the loop keeps serving valid (denoised) frames
+    deadline = time.time() + 120
+    png = b""
+    start_gen = state.renderer.counter()
+    while time.time() < deadline and state.renderer.counter() < start_gen + 2:
+        time.sleep(0.5)
+    png = _get(port, "/frame.png")
+    assert png[:4] == b"\x89PNG"
+    _post(port, "/update", {"kind": "denoise", "value": False})
+    assert not state.denoise_on
