@@ -43,6 +43,10 @@ class BVHConfig:
     overlap_w: float = 1.0  # SAH overlap-area penalty weight
     use_sbvh: bool = False
     use_ref_unsplit: bool = False
+    # SBVH duplicate-reference budget as a fraction of the prim count
+    # (scripts/sbvh_budget_sweep.py measures the tradeoff per scene);
+    # None = 0.5 with reference unsplitting, 1.0 without (round-1 defaults)
+    dup_budget_frac: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)

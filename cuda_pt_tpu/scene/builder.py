@@ -236,10 +236,13 @@ class SceneBuilder:
         if cfg.use_sbvh:
             from ..accel import native as _native
 
+            budget = cfg.dup_budget_frac
+            if budget is None:
+                budget = 0.5 if cfg.use_ref_unsplit else 1.0
             nodes = _native.build_sbvh_native(
                 p0, e1, e2, is_sphere,
                 max_leaf=cfg.max_prims_per_leaf, overlap_w=cfg.overlap_w,
-                dup_budget_frac=0.5 if cfg.use_ref_unsplit else 1.0,
+                dup_budget_frac=budget,
             )
         if nodes is None:
             lo, hi, cent = bvh_build.prim_bounds(p0, e1, e2, is_sphere)

@@ -11,6 +11,7 @@ functions. Implemented on xml.etree — no tinyxml2.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import xml.etree.ElementTree as ET
 
@@ -148,7 +149,12 @@ def load_xml(path: str, override_res=None) -> ParsedScene:
         use_ref_unsplit=_get_bool(accel, "use_ref_unsplit", False)
         if accel is not None
         else False,
+        dup_budget_frac=_get_float(accel, "dup_budget_frac", -1.0)
+        if accel is not None
+        else -1.0,
     )
+    if bvh_cfg.dup_budget_frac is not None and bvh_cfg.dup_budget_frac < 0:
+        bvh_cfg = dataclasses.replace(bvh_cfg, dup_budget_frac=None)
 
     # ---- textures --------------------------------------------------------
     tex_packs = {}  # id -> {slot: atlas_tex_id}
