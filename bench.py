@@ -31,7 +31,12 @@ TIMEOUT_S = 480
 PROBE_TIMEOUT_S = 120
 
 # The on-accelerator tuning ladder (ROADMAP #2: sweep impl × renderer).
+# brute_* rows use the framework's own small-scene default (41-prim cornell
+# sits under BRUTE_FORCE_MAX_PRIMS=64, where vectorized all-prims tests beat
+# any tree walk — measured 3.6× on CPU); the BVH rows record traversal perf.
 SWEEP = [
+    {"name": "brute_mega", "BENCH_RENDERER": "megakernel", "BENCH_USE_BVH": "0"},
+    {"name": "brute_wf", "BENCH_RENDERER": "wavefront", "BENCH_USE_BVH": "0"},
     {"name": "xla_mega", "BENCH_IMPL": "xla", "BENCH_RENDERER": "megakernel"},
     {"name": "wide_mega", "BENCH_IMPL": "wide", "BENCH_RENDERER": "megakernel"},
     {"name": "wide_bf16_mega", "BENCH_IMPL": "wide", "BENCH_RENDERER": "megakernel",
@@ -66,6 +71,7 @@ K = int(os.environ.get("BENCH_SPP_PER_PASS", "1"))
 RENDERER = os.environ.get("BENCH_RENDERER", "megakernel")
 FOREST_CHUNK = int(os.environ.get("BENCH_FOREST_CHUNK", "0"))
 NODE_FMT = os.environ.get("BENCH_NODE_FMT", "f32")
+USE_BVH = os.environ.get("BENCH_USE_BVH", "1") == "1"
 
 W = H = 512 if backend != "cpu" else 128
 SPP = 16 if backend != "cpu" else 2
@@ -92,10 +98,10 @@ if RENDERER == "wavefront":
     from cuda_pt_tpu.models import wavefront
 
     fn = jax.jit(lambda s, seed: wavefront.render(
-        s, cam, md, spp=SPP, seed=seed, use_bvh=True, compact=True))
+        s, cam, md, spp=SPP, seed=seed, use_bvh=USE_BVH, compact=True))
 else:
     fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed,
-                                           use_bvh=True, samples_per_pass=K))
+                                           use_bvh=USE_BVH, samples_per_pass=K))
 fn(scene, 0).block_until_ready()
 t0 = time.perf_counter()
 reps = 3
@@ -107,7 +113,7 @@ dt = (time.perf_counter() - t0) / reps
 # measured traced rays (segments + shadow) for one representative seed —
 # wavefront permutes lanes but traces the identical per-lane streams
 rays = int(jax.jit(lambda s: pt.count_rays(s, cam, md, spp=SPP, seed=1,
-                                           use_bvh=True))(scene))
+                                           use_bvh=USE_BVH))(scene))
 mrays = rays / dt / 1e6
 print(json.dumps({"mrays": mrays, "backend": jax.default_backend(),
                   "w": W, "spp": SPP, "sec_per_frame": dt, "rays": rays}))
@@ -168,8 +174,9 @@ def main():
     # tuned (compacted wavefront beats the megakernel ~2x on CPU)
     results = []
     for cfg in (
+        {"name": "brute_mega", "BENCH_RENDERER": "megakernel",
+         "BENCH_USE_BVH": "0"},
         {"name": "xla_wf", "BENCH_IMPL": "xla", "BENCH_RENDERER": "wavefront"},
-        {"name": "xla_mega", "BENCH_IMPL": "xla", "BENCH_RENDERER": "megakernel"},
     ):
         env = {k: v for k, v in cfg.items() if k != "name"}
         r = _run_code(_CHILD_CODE, ["cpu"], TIMEOUT_S, env)
