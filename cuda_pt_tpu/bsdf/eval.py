@@ -166,7 +166,8 @@ def eval_bsdf(ctx, wo: jnp.ndarray, wi: jnp.ndarray):
 
 
 def sample_bsdf(ctx, wo: jnp.ndarray, rng_state: jnp.ndarray,
-                wl: jnp.ndarray | None = None):
+                wl: jnp.ndarray | None = None,
+                u_wl: jnp.ndarray | None = None):
     """Sample a continuation direction for every ray.
 
     Returns (out dict, new rng_state) where out = {wi, weight (=f cos / pdf),
@@ -176,10 +177,17 @@ def sample_bsdf(ctx, wo: jnp.ndarray, rng_state: jnp.ndarray,
     afterwards — per-event resampling would make the η² radiance-transport
     factors of different events non-telescoping and bias the estimator hot
     (E[1/η₁²]·E[η₂²] > 1 by Jensen).
+
+    ``u_wl`` optionally overrides the wavelength uniform with a caller-
+    provided (B,) value — the renderers pass a per-sample *stratified*
+    uniform (path_tracer.wl_stratum_u) so consecutive samples of a pixel
+    cover the spectrum evenly instead of clumping. The internal draw still
+    advances the stream so enabling stratification shifts no other draw.
     """
     u_dir, rng_state = prng.next2d(rng_state)
     u_lobe, rng_state = prng.next1d(rng_state)
-    u_wl, rng_state = prng.next1d(rng_state)
+    u_wl_drawn, rng_state = prng.next1d(rng_state)
+    u_wl = u_wl_drawn if u_wl is None else u_wl
     if wl is None:
         wl = jnp.zeros(wo.shape[0], jnp.float32)
 

@@ -53,6 +53,35 @@ class PTState:
     wl: jnp.ndarray  # locked dispersion wavelength (0 = unset)
     bounce: jnp.ndarray
     rays: jnp.ndarray  # per-lane count of traced rays (segments + shadow)
+    # stratified wavelength uniform for the first dispersive event (None =
+    # plain per-bounce draw); constant along the path, permutes with lanes
+    wl_u: jnp.ndarray | None = None
+
+
+# Strata count for dispersion-wavelength jittered stratification.
+WL_STRATA = 16
+
+
+def wl_stratum_u(seed, s_idx, lane: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane stratified uniform for the dispersion wavelength.
+
+    Sample s of a pixel draws its wavelength from stratum ``s % WL_STRATA``
+    of [0,1), jittered by a hash decorrelated from the main path stream (so
+    stratification shifts no other draw). Unbiased (jittered stratification)
+    and cuts the λ→RGB integration variance of dispersive paths ~K× for the
+    smooth part of the integrand — the obtainable slice of hero-wavelength
+    sampling: through a *delta* dispersive refraction (the only dispersive
+    lobe here and in reference src/bsdf/dispersion.cuh) non-hero wavelengths
+    have zero MIS weight, so carrying 4 wavelengths degenerates to one.
+    """
+    s_idx = jnp.asarray(s_idx, jnp.uint32)
+    st = prng.seed(
+        jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0xA511E9B3),
+        lane.astype(jnp.uint32) * jnp.uint32(7919) + s_idx,
+    )
+    u, _ = prng.next1d(st)
+    stratum = (s_idx % jnp.uint32(WL_STRATA)).astype(jnp.float32)
+    return (jnp.broadcast_to(stratum, u.shape) + u) / WL_STRATA
 
 
 # Traversal backend: "xla" = batched gather loop (accel/traverse.py),
@@ -218,7 +247,7 @@ def shade_stage(
     L = L + jnp.where(nee_ok[:, None], contrib, 0.0)
 
     # ---- BSDF sampling (megakernel_pt.cu:154-160) ------------------------
-    bs, rng = bsdf_eval.sample_bsdf(ctx, wo, rng, wl=s.wl)
+    bs, rng = bsdf_eval.sample_bsdf(ctx, wo, rng, wl=s.wl, u_wl=s.wl_u)
     if guide is not None:
         u_g, rng = prng.next1d(rng)
         u2_g, rng = prng.next2d(rng)
@@ -296,6 +325,7 @@ def shade_stage(
         n_trans=n_trans,
         dist=dist_new,
         wl=jnp.where(active, bs["wl"], s.wl),
+        wl_u=s.wl_u,
         bounce=s.bounce + 1,
         rays=rays,
     )
@@ -309,7 +339,7 @@ def pt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: PTState,
     )
 
 
-def init_state(o, d, rng) -> PTState:
+def init_state(o, d, rng, wl_u=None) -> PTState:
     # Constants are derived arithmetically from the inputs so they inherit
     # any shard_map varying-axis tags (a fresh jnp.zeros would be flagged as
     # unvarying and reject the while_loop carry under a mesh).
@@ -330,6 +360,7 @@ def init_state(o, d, rng) -> PTState:
         n_trans=zero.astype(jnp.int32),
         dist=zero,
         wl=zero,
+        wl_u=wl_u,
         bounce=jnp.int32(0),
         rays=zero.astype(jnp.int32),
     )
@@ -337,7 +368,7 @@ def init_state(o, d, rng) -> PTState:
 
 def trace_paths_final(
     scene: T.Scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
-    differentiable: bool | str = False,
+    differentiable: bool | str = False, wl_u=None,
 ) -> PTState:
     """Run the bounce loop to completion; returns the final PTState.
 
@@ -350,7 +381,7 @@ def trace_paths_final(
     activations, cutting peak HBM by ~max_depth× (the lever that lets
     512²-scale gradient renders fit) for ~1 extra forward of compute.
     Gradients are bit-for-bit the same estimator (tests/test_diff_render)."""
-    state = init_state(o, d, rng)
+    state = init_state(o, d, rng, wl_u)
 
     if differentiable:
         bounce = lambda s: pt_bounce(scene, md, use_bvh, s, fixed_rr=True)  # noqa: E731
@@ -369,10 +400,12 @@ def trace_paths_final(
 
 def trace_paths(
     scene: T.Scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
-    differentiable: bool | str = False,
+    differentiable: bool | str = False, wl_u=None,
 ):
     """Radiance (B, 3) for a batch of camera rays."""
-    return trace_paths_final(scene, md, o, d, rng, use_bvh, differentiable).L
+    return trace_paths_final(
+        scene, md, o, d, rng, use_bvh, differentiable, wl_u
+    ).L
 
 
 def count_rays(
@@ -398,7 +431,9 @@ def count_rays(
             lane,
         )
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-        final = trace_paths_final(scene, md, o, d, rng, use_bvh)
+        final = trace_paths_final(
+            scene, md, o, d, rng, use_bvh, wl_u=wl_stratum_u(seed, i, lane)
+        )
         return tot + jnp.sum(final.rays)
 
     # int32 is enough: one pass of a 4k x 4k frame at depth 16 < 2^31 rays
@@ -423,7 +458,8 @@ def render_sample(
         lane,
     )
     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-    L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
+    L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
+                    wl_u=wl_stratum_u(seed, sample_idx, lane))
     return L.reshape(cam.height, cam.width, 3)
 
 
@@ -455,7 +491,8 @@ def render_pass_batched(
         pixel,
     )
     o, d, rng = cam_mod.generate_rays(cam, pixel, rng)
-    L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
+    L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
+                    wl_u=wl_stratum_u(seed, s_idx, pixel))
     img = jnp.zeros((npix, 3), jnp.float32).at[pixel].add(L)
     return img.reshape(cam.height, cam.width, 3)
 
@@ -540,7 +577,8 @@ def render_tiled(
                 lane,
             )
             o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-            return acc + trace_paths(scene_arg, md, o, d, rng, use_bvh)
+            return acc + trace_paths(scene_arg, md, o, d, rng, use_bvh,
+                                     wl_u=wl_stratum_u(seed, i, lane))
 
         acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((rows * W, 3), jnp.float32))
         return acc / spp

@@ -61,6 +61,8 @@ class VPTState:
     med_top: jnp.ndarray  # (B,) int32, -1 = ambient
     bounce: jnp.ndarray
     rays: jnp.ndarray  # per-lane traced-ray count (segments + shadow)
+    # stratified wavelength uniform (see path_tracer.wl_stratum_u)
+    wl_u: jnp.ndarray | None = None
 
 
 def _peek(s: VPTState, ambient) -> jnp.ndarray:
@@ -275,7 +277,7 @@ def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState,
         scene.media.phase_g[m][:, 1], scene.media.phase_w[m], s.d, u2, u1,
     )
     # surface: BSDF sampling
-    bs, rng = bsdf_eval.sample_bsdf(ctx, wo, rng, wl=s.wl)
+    bs, rng = bsdf_eval.sample_bsdf(ctx, wo, rng, wl=s.wl, u_wl=s.wl_u)
 
     d_new = jnp.where(med_event[:, None], d_phase, bs["wi"])
     w_new = jnp.where(med_event[:, None], 1.0, bs["weight"])  # phase: f/pdf = 1
@@ -338,6 +340,7 @@ def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState,
         n_vol=n_vol,
         dist=dist_new,
         wl=jnp.where(active & srf_event, bs["wl"], s.wl),
+        wl_u=s.wl_u,
         med_stack=med_stack,
         med_top=med_top,
         bounce=s.bounce + 1,
@@ -345,7 +348,7 @@ def vpt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: VPTState,
     )
 
 
-def init_state(scene: T.Scene, o, d, rng) -> VPTState:
+def init_state(scene: T.Scene, o, d, rng, wl_u=None) -> VPTState:
     zero = o[:, 0] * 0.0
     true_ = rng[:, 0] >= 0
     izero = zero.astype(jnp.int32)
@@ -361,6 +364,7 @@ def init_state(scene: T.Scene, o, d, rng) -> VPTState:
         n_diff=izero, n_spec=izero, n_trans=izero, n_vol=izero,
         dist=zero,
         wl=zero,
+        wl_u=wl_u,
         med_stack=izero[:, None] + jnp.full((1, MAX_NESTED), T.MEDIUM_NONE, jnp.int32),
         med_top=izero - 1,
         bounce=jnp.int32(0),
@@ -369,10 +373,11 @@ def init_state(scene: T.Scene, o, d, rng) -> VPTState:
 
 
 def trace_paths(scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
-                differentiable: bool = False, compact: bool = False):
+                differentiable: bool = False, compact: bool = False,
+                wl_u=None):
     """compact=True: live-prefix bucket compaction (see models/wavefront.py)
     — returns (L, lane_perm) instead of L so the caller can splat."""
-    state = init_state(scene, o, d, rng)
+    state = init_state(scene, o, d, rng, wl_u)
     if differentiable:
         # "remat" checkpoints each bounce: backward recomputes the bounce
         # body instead of saving its activations (see path_tracer).
@@ -465,7 +470,7 @@ def count_rays(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams,
             lane,
         )
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-        state = init_state(scene, o, d, rng)
+        state = init_state(scene, o, d, rng, pt.wl_stratum_u(seed, i, lane))
         final = jax.lax.while_loop(
             lambda s: jnp.any(s.active) & (s.bounce < md.max_depth),
             lambda s: vpt_bounce(scene, md, use_bvh, s),
@@ -491,11 +496,14 @@ def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,
             lane,
         )
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+        wl_u = pt.wl_stratum_u(seed, i, lane)
         if compact and not differentiable:
-            L, pix = trace_paths(scene, md, o, d, rng, use_bvh, compact=True)
+            L, pix = trace_paths(scene, md, o, d, rng, use_bvh, compact=True,
+                                 wl_u=wl_u)
             img = jnp.zeros((B, 3), jnp.float32).at[pix].add(L)
         else:
-            L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
+            L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
+                            wl_u=wl_u)
             img = L
         return img.reshape(cam.height, cam.width, 3)
 

@@ -68,6 +68,7 @@ def trace_paths_wavefront(
     compact: bool = False,
     compact_levels: int = 7,
     guide=None,
+    wl_u=None,
 ):
     """Bounce loop with per-bounce sort; returns (L, pixel_perm) where L[i]
     belongs to original lane pixel_perm[i].
@@ -82,7 +83,7 @@ def trace_paths_wavefront(
     ~7 (scripts/analyze_rays.py) the deep ladder keeps late bounces paying
     ~B/64 instead of the round-1 floor of B/8."""
     B = o.shape[0]
-    state = pt.init_state(o, d, rng)
+    state = pt.init_state(o, d, rng, wl_u)
     lane = jnp.arange(B, dtype=jnp.int32)
 
     def cond(carry):
@@ -174,7 +175,8 @@ def render_sample(
     )
     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
     L, pix = trace_paths_wavefront(scene, md, o, d, rng, use_bvh, sort_rays,
-                                   compact, guide=guide)
+                                   compact, guide=guide,
+                                   wl_u=pt.wl_stratum_u(seed, sample_idx, lane))
     img = jnp.zeros((B, 3), jnp.float32).at[pix].add(L)
     return img.reshape(cam.height, cam.width, 3)
 
