@@ -38,6 +38,10 @@ SWEEP = [
     {"name": "brute_mega", "BENCH_RENDERER": "megakernel", "BENCH_USE_BVH": "0"},
     {"name": "brute_wf", "BENCH_RENDERER": "wavefront", "BENCH_USE_BVH": "0"},
     {"name": "xla_mega", "BENCH_IMPL": "xla", "BENCH_RENDERER": "megakernel"},
+    # same config with the Owen-Sobol sampler: quantifies the QMC compute
+    # cost on-chip (quality win is ~5x MSE at 16 spp, tests/test_qmc.py)
+    {"name": "xla_mega_sobol", "BENCH_IMPL": "xla",
+     "BENCH_RENDERER": "megakernel", "BENCH_SAMPLER": "sobol"},
     {"name": "wide_mega", "BENCH_IMPL": "wide", "BENCH_RENDERER": "megakernel"},
     {"name": "wide_bf16_mega", "BENCH_IMPL": "wide", "BENCH_RENDERER": "megakernel",
      "BENCH_NODE_FMT": "bf16"},
@@ -72,6 +76,7 @@ RENDERER = os.environ.get("BENCH_RENDERER", "megakernel")
 FOREST_CHUNK = int(os.environ.get("BENCH_FOREST_CHUNK", "0"))
 NODE_FMT = os.environ.get("BENCH_NODE_FMT", "f32")
 USE_BVH = os.environ.get("BENCH_USE_BVH", "1") == "1"
+SAMPLER = os.environ.get("BENCH_SAMPLER", "pcg")
 
 W = H = 512 if backend != "cpu" else 128
 SPP = 16 if backend != "cpu" else 2
@@ -98,10 +103,12 @@ if RENDERER == "wavefront":
     from cuda_pt_tpu.models import wavefront
 
     fn = jax.jit(lambda s, seed: wavefront.render(
-        s, cam, md, spp=SPP, seed=seed, use_bvh=USE_BVH, compact=True))
+        s, cam, md, spp=SPP, seed=seed, use_bvh=USE_BVH, compact=True,
+        sampler=SAMPLER))
 else:
     fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed,
-                                           use_bvh=USE_BVH, samples_per_pass=K))
+                                           use_bvh=USE_BVH, samples_per_pass=K,
+                                           sampler=SAMPLER))
 fn(scene, 0).block_until_ready()
 t0 = time.perf_counter()
 reps = 3

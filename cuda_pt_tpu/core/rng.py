@@ -51,7 +51,16 @@ def seed(base_seed, lane_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def next2d(state: jnp.ndarray):
-    """Draw two uniforms in [0,1). Returns ((..., 2) float32, new_state)."""
+    """Draw two uniforms in [0,1). Returns ((..., 2) float32, new_state).
+
+    Dispatches on the state layout: (..., 2) = pcg2d stream, (..., 4) =
+    Owen-scrambled Sobol (core/qmc.py) — so every draw site works with
+    either sampler unchanged. The dispatch is on a static shape, free
+    under jit."""
+    if state.shape[-1] == 4:
+        from . import qmc
+
+        return qmc.next2d(state)
     new_state = _pcg2d(state)
     u = new_state.astype(jnp.float32) * _INV_U32
     return u, new_state
@@ -59,6 +68,10 @@ def next2d(state: jnp.ndarray):
 
 def next1d(state: jnp.ndarray):
     """Draw one uniform in [0,1). Returns ((...,) float32, new_state)."""
+    if state.shape[-1] == 4:
+        from . import qmc
+
+        return qmc.next1d(state)
     u, new_state = next2d(state)
     return u[..., 0], new_state
 

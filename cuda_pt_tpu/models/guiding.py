@@ -146,9 +146,14 @@ def collect_samples(scene, cam, md, seed: int, use_bvh: bool, spp: int = 4):
 
 
 def train_guide(scene, cam, md, seed: int = 0, use_bvh: bool = True,
-                spp: int = 4, steps: int = 120, lr: float = 1e-2):
+                spp: int = 6, steps: int = 50, lr: float = 1e-2):
     """Init + collect + fit: the online-fitting entry the viewer/renderer
-    calls between accumulation passes. Returns (guide, final_loss)."""
+    calls between accumulation passes. Returns (guide, final_loss).
+
+    Defaults are the measured optimum of the slot-scene schedule sweep
+    (scripts/guiding_study.py → GUIDING_STUDY.json): spp=6/steps=50 gives
+    0.79× unguided variance with 1.4% mean drift; longer fits overfit the
+    sparse luminance samples and erode the win (400 steps → 0.90×)."""
     guide = make_guide(scene, jax.random.PRNGKey(seed))
     p, n, d, lum = collect_samples(scene, cam, md, seed, use_bvh, spp)
     p_norm = (p - guide["lo"]) / guide["ext"]

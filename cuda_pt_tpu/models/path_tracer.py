@@ -23,6 +23,7 @@ from ..accel import traverse
 from ..bsdf import eval as bsdf_eval
 from ..core import camera as cam_mod
 from ..core import math as vm
+from ..core import qmc
 from ..core import rng as prng
 from ..core import sampling
 from ..core.config import MaxDepthParams
@@ -415,6 +416,7 @@ def count_rays(
     spp: int,
     seed: int = 0,
     use_bvh=None,
+    sampler: str = "pcg",
 ):
     """Total traced rays (path segments + NEE shadow rays) for the SAME
     per-(pixel, sample) RNG streams as render() — bench.py divides wall
@@ -425,11 +427,7 @@ def count_rays(
     lane = jnp.arange(B, dtype=jnp.int32)
 
     def body(i, tot):
-        rng = prng.seed(
-            jnp.asarray(seed, jnp.uint32)
-            + jnp.asarray(i, jnp.uint32) * jnp.uint32(9781),
-            lane,
-        )
+        rng = qmc.make_state(sampler, seed, lane, i)
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
         final = trace_paths_final(
             scene, md, o, d, rng, use_bvh, wl_u=wl_stratum_u(seed, i, lane)
@@ -448,15 +446,12 @@ def render_sample(
     sample_idx,
     use_bvh: bool,
     differentiable: bool | str = False,
+    sampler: str = "pcg",
 ):
     """One 1-spp pass over all pixels → (H, W, 3) radiance."""
     B = cam.width * cam.height
     lane = jnp.arange(B, dtype=jnp.int32)
-    rng = prng.seed(
-        jnp.asarray(seed, jnp.uint32)
-        + jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(9781),
-        lane,
-    )
+    rng = qmc.make_state(sampler, seed, lane, sample_idx)
     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
     L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
                     wl_u=wl_stratum_u(seed, sample_idx, lane))
@@ -472,6 +467,7 @@ def render_pass_batched(
     k: int,
     use_bvh: bool,
     differentiable: bool | str = False,
+    sampler: str = "pcg",
 ):
     """k samples/pixel in ONE flat batch (B = W*H*k lanes) → (H, W, 3) sum.
 
@@ -486,10 +482,7 @@ def render_pass_batched(
     pixel = lane // k
     sub = lane % k
     s_idx = pass_idx * k + sub
-    rng = prng.seed(
-        jnp.asarray(seed, jnp.uint32) + s_idx.astype(jnp.uint32) * jnp.uint32(9781),
-        pixel,
-    )
+    rng = qmc.make_state(sampler, seed, pixel, s_idx)
     o, d, rng = cam_mod.generate_rays(cam, pixel, rng)
     L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
                     wl_u=wl_stratum_u(seed, s_idx, pixel))
@@ -506,6 +499,7 @@ def render(
     use_bvh=None,
     differentiable: bool | str = False,
     samples_per_pass: int = 1,
+    sampler: str = "pcg",
 ):
     """Multi-spp render with on-device accumulation (lax.fori over passes).
 
@@ -522,9 +516,10 @@ def render(
 
     def one_pass(i):
         if k == 1:
-            return render_sample(scene, cam, md, seed, i, use_bvh, differentiable)
+            return render_sample(scene, cam, md, seed, i, use_bvh,
+                                 differentiable, sampler)
         return render_pass_batched(
-            scene, cam, md, seed, i, k, use_bvh, differentiable
+            scene, cam, md, seed, i, k, use_bvh, differentiable, sampler
         )
 
     if differentiable == "remat":

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..bsdf import eval as bsdf_eval
 from ..core import camera as cam_mod
 from ..core import math as vm
+from ..core import qmc
 from ..core import rng as prng
 from ..core import sampling
 from ..core.config import MaxDepthParams
@@ -483,18 +484,14 @@ def count_rays(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams,
 
 def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,
            seed: int = 0, use_bvh=None, differentiable: bool = False,
-           compact: bool = False):
+           compact: bool = False, sampler: str = "pcg"):
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
     B = cam.width * cam.height
     lane = jnp.arange(B, dtype=jnp.int32)
 
     def one_pass(i):
-        rng = prng.seed(
-            jnp.asarray(seed, jnp.uint32)
-            + jnp.asarray(i, jnp.uint32) * jnp.uint32(9781),
-            lane,
-        )
+        rng = qmc.make_state(sampler, seed, lane, i)
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
         wl_u = pt.wl_stratum_u(seed, i, lane)
         if compact and not differentiable:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import camera as cam_mod
-from ..core import rng as prng
+from ..core import qmc
 from ..core.config import MaxDepthParams
 from ..scene import types as T
 from . import path_tracer as pt
@@ -164,15 +164,12 @@ def render_sample(
     sort_rays: bool = True,
     compact: bool = False,
     guide=None,
+    sampler: str = "pcg",
 ):
     """One 1-spp wavefront pass → (H, W, 3)."""
     B = cam.width * cam.height
     lane = jnp.arange(B, dtype=jnp.int32)
-    rng = prng.seed(
-        jnp.asarray(seed, jnp.uint32)
-        + jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(9781),
-        lane,
-    )
+    rng = qmc.make_state(sampler, seed, lane, sample_idx)
     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
     L, pix = trace_paths_wavefront(scene, md, o, d, rng, use_bvh, sort_rays,
                                    compact, guide=guide,
@@ -191,13 +188,14 @@ def render(
     sort_rays: bool = True,
     compact: bool = False,
     guide=None,
+    sampler: str = "pcg",
 ):
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
 
     def body(i, acc):
         return acc + render_sample(scene, cam, md, seed, i, use_bvh, sort_rays,
-                                   compact, guide=guide)
+                                   compact, guide=guide, sampler=sampler)
 
     acc = jax.lax.fori_loop(
         0, spp, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)

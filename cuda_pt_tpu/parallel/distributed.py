@@ -26,7 +26,7 @@ from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from ..core import camera as cam_mod
-from ..core import rng as prng
+from ..core import qmc
 from ..core.config import MaxDepthParams
 from ..models import path_tracer as pt
 from ..scene import types as T
@@ -44,15 +44,13 @@ def make_mesh(devices=None, sp: int = 1, dp=None) -> Mesh:
 
 
 def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_samples,
-                       differentiable=False, renderer: str = "pt"):
+                       differentiable=False, renderer: str = "pt",
+                       sampler: str = "pcg"):
     """Render n_samples passes for the given flat pixel ids; (L, B, 3) sum."""
 
     def body(i, acc):
-        rng = prng.seed(
-            jnp.asarray(seed, jnp.uint32)
-            + (sample_base + i).astype(jnp.uint32) * jnp.uint32(9781),
-            lane_ids,
-        )
+        s_idx = sample_base + i
+        rng = qmc.make_state(sampler, seed, lane_ids, s_idx)
         o, d, rng = cam_mod.generate_rays(cam, lane_ids, rng)
         if renderer == "wfpt" and not differentiable:
             from ..models import wavefront
@@ -75,7 +73,8 @@ def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_s
                 )
                 L = (o[:, :1] * 0.0 + jnp.zeros((1, 3))).at[pix_local].add(Lv)
         else:
-            L = pt.trace_paths(scene, md, o, d, rng, use_bvh, differentiable)
+            L = pt.trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
+                               wl_u=pt.wl_stratum_u(seed, s_idx, lane_ids))
         return acc + L
 
     # derive from lane_ids AND sample_base so the carry inherits every
@@ -96,6 +95,7 @@ def render_distributed(
     use_bvh=None,
     differentiable: bool = False,
     renderer: str = "pt",
+    sampler: str = "pcg",
 ):
     """SPMD render: pixels sharded over "dp", samples over "sp".
 
@@ -128,7 +128,7 @@ def render_distributed(
         sample_base = sp_rank * spp_per
         acc = _render_tile_lanes(
             scene_rep, cam, md, seed, sample_base, lane_flat, use_bvh, spp_per,
-            differentiable, renderer,
+            differentiable, renderer, sampler,
         )
         acc = jax.lax.psum(acc, "sp") / (sp * spp_per)
         return acc[None]
