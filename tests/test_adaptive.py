@@ -1,0 +1,56 @@
+"""Adaptive sampling (models/adaptive.py): equal-budget MSE win, budget
+accounting, mean agreement, sampler interop."""
+
+import numpy as np
+
+from cuda_pt_tpu.core.config import MaxDepthParams
+from cuda_pt_tpu.models import adaptive
+from cuda_pt_tpu.models import path_tracer as pt
+from cuda_pt_tpu.scene import testscenes
+
+
+def _setup(width=48):
+    scene, cam, _ = testscenes.cornell_box(width=width, height=width)
+    md = MaxDepthParams(max_depth=5)
+    return scene, cam, md
+
+
+def test_adaptive_beats_uniform_at_equal_budget():
+    scene, cam, md = _setup()
+    ref = np.asarray(pt.render(scene, cam, md, spp=512, seed=99, use_bvh=False))
+    budget = 8
+    u = np.asarray(pt.render(scene, cam, md, spp=budget, seed=0, use_bvh=False))
+    a, n = adaptive.render_adaptive(scene, cam, md, budget, seed=0,
+                                    use_bvh=False)
+    a, n = np.asarray(a), np.asarray(n)
+    mse_u = ((u - ref) ** 2).mean()
+    mse_a = ((a - ref) ** 2).mean()
+    # measured ~2.1x; assert a decisive win
+    assert mse_a < 0.75 * mse_u, (mse_a, mse_u)
+    # budget respected (rounds flooring may drop <5%)
+    assert budget * 0.95 <= n.mean() <= budget + 1e-3, n.mean()
+    # warm-up floor everywhere, extra concentrated somewhere
+    assert n.min() >= budget // 2
+    assert n.max() > budget
+    # unbiased within MC tolerance
+    assert abs(a.mean() - ref.mean()) / ref.mean() < 0.05
+
+
+def test_adaptive_with_sobol():
+    scene, cam, md = _setup(width=32)
+    a, n = adaptive.render_adaptive(scene, cam, md, 6, base_spp=3, seed=1,
+                                    use_bvh=False, sampler="sobol")
+    a = np.asarray(a)
+    assert np.isfinite(a).all() and a.mean() > 0.01
+    ref = np.asarray(pt.render(scene, cam, md, spp=128, seed=7, use_bvh=False))
+    assert abs(a.mean() - ref.mean()) / ref.mean() < 0.08
+
+
+def test_adaptive_api():
+    from cuda_pt_tpu.api import Renderer
+
+    r = Renderer("/root/reference/scene/xml/cornell-box.xml",
+                 override_res=(32, 32))
+    img = r.render_adaptive(6)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+    assert r.counter() == 6  # film count reflects the average spp
