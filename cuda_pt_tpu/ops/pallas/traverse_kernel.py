@@ -301,12 +301,16 @@ def _field(row, idx):
     return jnp.sum(jnp.where(lane == idx, row, 0.0))
 
 
-def _unpack2(pk):
-    """Invert _pack2 on a scalar f32: (hi-bits value, lo-bits value)."""
-    u = jax.lax.bitcast_convert_type(pk, jnp.uint32)
+def _unpack2_field(row, idx):
+    """_pack2 inverse fused with scalar extraction: (hi-bits value, lo-bits
+    value) of lane ``idx`` of a (1, 128) f32 row. All bitcasts stay on the
+    VECTOR row — Mosaic's tpu.bitcast rejects scalar operands (caught by the
+    AOT TPU-export gate, tests/test_pallas_kernels.py), so bit-twiddle
+    first, extract the scalar last."""
+    u = jax.lax.bitcast_convert_type(row, jnp.uint32)
     a = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
     b = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
-    return a, b
+    return _field(a, idx), _field(b, idx)
 
 
 def _kernel(flip, max_leaf, rn, node_fmt, count_iters,
@@ -356,9 +360,9 @@ def _kernel(flip, max_leaf, rn, node_fmt, count_iters,
         row = nodes[0, pl.ds(ptr // n_slots, 1), :]
         if node_fmt == "bf16":
             sb = (ptr % SLOTS16) * SLOT_F16
-            lo_x, hi_x = _unpack2(_field(row, sb + 0))
-            lo_y, hi_y = _unpack2(_field(row, sb + 1))
-            lo_z, hi_z = _unpack2(_field(row, sb + 2))
+            lo_x, hi_x = _unpack2_field(row, sb + 0)
+            lo_y, hi_y = _unpack2_field(row, sb + 1)
+            lo_z, hi_z = _unpack2_field(row, sb + 2)
             skip = _field(row, sb + 3).astype(jnp.int32)
             base = _field(row, sb + 4).astype(jnp.int32)
             cnt = _field(row, sb + 5).astype(jnp.int32)

@@ -1,0 +1,93 @@
+"""Equal-budget quality benchmark: sampler × allocation × denoise.
+
+The throughput bench (bench.py / scripts/bench_suite.py) measures rays per
+second; this one measures error per sample — the axis where the round-2
+sampling stack (Owen-Sobol QMC, tile-adaptive allocation, à-trous denoise,
+stratified dispersion wavelengths) beats the reference's uniform+xorshift
+design. MSE is computed against a 1024-spp reference render.
+
+Writes QUALITY_BENCH.json and prints one JSON row per configuration.
+
+Usage: python scripts/quality_bench.py [--width 64] [--budgets 4 8 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--budgets", type=int, nargs="+", default=[4, 8, 16])
+    ap.add_argument("--out", default=str(REPO / "QUALITY_BENCH.json"))
+    args = ap.parse_args()
+
+    from cuda_pt_tpu.core.config import MaxDepthParams
+    from cuda_pt_tpu.models import adaptive, denoise
+    from cuda_pt_tpu.models import debug_renderers
+    from cuda_pt_tpu.models import path_tracer as pt
+    from cuda_pt_tpu.scene import testscenes
+
+    w = args.width
+    scene, cam, _ = testscenes.cornell_box(width=w, height=w)
+    md = MaxDepthParams(max_depth=5)
+    ref = np.asarray(pt.render(scene, cam, md, spp=1024, seed=991,
+                               use_bvh=False))
+
+    aovs = debug_renderers.render_aovs(scene, cam, spp=4, seed=7919,
+                                       use_bvh=False)
+
+    def mse(img):
+        return float(((np.asarray(img) - ref) ** 2).mean())
+
+    def uniform(budget, sampler):
+        return pt.render(scene, cam, md, spp=budget, seed=0, use_bvh=False,
+                         sampler=sampler)
+
+    def adapt(budget, sampler):
+        img, _ = adaptive.render_adaptive(scene, cam, md, budget, seed=0,
+                                          use_bvh=False, sampler=sampler)
+        return img
+
+    rows = []
+    for budget in args.budgets:
+        configs = {
+            "uniform_pcg": lambda: uniform(budget, "pcg"),
+            "uniform_sobol": lambda: uniform(budget, "sobol"),
+            "adaptive_pcg": lambda: adapt(budget, "pcg"),
+            "adaptive_sobol": lambda: adapt(budget, "sobol"),
+            "uniform_pcg_denoised": lambda: denoise.atrous_denoise(
+                uniform(budget, "pcg"), aovs),
+            "adaptive_sobol_denoised": lambda: denoise.atrous_denoise(
+                adapt(budget, "sobol"), aovs),
+        }
+        base = None
+        for name, fn in configs.items():
+            m = mse(fn())
+            if base is None:
+                base = m
+            rows.append({"budget_spp": budget, "config": name, "mse": m,
+                         "vs_uniform_pcg": round(m / base, 4)})
+            print(json.dumps(rows[-1]))
+
+    Path(args.out).write_text(json.dumps(
+        {"scene": f"cornell {w}x{w} depth5", "reference_spp": 1024,
+         "metric": "MSE vs reference", "rows": rows}, indent=1))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
