@@ -1,0 +1,87 @@
+"""AOT TPU lowering of the FULL render pipelines (not just Pallas kernels).
+
+Mirrors the driver's single-chip compile check locally:
+``jax.export(platforms=["tpu"])`` traces + lowers the whole graph with TPU
+lowering rules (while_loop, sorts, scatters, gathers, the Sobol bit math)
+without hardware, so a TPU-only lowering regression fails CI here instead
+of at the first on-chip run.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import export as jexport
+
+from cuda_pt_tpu.core.config import MaxDepthParams
+from cuda_pt_tpu.models import adaptive
+from cuda_pt_tpu.models import path_tracer as pt
+from cuda_pt_tpu.models import volume_pt, wavefront
+from cuda_pt_tpu.scene import testscenes
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    return scene, cam, MaxDepthParams(max_depth=3)
+
+
+def _lowers(fn, *args):
+    exp = jexport.export(jax.jit(fn), platforms=["tpu"])(*args)
+    assert exp.mlir_module()
+
+
+def test_graft_entry_lowers_for_tpu():
+    import __graft_entry__
+
+    fn, (scene, seed) = __graft_entry__.entry()
+    _lowers(fn, scene, seed)
+
+
+def test_megakernel_sobol_lowers(cornell):
+    scene, cam, md = cornell
+    _lowers(
+        lambda s, seed: pt.render(s, cam, md, spp=2, seed=seed,
+                                  use_bvh=True, sampler="sobol"),
+        scene, jnp.int32(0),
+    )
+
+
+def test_wavefront_compacted_lowers(cornell):
+    scene, cam, md = cornell
+    _lowers(
+        lambda s, seed: wavefront.render(s, cam, md, spp=2, seed=seed,
+                                         use_bvh=True, compact=True),
+        scene, jnp.int32(0),
+    )
+
+
+def test_adaptive_lowers(cornell):
+    scene, cam, md = cornell
+    def f(s):
+        img, n = adaptive.render_adaptive(s, cam, md, 4, base_spp=2,
+                                          use_bvh=True)
+        return img, n
+    _lowers(f, scene)
+
+
+def test_vpt_lowers(cornell):
+    scene, cam, md = cornell
+    _lowers(
+        lambda s, seed: volume_pt.render(s, cam, md, spp=1, seed=seed,
+                                         use_bvh=True),
+        scene, jnp.int32(0),
+    )
+
+
+def test_grad_render_lowers(cornell):
+    """The differentiable (remat) gradient render must lower for TPU too."""
+    scene, cam, md = cornell
+
+    def loss(s):
+        img = pt.render(s, cam, md, spp=1, seed=0, use_bvh=True,
+                        differentiable="remat")
+        return jnp.mean(img)
+
+    _lowers(lambda s: jax.grad(
+        lambda kd: loss(s.replace(bsdfs=s.bsdfs.replace(k_d=kd)))
+    )(s.bsdfs.k_d), scene)
