@@ -48,16 +48,28 @@ def _connect_camera(scene, cam, p, f_cos_over_cosy, thp, active, use_bvh, img, n
 
 def render_pass(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams,
                 seed, pass_idx, use_bvh: bool, specular_constraint: int = 0,
-                caustic_scale: float = 1.0, n_paths: int = 0):
-    """One light-tracing pass of n_paths light paths → (H*W, 3) splat sum."""
+                caustic_scale: float = 1.0, n_paths: int = 0,
+                sampler: str = "pcg"):
+    """One light-tracing pass of n_paths light paths → (H*W, 3) splat sum.
+
+    sampler="sobol" stratifies the emitter-surface + emission-direction
+    draws (the first QMC dims of each light path) — see core/qmc.py."""
     B = n_paths or cam.width * cam.height
     lane = jnp.arange(B, dtype=jnp.int32)
-    rng = prng.seed(
-        jnp.asarray(seed, jnp.uint32)
-        + jnp.asarray(pass_idx, jnp.uint32) * jnp.uint32(7919)
-        + jnp.uint32(0x5BD1E995),
-        lane,
-    )
+    if sampler == "sobol":
+        from ..core import qmc
+
+        rng = qmc.seed(
+            jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x5BD1E995),
+            lane, pass_idx,
+        )
+    else:
+        rng = prng.seed(
+            jnp.asarray(seed, jnp.uint32)
+            + jnp.asarray(pass_idx, jnp.uint32) * jnp.uint32(7919)
+            + jnp.uint32(0x5BD1E995),
+            lane,
+        )
     le, rng = emitters.sample_le(scene, rng, B)
     img = jnp.zeros((cam.width * cam.height, 3), jnp.float32)
 
@@ -138,14 +150,15 @@ def render_pass(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams,
 
 def render(scene: T.Scene, cam: cam_mod.Camera, md: MaxDepthParams, spp: int,
            seed: int = 0, use_bvh=None, specular_constraint: int = 0,
-           caustic_scale: float = 1.0):
+           caustic_scale: float = 1.0, sampler: str = "pcg"):
     """Light-traced image, averaged over spp passes → (H, W, 3)."""
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
 
     def body(i, acc):
         return acc + render_pass(
-            scene, cam, md, seed, i, use_bvh, specular_constraint, caustic_scale
+            scene, cam, md, seed, i, use_bvh, specular_constraint,
+            caustic_scale, sampler=sampler,
         )
 
     acc = jax.lax.fori_loop(

@@ -48,6 +48,8 @@ canvas{image-rendering:pixelated;border:1px solid #444}
 </select>
 <div class=row><label><input type="checkbox" style="width:auto"
  onchange="post({kind:'denoise', value:this.checked})"> denoise (à-trous)</label></div>
+<div class=row><label><input type="checkbox" style="width:auto"
+ onchange="post({kind:'sampler', value:this.checked ? 'sobol' : 'pcg'})"> Sobol sampler (QMC)</label></div>
 <h3>Camera (WASD+RF move, drag rotate)</h3>
 <h3>Emitters</h3><div id="emitters"></div>
 <h3>Materials</h3><div id="materials"></div>
@@ -151,6 +153,13 @@ class ViewerState:
                 r._render_1spp = r._build()
             elif kind == "denoise":
                 self.denoise_on = bool(msg["value"])
+            elif kind == "sampler":
+                # switch sampler live; restart accumulation (the two samplers
+                # draw from different sequences, mixing them is still
+                # unbiased but muddies the QMC stratification)
+                r.sampler = str(msg["value"])
+                r._render_1spp = r._build()
+                self.dirty = True
             elif kind == "camera_move":
                 r.camera = cam_mod.move(r.camera, msg["delta"])
             elif kind == "camera_rotate":

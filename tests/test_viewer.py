@@ -105,3 +105,23 @@ def test_viewer_denoise_toggle(viewer):
     assert png[:4] == b"\x89PNG"
     _post(port, "/update", {"kind": "denoise", "value": False})
     assert not state.denoise_on
+
+
+def test_viewer_sampler_toggle(viewer):
+    """Switching the sampler live rebuilds the pass fn and restarts
+    accumulation (generation bump)."""
+    state, port = viewer
+    gen0 = state.generation
+    _post(port, "/update", {"kind": "sampler", "value": "sobol"})
+    deadline = time.time() + 120
+    while time.time() < deadline and state.generation == gen0:
+        time.sleep(0.2)
+    assert state.generation > gen0
+    assert state.renderer.sampler == "sobol"
+    # frames keep coming after the switch
+    while time.time() < deadline and state.renderer.counter() < 1:
+        time.sleep(0.3)
+    assert state.renderer.counter() >= 1
+    img = np.asarray(state.renderer.film.mean)
+    assert np.isfinite(img).all()
+    _post(port, "/update", {"kind": "sampler", "value": "pcg"})
