@@ -98,19 +98,17 @@ def sample_emitter(
     """
     B = p.shape[0]
     e = scene.emitters
-    n_em = jnp.maximum(scene.num_emitters, 1)
 
     u_sel, rng_state = prng.next1d(rng_state)
     u_prim, rng_state = prng.next1d(rng_state)
     u_pos, rng_state = prng.next2d(rng_state)
 
-    # emitter ids are 1..num_emitters (slot 0 = null)
-    eid = 1 + jnp.minimum(
-        (u_sel * n_em.astype(jnp.float32)).astype(jnp.int32), n_em - 1
-    )
-    eid = jnp.minimum(eid, e.etype.shape[0] - 1)
+    # emitter ids are 1..num_emitters (slot 0 = null); power-weighted CDF
+    # pick (beyond the reference's uniform choice — see EmitterTable.sel_pmf)
+    eid = jnp.sum((e.sel_cdf[None, :] < u_sel[:, None]).astype(jnp.int32), -1)
+    eid = jnp.clip(eid, 1, e.etype.shape[0] - 1)
     etype = e.etype[eid]
-    sel_pdf = 1.0 / n_em.astype(jnp.float32)
+    sel_pdf = jnp.maximum(e.sel_pmf[eid], 1e-12)
 
     # ---- area / area-spot: pick prim by CDF, point by sqrt-warp ---------
     cdf = e.prim_cdf[eid]  # (B, K)
@@ -236,16 +234,15 @@ def sample_le(scene: T.Scene, rng_state: jnp.ndarray, n_lanes: int):
     sources emit uniformly over the sphere.
     """
     e = scene.emitters
-    n_em = jnp.maximum(scene.num_emitters, 1)
     u_sel, rng_state = prng.next1d(rng_state)
     u_prim, rng_state = prng.next1d(rng_state)
     u_pos, rng_state = prng.next2d(rng_state)
     u_dir, rng_state = prng.next2d(rng_state)
 
-    eid = 1 + jnp.minimum((u_sel * n_em.astype(jnp.float32)).astype(jnp.int32), n_em - 1)
-    eid = jnp.minimum(eid, e.etype.shape[0] - 1)
+    eid = jnp.sum((e.sel_cdf[None, :] < u_sel[:, None]).astype(jnp.int32), -1)
+    eid = jnp.clip(eid, 1, e.etype.shape[0] - 1)
     etype = e.etype[eid]
-    sel_pdf = 1.0 / n_em.astype(jnp.float32)
+    sel_pdf = jnp.maximum(e.sel_pmf[eid], 1e-12)
 
     B = n_lanes
     g = scene.geom
@@ -281,7 +278,7 @@ def sample_le(scene: T.Scene, rng_state: jnp.ndarray, n_lanes: int):
 
     # point: uniform sphere direction; thp = I·4π/sel
     dir_pnt, _ = sampling.uniform_sphere(u_dir)
-    thp_pnt = le * (4.0 * jnp.pi / sel_pdf)
+    thp_pnt = le * (4.0 * jnp.pi / sel_pdf)[..., None]
 
     is_point = etype == T.EMITTER_POINT
     is_area = (etype == T.EMITTER_AREA) | (etype == T.EMITTER_AREA_SPOT)
@@ -315,16 +312,17 @@ def sample_le(scene: T.Scene, rng_state: jnp.ndarray, n_lanes: int):
 def hit_emitter_pdf(scene: T.Scene, obj: jnp.ndarray, t: jnp.ndarray, cos_l: jnp.ndarray):
     """Solid-angle pdf that NEE would have generated a BSDF-sampled hit on an
     area emitter (for the MIS weight at emitter hits)."""
-    n_em = jnp.maximum(scene.num_emitters, 1).astype(jnp.float32)
+    eid = scene.objects.emitter_id[jnp.maximum(obj, 0)]
+    sel = scene.emitters.sel_pmf[jnp.clip(eid, 0, scene.emitters.sel_pmf.shape[0] - 1)]
     inv_area = scene.objects.inv_area[jnp.maximum(obj, 0)]
-    return (1.0 / n_em) * inv_area * (t * t) / jnp.maximum(cos_l, 1e-6)
+    return sel * inv_area * (t * t) / jnp.maximum(cos_l, 1e-6)
 
 
 def env_nee_pdf(scene: T.Scene, n_prev: jnp.ndarray, d: jnp.ndarray):
     """Solid-angle pdf that envmap NEE would pick direction d at the previous
     vertex — cached into the loop state for envmap MIS. Matches whichever
     strategy sample_emitter uses (importance tables or cosine fallback)."""
-    n_em = jnp.maximum(scene.num_emitters, 1).astype(jnp.float32)
+    sel = scene.emitters.sel_pmf[scene.env_emitter]
     has_env = scene.env_emitter > 0
     imp = scene.env_importance
     if imp is not None and imp.enabled:
@@ -338,7 +336,7 @@ def env_nee_pdf(scene: T.Scene, n_prev: jnp.ndarray, d: jnp.ndarray):
         col = jnp.clip((u - jnp.floor(u)) * Ww, 0, Ww - 1).astype(jnp.int32)
         row = jnp.clip(v * Hh, 0, Hh - 1).astype(jnp.int32)
         st = jnp.maximum(jnp.sin(theta), 1e-6)
-        pdf = imp.pmf[row, col] * (Hh * Ww) / (2.0 * jnp.pi * jnp.pi * st) / n_em
+        pdf = imp.pmf[row, col] * (Hh * Ww) / (2.0 * jnp.pi * jnp.pi * st) * sel
         return jnp.where(has_env, pdf, 0.0)
     cos_t = jnp.maximum(vm.dot(d, n_prev), 0.0)
-    return jnp.where(has_env, cos_t * sampling.INV_PI / n_em, 0.0)
+    return jnp.where(has_env, cos_t * sampling.INV_PI * sel, 0.0)

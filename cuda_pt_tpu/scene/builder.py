@@ -301,6 +301,53 @@ class SceneBuilder:
                 prim_sel[e, : sel.size] = sel
                 prim_sel[e, sel.size :] = sel[-1]
 
+        # power-weighted selection pmf (75% power + 25% uniform mix; see
+        # EmitterTable docstring). Powers are approximate by design — any
+        # positive pmf is unbiased — so textured emitters use their base
+        # emission and the envmap its mean texel luminance.
+        sel_pmf = np.zeros(E, np.float32)
+        lum_w = np.array([0.212671, 0.715160, 0.072169])
+        powers = np.zeros(E)
+        for e_i, e in enumerate(self.emitters):
+            if e.etype == T.EMITTER_NULL:
+                continue
+            lum = float(np.dot(np.asarray(e.emission), lum_w)) * e.scaler
+            if e.etype in (T.EMITTER_AREA, T.EMITTER_AREA_SPOT):
+                oi = emitter_obj[e_i]
+                area = 1.0 / max(float(inv_area[oi]), 1e-12) if oi >= 0 else 0.0
+                frac = 1.0
+                if e.etype == T.EMITTER_AREA_SPOT:
+                    frac = max((1.0 - float(e.extra[0])) * 0.5, 1e-3)
+                powers[e_i] = lum * np.pi * area * frac
+            elif e.etype == T.EMITTER_POINT:
+                powers[e_i] = lum * 4.0 * np.pi
+            elif e.etype == T.EMITTER_ENVMAP:
+                mean_tex = 1.0
+                if 0 <= e.tex_id < len(self.textures):
+                    mean_tex = float(
+                        np.dot(
+                            np.asarray(self.textures[e.tex_id])[..., :3]
+                            .reshape(-1, 3)
+                            .mean(axis=0),
+                            lum_w,
+                        )
+                    )
+                powers[e_i] = lum * max(float(e.extra[0]), 0.0) * mean_tex * 4.0 * np.pi
+        real = np.array([e.etype != T.EMITTER_NULL for e in self.emitters])
+        n_real = max(int(real.sum()), 1)
+        total = powers.sum()
+        if total > 0.0:
+            sel_pmf = (0.75 * powers / total + 0.25 * real / n_real).astype(
+                np.float32
+            )
+        else:
+            sel_pmf = (real / n_real).astype(np.float32)
+        sel_cdf = np.cumsum(sel_pmf).astype(np.float32)
+        if sel_cdf[-1] > 0:
+            sel_cdf /= sel_cdf[-1]
+        else:
+            sel_cdf[:] = 1.0
+
         emitters = T.EmitterTable(
             etype=jnp.asarray([e.etype for e in self.emitters], jnp.int32),
             emission=jnp.asarray([e.emission for e in self.emitters], jnp.float32),
@@ -311,6 +358,8 @@ class SceneBuilder:
             tex_id=jnp.asarray([e.tex_id for e in self.emitters], jnp.int32),
             prim_cdf=jnp.asarray(prim_cdf),
             prim_sel=jnp.asarray(prim_sel),
+            sel_pmf=jnp.asarray(sel_pmf),
+            sel_cdf=jnp.asarray(sel_cdf),
         )
 
         # bsdf table

@@ -122,6 +122,13 @@ class EmitterTable:
     # (area-weighted). prim_sel[e, k] is a global prim index.
     prim_cdf: jnp.ndarray  # (E, K) float32 inclusive CDF, last = 1
     prim_sel: jnp.ndarray  # (E, K) int32
+    # Power-weighted emitter selection (beyond the reference's uniform pick,
+    # src/renderer/tracing_func.cuh:210-225): pmf/cdf over emitter slots
+    # (slot 0 = 0). Built as 75% power-proportional + 25% uniform defensive
+    # mix; any positive pmf keeps NEE/MIS/LT unbiased, so hot-reload edits
+    # that leave it stale only cost variance, never correctness.
+    sel_pmf: jnp.ndarray  # (E,) float32
+    sel_cdf: jnp.ndarray  # (E,) float32 inclusive, last = 1
 
 
 @flax.struct.dataclass

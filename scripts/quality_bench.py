@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -32,6 +33,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--budgets", type=int, nargs="+", default=[4, 8, 16])
+    ap.add_argument("--target-mse", type=float, default=None,
+                    help="time-to-quality target (default: uniform_pcg's "
+                         "MSE at the largest budget)")
     ap.add_argument("--out", default=str(REPO / "QUALITY_BENCH.json"))
     args = ap.parse_args()
 
@@ -83,9 +87,40 @@ def main() -> None:
                          "vs_uniform_pcg": round(m / base, 4)})
             print(json.dumps(rows[-1]))
 
+    # ---- time-to-quality: samples + wall time to reach a target MSE ------
+    # (the user-facing metric: adaptive+sobol reaches uniform+pcg's 16-spp
+    # error with several-fold fewer samples)
+    target = args.target_mse
+    if target is None:
+        target = next(r["mse"] for r in rows
+                      if r["budget_spp"] == max(args.budgets)
+                      and r["config"] == "uniform_pcg")
+    tt_rows = []
+    for name, fn in [
+        ("uniform_pcg", lambda b: uniform(b, "pcg")),
+        ("uniform_sobol", lambda b: uniform(b, "sobol")),
+        ("adaptive_sobol", lambda b: adapt(b, "sobol")),
+    ]:
+        # adaptive needs >=2 warm-up passes below its budget
+        budget, m, dt = (4 if name.startswith("adaptive") else 2), float("inf"), 0.0
+        while budget <= 512:
+            t0 = time.perf_counter()
+            img = fn(budget)
+            np.asarray(img)
+            dt = time.perf_counter() - t0
+            m = mse(img)
+            if m <= target:
+                break
+            budget *= 2
+        tt_rows.append({"config": name, "target_mse": target,
+                        "spp_to_target": budget if m <= target else None,
+                        "mse": m, "seconds": round(dt, 3)})
+        print(json.dumps(tt_rows[-1]))
+
     Path(args.out).write_text(json.dumps(
         {"scene": f"cornell {w}x{w} depth5", "reference_spp": 1024,
-         "metric": "MSE vs reference", "rows": rows}, indent=1))
+         "metric": "MSE vs reference", "rows": rows,
+         "time_to_quality": tt_rows}, indent=1))
     print(f"wrote {args.out}")
 
 

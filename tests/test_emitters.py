@@ -133,3 +133,88 @@ def test_envmap_importance_sampling_unbiased_and_lower_variance():
     assert abs(m_is - m_cos) / max(m_cos, 1e-6) < 0.2, (m_is, m_cos)
     # importance sampling reduces seed-to-seed variance on a peaked map
     assert var_is < var_cos * 0.8, (var_is, var_cos)
+
+
+def _two_light_scene(bright_scale=50.0):
+    """Floor lit by one strong and one weak area light."""
+    import jax.numpy as jnp  # noqa: F401
+
+    b = SceneBuilder()
+    white = b.add_bsdf(BSDFSpec(k_d=(0.8, 0.8, 0.8)))
+    dark = b.add_bsdf(BSDFSpec(k_d=(0, 0, 0)))
+    em_strong = b.add_emitter(EmitterSpec(emission=(1, 1, 1), scaler=bright_scale))
+    em_weak = b.add_emitter(EmitterSpec(emission=(1, 1, 1), scaler=1.0))
+    q = testscenes.quad
+    b.add_mesh(q([-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]), white)
+    b.add_mesh(q([-0.8, 1.2, -0.2], [-0.4, 1.2, -0.2], [-0.4, 1.2, 0.2],
+                 [-0.8, 1.2, 0.2]), dark, emitter_id=em_strong)
+    b.add_mesh(q([0.4, 1.2, -0.2], [0.8, 1.2, -0.2], [0.8, 1.2, 0.2],
+                 [0.4, 1.2, 0.2]), dark, emitter_id=em_weak)
+    cam = cam_mod.make_camera((0, 1.0, -3), (0, 0, 0), fov=50, width=20, height=20)
+    return b.compile(), cam
+
+
+def _uniform_sel(scene):
+    """Twin scene with the reference's uniform emitter pick."""
+    import jax.numpy as jnp
+
+    e = scene.emitters
+    E = e.sel_pmf.shape[0]
+    real = np.asarray(e.etype) != T.EMITTER_NULL
+    pmf = np.where(real, 1.0 / max(real.sum(), 1), 0.0).astype(np.float32)
+    cdf = np.cumsum(pmf).astype(np.float32)
+    cdf /= max(cdf[-1], 1e-9)
+    assert pmf.shape == (E,)
+    return scene.replace(emitters=e.replace(
+        sel_pmf=jnp.asarray(pmf), sel_cdf=jnp.asarray(cdf)))
+
+
+def test_power_weighted_selection_unbiased_and_lower_variance():
+    """50:1 light powers: power-weighted emitter selection must agree with
+    the uniform pick in expectation and cut seed-to-seed variance."""
+    scene, cam = _two_light_scene()
+    pmf = np.asarray(scene.emitters.sel_pmf)
+    # builder gave the strong light most of the selection probability, with
+    # the 25% uniform defensive floor protecting the weak one
+    assert pmf[1] > 0.7 and pmf[2] > 0.1, pmf
+    assert abs(pmf.sum() - 1.0) < 1e-5
+
+    # direct lighting only (max_depth=1): the NEE estimator is the only
+    # noise source, so the variance ratio isolates the selection strategy
+    md = MaxDepthParams(max_depth=1)
+    uni = _uniform_sel(scene)
+
+    def stats(s, n_seeds=8, spp=8):
+        imgs = np.stack([
+            np.asarray(pt.render(s, cam, md, spp=spp, seed=70 + k,
+                                 use_bvh=False))
+            for k in range(n_seeds)
+        ])
+        mean = imgs.mean(axis=0).mean(axis=-1)
+        var = imgs.var(axis=0).mean(axis=-1)
+        # mask pixels that see an emitter directly: their variance is pixel-
+        # jitter aliasing of the Le=50 edge — identical for both strategies
+        # and large enough to swamp the NEE-selection signal being tested
+        floor = mean < 2.0
+        return imgs.mean(), var[floor].mean()
+
+    m_p, v_p = stats(scene)
+    m_u, v_u = stats(uni)
+    assert abs(m_p - m_u) / max(m_u, 1e-9) < 0.08, (m_p, m_u)
+    # isolated-NEE estimator variance measured 6.7x lower; demand >2x here
+    assert v_p < 0.5 * v_u, (v_p, v_u)
+
+
+def test_power_weighted_light_tracer_consistent():
+    """sample_le divides by the same pmf: LT must agree with PT."""
+    from cuda_pt_tpu.models import light_tracer as lt
+
+    scene, cam = _two_light_scene(bright_scale=10.0)
+    md = MaxDepthParams(max_depth=4)
+    img_pt = np.asarray(pt.render(scene, cam, md, spp=64, seed=5,
+                                  use_bvh=False))
+    img_lt = np.asarray(lt.render(scene, cam, md, spp=256, seed=9,
+                                  use_bvh=False))
+    # compare means over the floor region (LT splat noise is high per-pixel)
+    r = img_lt[12:, :].mean() / max(img_pt[12:, :].mean(), 1e-9)
+    assert 0.8 < r < 1.25, r
