@@ -81,7 +81,16 @@ SAMPLER = os.environ.get("BENCH_SAMPLER", "pcg")
 W = H = 512 if backend != "cpu" else 128
 SPP = 16 if backend != "cpu" else 2
 MAXD = 5
-scene, cam, _ = testscenes.cornell_box(width=W, height=H)
+SCENE = os.environ.get("BENCH_SCENE", "cornell")
+if SCENE == "cornell":
+    scene, cam, _ = testscenes.cornell_box(width=W, height=H)
+else:
+    # mesh scenes from the reference corpus (bunny 7.3k / whiskey 68k prims)
+    from cuda_pt_tpu.scene.xml_parser import load_xml
+
+    ps = load_xml(f"/root/reference/scene/xml/{SCENE}.xml",
+                  override_res=(W, H))
+    scene, cam = ps.scene, ps.camera
 if FOREST_CHUNK:
     from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
 

@@ -96,10 +96,15 @@ def render_distributed(
     differentiable: bool = False,
     renderer: str = "pt",
     sampler: str = "pcg",
+    sample_base0=0,
 ):
     """SPMD render: pixels sharded over "dp", samples over "sp".
 
     Returns the full (H, W, 3) image (replicated). Differentiable.
+    ``sample_base0`` offsets every lane's sample index — drivers that
+    accumulate multiple calls pass ``pass_idx * spp`` so per-pixel sample
+    indices keep advancing (required for the Sobol sampler's
+    low-discrepancy prefix; harmless decorrelation for pcg).
     """
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
@@ -125,7 +130,7 @@ def render_distributed(
         lane_flat = lane_blk[0]
         sp_rank = jax.lax.axis_index("sp")
         # decorrelated per-sp-rank sample window
-        sample_base = sp_rank * spp_per
+        sample_base = sp_rank * spp_per + jnp.asarray(sample_base0, jnp.int32)
         acc = _render_tile_lanes(
             scene_rep, cam, md, seed, sample_base, lane_flat, use_bvh, spp_per,
             differentiable, renderer, sampler,

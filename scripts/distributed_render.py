@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="render.png")
     ap.add_argument("--report-interval", type=int, default=16)
+    ap.add_argument("--sampler", choices=["pcg", "sobol"], default="pcg",
+                    help="sobol = Owen-scrambled QMC (lower equal-spp error)")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() first")
     ap.add_argument("--cpu", action="store_true",
@@ -55,8 +57,9 @@ def main():
           f"dp{mesh.shape['dp']} scene prims={ps.scene.geom.num_prims}")
 
     step = jax.jit(
-        lambda scene, seed: dist.render_distributed(
-            scene, ps.camera, ps.config.md, mesh.shape["sp"], mesh, seed=seed
+        lambda scene, base: dist.render_distributed(
+            scene, ps.camera, ps.config.md, mesh.shape["sp"], mesh,
+            seed=args.seed, sampler=args.sampler, sample_base0=base,
         )
     )
 
@@ -64,7 +67,7 @@ def main():
     t0 = time.perf_counter()
     passes = max(args.spp // max(args.sp, 1), 1)
     for i in range(passes):
-        img = step(ps.scene, args.seed + i * 1009)
+        img = step(ps.scene, i * mesh.shape["sp"])
         film = film_mod.accumulate(film, img)
         if (i + 1) % args.report_interval == 0 or i == passes - 1:
             dt = time.perf_counter() - t0
