@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--report-interval", type=int, default=16)
     ap.add_argument("--sampler", choices=["pcg", "sobol"], default="pcg",
                     help="sobol = Owen-scrambled QMC (lower equal-spp error)")
+    ap.add_argument("--tensorboard", default="",
+                    help="log dir for TensorBoard image/variance curves "
+                         "(reference ddp_render.py:59-67,163-211 parity)")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() first")
     ap.add_argument("--cpu", action="store_true",
@@ -63,6 +66,12 @@ def main():
         )
     )
 
+    tb = None
+    if args.tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.tensorboard)
+
     film = film_mod.make_film(ps.camera.height, ps.camera.width)
     t0 = time.perf_counter()
     passes = max(args.spp // max(args.sp, 1), 1)
@@ -79,6 +88,20 @@ def main():
                 "mean_variance": var,
             }))
             save_png(args.out, film_mod.export_numpy(film, ps.config.gamma))
+            if tb is not None:
+                import numpy as np
+
+                tb.add_scalar("render/mean_variance", var, i + 1)
+                tb.add_scalar("render/ms_per_pass", dt / (i + 1) * 1e3, i + 1)
+                tb.add_image(
+                    "render/image",
+                    np.transpose(
+                        film_mod.export_numpy(film, ps.config.gamma), (2, 0, 1)
+                    ),
+                    i + 1,
+                )
+    if tb is not None:
+        tb.close()
     print(f"[DIST] wrote {args.out}")
 
 
