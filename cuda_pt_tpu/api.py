@@ -165,21 +165,30 @@ class Renderer:
                 s, c, spp=spp, seed=self.seed, use_bvh=self.use_bvh)))
         return {k: np.asarray(v) for k, v in f(self.scene, self.camera).items()}
 
-    def denoise(self, aov_spp: int = 4) -> np.ndarray:
+    def denoise(self, aov_spp: int = 4, variance_guided: bool = True) -> np.ndarray:
         """Edge-avoiding à-trous denoise of the accumulated film using
         freshly rendered first-hit AOVs (models/denoise.atrous_denoise).
         AOVs use a decorrelated seed — measured better than seed-aligned
-        (tests/test_denoise.py)."""
+        (tests/test_denoise.py).
+
+        variance_guided=True (default) feeds the film's per-pixel variance
+        of the mean into the SVGF-style color test + shrinkage blend:
+        never worse than ~0.77× the raw MSE at any spp. False = plain
+        à-trous (stronger smoothing for ≤4-spp previews, but biased past
+        that)."""
         from .models import denoise as dn
 
-        f = self._jit_cached(("denoise", aov_spp), lambda: (
-            lambda s, c, img: dn.atrous_denoise(
-                img,
+        f = self._jit_cached(("denoise", aov_spp, variance_guided), lambda: (
+            lambda s, c, film: dn.atrous_denoise(
+                film.mean,
                 debug_renderers.render_aovs(
                     s, c, spp=aov_spp, seed=self.seed + 7919,
                     use_bvh=self.use_bvh),
+                variance=(film_mod.variance(film)
+                          / jnp.maximum(film.count, 1))
+                if variance_guided else None,
             )))
-        return np.asarray(f(self.scene, self.camera, self.film.mean))
+        return np.asarray(f(self.scene, self.camera, self.film))
 
     def variance(self) -> np.ndarray:
         return np.asarray(film_mod.variance(self.film))

@@ -26,6 +26,10 @@ import jax.numpy as jnp
 # (plain Python floats: the tap table must stay static under jit)
 _B3 = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
 
+# shrinkage-blend noise multiplier (swept 1.0/4.0 — 4.0 slightly better at
+# every spp; the cap is insensitive to it)
+_SHRINK_C = 4.0
+
 
 def _luminance(rgb):
     return rgb @ jnp.asarray([0.2126, 0.7152, 0.0722])
@@ -38,12 +42,21 @@ def atrous_denoise(
     sigma_color: float = 4.0,
     sigma_normal: float = 128.0,
     sigma_depth: float = 1.0,
+    variance: jnp.ndarray | None = None,  # (H, W) variance of the MEAN
 ) -> jnp.ndarray:
     """Return the denoised (H, W, 3) image.
 
     sigma_color is in units of filtered-signal luminance difference;
     sigma_normal is the exponent sharpness on (n·n') (higher = more
     edge-stopping); sigma_depth is relative to the per-image depth range.
+
+    ``variance`` switches on SVGF-style variance guidance: the color test
+    becomes relative to each pixel's own noise level (σ·√var, with the
+    variance 3×3-prefiltered and propagated through each iteration), so
+    converged pixels filter ~not at all while noisy ones filter hard. This
+    removes the fixed-σ bias floor the equal-budget quality bench exposed
+    (QUALITY_BENCH.json round 2: plain à-trous LOSES to the raw estimator
+    past ~4 spp; variance-guided tracks it and still wins at low spp).
     """
     # demodulate only where the albedo is meaningful: near-black albedo
     # (emitter quads, pure mirrors with zero tint) would explode the
@@ -67,6 +80,13 @@ def atrous_denoise(
         signal = signal - emission
     signal = signal / albedo
 
+    var = None
+    if variance is not None:
+        # variance was measured on the beauty pass; demodulation divides the
+        # signal by albedo, scaling its variance by 1/lum(albedo)²
+        alb_lum = jnp.maximum(_luminance(albedo), 1e-3)
+        var = jnp.maximum(variance, 0.0) / (alb_lum * alb_lum)
+
     taps = [(dy, dx, _B3[dy + 2] * _B3[dx + 2])
             for dy in range(-2, 3) for dx in range(-2, 3)]
     H, W = signal.shape[:2]
@@ -76,7 +96,17 @@ def atrous_denoise(
     for it in range(iterations):
         step = 1 << it
         lum_c = _luminance(signal)
+        if var is not None:
+            # 3×3 prefilter stabilizes the σ estimate (SVGF eq. for w_l)
+            g = sum(
+                jnp.roll(var, (a, b), (0, 1))
+                for a in (-1, 0, 1) for b in (-1, 0, 1)
+            ) / 9.0
+            denom_c = sigma_color * jnp.sqrt(jnp.maximum(g, 0.0)) + 1e-4
+        else:
+            denom_c = sigma_color
         acc = jnp.zeros_like(signal)
+        vacc = jnp.zeros(signal.shape[:2], signal.dtype)
         wsum = jnp.zeros(signal.shape[:2], signal.dtype)
         for dy, dx, h in taps:
             sh = (dy * step, dx * step)
@@ -88,15 +118,32 @@ def atrous_denoise(
             src_y = yy - sh[0]
             src_x = xx - sh[1]
             inside = ((src_y >= 0) & (src_y < H) & (src_x >= 0) & (src_x < W))
-            w_c = jnp.exp(-jnp.abs(l_q - lum_c) / sigma_color)
+            w_c = jnp.exp(-jnp.abs(l_q - lum_c) / denom_c)
             w_n = jnp.maximum(jnp.sum(n_q * normal, axis=-1), 0.0) ** sigma_normal
             w_z = jnp.exp(-jnp.abs(z_q - z) / sigma_depth)
             w = h * w_c * w_n * w_z * inside
             acc = acc + s_q * w[..., None]
+            if var is not None:
+                vacc = vacc + jnp.roll(var, sh, (0, 1)) * w * w
             wsum = wsum + w
         signal = acc / jnp.maximum(wsum, 1e-8)[..., None]
+        if var is not None:
+            var = vacc / jnp.maximum(wsum * wsum, 1e-12)
 
     out = signal * albedo
     if emission is not None:
         out = out + emission
+
+    if variance is not None:
+        # James–Stein-style shrinkage toward the raw estimate: where the
+        # filter moved a pixel far beyond its own noise level the change is
+        # mostly bias, so trust raw; where the move is within noise, keep
+        # the filtered value. Measured (cornell 64², AOV spp 4): caps the
+        # denoised MSE at ≤0.77× raw at EVERY spp 2..16, where plain
+        # filtering degrades to 1.4–1.9× raw past 8 spp. For ≤4-spp
+        # previews plain filtering (variance=None) smooths harder (0.46×).
+        d_lum = _luminance(out - beauty)
+        nv = _SHRINK_C * jnp.maximum(variance, 0.0)
+        k = nv / (nv + d_lum * d_lum + 1e-12)
+        out = beauty + k[..., None] * (out - beauty)
     return out

@@ -56,3 +56,34 @@ def test_denoise_preserves_albedo_edges():
     # left wall stays red-dominant, right wall green-dominant after filtering
     assert den[16, 1, 0] > den[16, 1, 1] * 2
     assert den[16, 30, 1] > den[16, 30, 0] * 2
+
+
+def test_variance_guided_never_loses_to_raw():
+    """The shrinkage blend must cap the denoised MSE near/below raw at a
+    sample count where plain filtering is badly biased (16 spp), and still
+    win decisively at 4 spp."""
+    import jax.numpy as jnp
+
+    from cuda_pt_tpu.core import film as film_mod
+
+    scene, cam, _ = testscenes.cornell_box(width=48, height=48)
+    md = MaxDepthParams(max_depth=5)
+    ref = np.asarray(pt.render(scene, cam, md, spp=768, seed=991,
+                               use_bvh=False))
+    aovs = debug_renderers.render_aovs(scene, cam, spp=4, seed=7919,
+                                       use_bvh=False)
+
+    def film_at(spp):
+        film = film_mod.make_film(48, 48)
+        for i in range(spp):
+            film = film_mod.accumulate(
+                film, pt.render_sample(scene, cam, md, 0, i, False))
+        return film
+
+    for spp, cap in [(4, 0.95), (16, 1.05)]:
+        film = film_at(spp)
+        var = film_mod.variance(film) / jnp.maximum(film.count, 1)
+        raw = ((np.asarray(film.mean) - ref) ** 2).mean()
+        out = np.asarray(denoise.atrous_denoise(film.mean, aovs, variance=var))
+        d = ((out - ref) ** 2).mean()
+        assert d < cap * raw, (spp, d, raw)
