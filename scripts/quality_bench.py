@@ -66,6 +66,20 @@ def main() -> None:
                                           use_bvh=False, sampler=sampler)
         return img
 
+    def denoised_uniform(budget, sampler):
+        """Film-accumulated render → variance-guided à-trous denoise."""
+        import jax.numpy as jnp
+
+        from cuda_pt_tpu.core import film as film_mod
+
+        film = film_mod.make_film(w, w)
+        for i in range(budget):
+            film = film_mod.accumulate(
+                film, pt.render_sample(scene, cam, md, 0, i, False,
+                                       sampler=sampler))
+        var = film_mod.variance(film) / jnp.maximum(film.count, 1)
+        return denoise.atrous_denoise(film.mean, aovs, variance=var)
+
     rows = []
     for budget in args.budgets:
         configs = {
@@ -73,10 +87,9 @@ def main() -> None:
             "uniform_sobol": lambda: uniform(budget, "sobol"),
             "adaptive_pcg": lambda: adapt(budget, "pcg"),
             "adaptive_sobol": lambda: adapt(budget, "sobol"),
-            "uniform_pcg_denoised": lambda: denoise.atrous_denoise(
-                uniform(budget, "pcg"), aovs),
-            "adaptive_sobol_denoised": lambda: denoise.atrous_denoise(
-                adapt(budget, "sobol"), aovs),
+            "uniform_pcg_denoised_vg": lambda: denoised_uniform(budget, "pcg"),
+            "uniform_sobol_denoised_vg": lambda: denoised_uniform(
+                budget, "sobol"),
         }
         base = None
         for name, fn in configs.items():
