@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--density-pattern", default="",
                     help="per-frame grid density path, e.g. 'density-{:02d}.nvdb'")
     ap.add_argument("--emission-pattern", default="")
+    ap.add_argument("--sampler", choices=["pcg", "sobol"], default="pcg")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -110,7 +111,8 @@ def main():
         else:
             ps_frame = ps
 
-        r = Renderer(ps_frame, seed_offset=args.seed + frame * 4201)
+        r = Renderer(ps_frame, seed_offset=args.seed + frame * 4201,
+                     sampler=args.sampler)
         r.render(spp=args.spp)
         r.save(out_png)
         r.save_checkpoint(os.path.join(args.out_dir, f"frame_{frame:04d}.npz"))
