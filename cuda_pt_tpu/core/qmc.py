@@ -133,6 +133,9 @@ def _component(idx, dim, key_hi, key_lo):
 def next2d(state: jnp.ndarray):
     idx, dim = state[..., 0], state[..., 1]
     key_hi, key_lo = state[..., 2], state[..., 3]
+    # align 2D draws to a pair boundary: a draw straddling two pairs would
+    # get two unrelated components instead of a true (0,2) 2D point
+    dim = (dim + _U32(1)) & ~_U32(1)
     a = _component(idx, dim, key_hi, key_lo)
     b = _component(idx, dim + _U32(1), key_hi, key_lo)
     u = jnp.stack([a, b], axis=-1).astype(jnp.float32) * _INV_U32

