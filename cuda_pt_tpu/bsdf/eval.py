@@ -157,7 +157,60 @@ def eval_bsdf(ctx, wo: jnp.ndarray, wi: jnp.ndarray):
 
     f = jnp.where(same_side[:, None], f, 0.0)
     pdf = jnp.where(same_side, pdf, 0.0)
+
+    if T.BSDF_GGX_DIELECTRIC in present:
+        # rough dielectric (Walter et al. 2007; beyond the reference): the
+        # transmission lobe is smooth, so it joins NEE/MIS on BOTH sides of
+        # the surface — computed after the same-side gate the reflective
+        # families share.
+        f_rd, pdf_rd = _eval_rough_dielectric(ctx, wo, wi, nl)
+        is_rd = bt == T.BSDF_GGX_DIELECTRIC
+        f = jnp.where(is_rd[:, None], f_rd, f)
+        pdf = jnp.where(is_rd, pdf_rd, pdf)
     return f, pdf
+
+
+def _eval_rough_dielectric(ctx, wo, wi, nl):
+    """(f·|cos|, pdf) of the GGX dielectric. Conventions: local frame with
+    nl (normal flipped toward wo) as +z; relative IoR e = n_far/n_near so
+    Fresnel/refraction match the smooth translucent family; the
+    radiance-transport 1/e² of the transmitted lobe is folded in (it cancels
+    against Walter's e² BTDF numerator, eq. 21)."""
+    cos_signed = vm.dot(wo, ctx["n"])
+    entering = cos_signed > 0.0
+    e = jnp.where(entering, ctx["ior"], 1.0 / jnp.maximum(ctx["ior"], 1e-4))
+    ax, ay = ctx["ax"], ctx["ay"]
+    wo_l = vm.to_local(wo, nl)
+    wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-5))
+    wi_l = vm.to_local(wi, nl)
+    coso = wo_l[..., 2]
+    refl = wi_l[..., 2] > 0.0
+    h_r = vm.normalize(wo_l + wi_l)
+    # refraction half-vector: wo + e·wi = -C·h (Walter eq. 16), oriented +z
+    h_t = vm.normalize(-(wo_l + e[:, None] * wi_l))
+    h_t = h_t * jnp.where(h_t[..., 2:3] < 0.0, -1.0, 1.0)
+    h = jnp.where(refl[:, None], h_r, h_t)
+    coh = jnp.sum(wo_l * h, axis=-1)
+    wih = jnp.sum(wi_l * h, axis=-1)
+    d_ndf = ggx.ndf(h, ax, ay)
+    g1v = ggx.g1(wo_l, ax, ay)
+    g2v = ggx.g2(wo_l, wi_l, ax, ay)
+    F = fresnel.fresnel_dielectric(jnp.maximum(coh, 0.0), e)
+    dv = g1v * d_ndf * jnp.maximum(coh, 0.0) / jnp.maximum(coso, 1e-6)
+    ks = ctx["ks"]
+    f_r = ks * (F * d_ndf * g2v / jnp.maximum(4.0 * coso, 1e-6))[:, None]
+    pdf_r = F * dv / jnp.maximum(4.0 * coh, 1e-8)
+    denom2 = jnp.maximum((coh + e * wih) ** 2, 1e-8)
+    f_t = ks * (
+        (1.0 - F) * d_ndf * g2v * jnp.abs(coh * wih)
+        / (jnp.maximum(coso, 1e-6) * denom2)
+    )[:, None]
+    pdf_t = (1.0 - F) * dv * (e * e) * jnp.abs(wih) / denom2
+    ok_r = refl & (coh > 1e-6) & (wih > 1e-6)
+    ok_t = (~refl) & (coh > 1e-6) & (wih < -1e-6)
+    f_out = jnp.where(ok_r[:, None], f_r, jnp.where(ok_t[:, None], f_t, 0.0))
+    pdf_out = jnp.where(ok_r, pdf_r, jnp.where(ok_t, pdf_t, 0.0))
+    return f_out, pdf_out
 
 
 # ---------------------------------------------------------------------------
@@ -305,6 +358,57 @@ def sample_bsdf(ctx, wo: jnp.ndarray, rng_state: jnp.ndarray,
             (T.BSDF_GGX_CONDUCTOR, jnp.where(ggx_ok, ggx.vndf_pdf(wo_l, h_l, ax, ay), 1.0))
         )
         lobe_pairs.append((T.BSDF_GGX_CONDUCTOR, jnp.full(B, LOBE_SPECULAR)))
+
+    if T.BSDF_GGX_DIELECTRIC in present:
+        # rough dielectric: VNDF half-vector, Fresnel lobe choice, reflect
+        # or refract through the SAME microfacet h (Walter et al. 2007)
+        wo_l = vm.to_local(wo, nl)
+        wo_l = wo_l.at[..., 2].set(jnp.maximum(wo_l[..., 2], 1e-5))
+        ax, ay = ctx["ax"], ctx["ay"]
+        h_rd = ggx.sample_vndf(wo_l, ax, ay, u_dir)
+        coh_rd = jnp.sum(wo_l * h_rd, axis=-1)
+        e_rd = jnp.where(entering, ior, 1.0 / jnp.maximum(ior, 1e-4))
+        f_rd = fresnel.fresnel_dielectric(jnp.abs(coh_rd), e_rd)
+        wt_rd, tir_rd = vm.refract(-wo_l, h_rd, (1.0 / e_rd)[:, None])
+        refl_rd = (u_lobe < f_rd) | tir_rd
+        wi_rd_l = jnp.where(refl_rd[:, None], vm.reflect(-wo_l, h_rd), wt_rd)
+        ok_rd = jnp.where(
+            refl_rd, wi_rd_l[..., 2] > 1e-5, wi_rd_l[..., 2] < -1e-5
+        )
+        g1_rd = ggx.g1(wo_l, ax, ay)
+        g2_rd = ggx.g2(wo_l, wi_rd_l, ax, ay)
+        # VNDF weight G2/G1 (Fresnel handled by the lobe choice); the
+        # transmitted lobe carries the 1/e² radiance-transport factor like
+        # the smooth translucent family
+        rad_rd = jnp.where(refl_rd, 1.0, 1.0 / jnp.maximum(e_rd * e_rd, 1e-6))
+        w_rd = jnp.where(
+            ok_rd[:, None],
+            ctx["ks"] * (g2_rd / jnp.maximum(g1_rd, 1e-6) * rad_rd)[:, None],
+            0.0,
+        )
+        # pdf mirrors _eval_rough_dielectric exactly (MIS consistency)
+        d_rd = ggx.ndf(h_rd, ax, ay)
+        dv_rd = (
+            g1_rd * d_rd * jnp.maximum(coh_rd, 0.0)
+            / jnp.maximum(wo_l[..., 2], 1e-6)
+        )
+        wih_rd = jnp.sum(wi_rd_l * h_rd, axis=-1)
+        denom2_rd = jnp.maximum((coh_rd + e_rd * wih_rd) ** 2, 1e-8)
+        pdf_rd = jnp.where(
+            refl_rd,
+            f_rd * dv_rd / jnp.maximum(4.0 * coh_rd, 1e-8),
+            (1.0 - f_rd) * dv_rd * e_rd * e_rd * jnp.abs(wih_rd) / denom2_rd,
+        )
+        wi_pairs.append(
+            (T.BSDF_GGX_DIELECTRIC, vm.to_world(vm.normalize(wi_rd_l), nl))
+        )
+        w_pairs.append((T.BSDF_GGX_DIELECTRIC, w_rd))
+        pdf_pairs.append((T.BSDF_GGX_DIELECTRIC, jnp.maximum(pdf_rd, 1e-12)))
+        # smooth lobe: is_delta stays False so it participates in NEE/MIS
+        lobe_pairs.append(
+            (T.BSDF_GGX_DIELECTRIC,
+             jnp.where(refl_rd, LOBE_SPECULAR, LOBE_TRANSMIT))
+        )
 
     is_disp = bt == T.BSDF_DISPERSION
     wl_out = wl

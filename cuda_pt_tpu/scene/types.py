@@ -27,7 +27,10 @@ BSDF_PLASTIC_FORWARD = 4
 BSDF_GGX_CONDUCTOR = 5
 BSDF_DISPERSION = 6
 BSDF_FORWARD = 7
-NUM_BSDF_TYPES = 8
+# rough dielectric (GGX transmission, Walter et al. 2007) — beyond the
+# reference, which has smooth dielectrics and rough conductors only
+BSDF_GGX_DIELECTRIC = 8
+NUM_BSDF_TYPES = 9
 
 EMITTER_NULL = 0
 EMITTER_POINT = 1

@@ -88,6 +88,9 @@ _BRDF_TYPES = {
     "conductor-ggx": T.BSDF_GGX_CONDUCTOR,
     "dispersion": T.BSDF_DISPERSION,
     "forward": T.BSDF_FORWARD,
+    # beyond-reference family: GGX rough dielectric (frosted glass)
+    "rough-dielectric": T.BSDF_GGX_DIELECTRIC,
+    "dielectric-ggx": T.BSDF_GGX_DIELECTRIC,
 }
 
 _PHASE_TYPES = {
