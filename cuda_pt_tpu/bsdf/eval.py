@@ -71,6 +71,29 @@ def make_ctx(scene: T.Scene, bid: jnp.ndarray, uv: jnp.ndarray, n_s: jnp.ndarray
     }
 
 
+
+
+def _oren_nayar_factor(ctx, wo_l, wi_l):
+    """Oren-Nayar multiplier on the Lambertian lobe (fast A/B form).
+    σ in radians rides the roughness_x column."""
+    sig = ctx["ax"]
+    s2 = sig * sig
+    A = 1.0 - 0.5 * s2 / (s2 + 0.33)
+    Bc = 0.45 * s2 / (s2 + 0.09)
+    cos_to = jnp.clip(wo_l[..., 2], 1e-6, 1.0)
+    cos_ti = jnp.clip(wi_l[..., 2], 1e-6, 1.0)
+    sin_to = jnp.sqrt(jnp.maximum(1.0 - cos_to * cos_to, 0.0))
+    sin_ti = jnp.sqrt(jnp.maximum(1.0 - cos_ti * cos_ti, 0.0))
+    denom_az = jnp.maximum(sin_to * sin_ti, 1e-6)
+    cos_dphi = jnp.clip(
+        (wo_l[..., 0] * wi_l[..., 0] + wo_l[..., 1] * wi_l[..., 1])
+        / denom_az, -1.0, 1.0)
+    sin_a = jnp.maximum(sin_to, sin_ti)
+    tan_b = jnp.minimum(sin_to, sin_ti) / jnp.maximum(
+        jnp.minimum(cos_to, cos_ti), 1e-6)
+    return A + Bc * jnp.maximum(cos_dphi, 0.0) * sin_a * tan_b
+
+
 def _flip_to(n, wo):
     """Normal flipped into wo's hemisphere, plus the sign."""
     s = jnp.sign(vm.dot(n, wo, keepdims=True))
@@ -106,6 +129,15 @@ def eval_bsdf(ctx, wo: jnp.ndarray, wi: jnp.ndarray):
         pdf_lam = sampling.cosine_hemisphere_pdf(cos_i)
         f = jnp.where((bt == T.BSDF_LAMBERTIAN)[:, None], f_lam, f)
         pdf = jnp.where(bt == T.BSDF_LAMBERTIAN, pdf_lam, pdf)
+
+    if T.BSDF_OREN_NAYAR in present:
+        # Oren-Nayar rough diffuse (beyond the reference); σ=0 reduces
+        # exactly to Lambertian (tested)
+        on = _oren_nayar_factor(ctx, vm.to_local(wo, nl), vm.to_local(wi, nl))
+        f_on = ctx["kd"] * (_INV_PI * on * cos_ic)[:, None]
+        pdf_on = sampling.cosine_hemisphere_pdf(cos_i)
+        f = jnp.where((bt == T.BSDF_OREN_NAYAR)[:, None], f_on, f)
+        pdf = jnp.where(bt == T.BSDF_OREN_NAYAR, pdf_on, pdf)
 
     if T.BSDF_PLASTIC in present:
         # Plastic diffuse substrate (src/impl/bsdf_plastic.cu:25-133)
@@ -263,6 +295,14 @@ def sample_bsdf(ctx, wo: jnp.ndarray, rng_state: jnp.ndarray,
     cos_signed = vm.dot(wo, n)
     entering = cos_signed > 0.0
     ior = ctx["ior"]
+
+    if T.BSDF_OREN_NAYAR in present:
+        # cosine-sampled like Lambert; the weight carries the ON factor
+        on_s = _oren_nayar_factor(
+            ctx, vm.to_local(wo, nl), vm.to_local(wi_lam, nl)
+        )
+        w_pairs.append((T.BSDF_OREN_NAYAR, ctx["kd"] * on_s[:, None]))
+        # wi/pdf/lobe defaults (cosine hemisphere, diffuse) already apply
 
     if T.BSDF_SPECULAR in present:
         # (src/bsdf/specular.cuh)

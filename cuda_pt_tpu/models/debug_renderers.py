@@ -117,7 +117,8 @@ def render_aovs(
         bt = ctx["btype"][:, None]
         base = ctx["kd"]
         base = jnp.where(
-            (bt == T.BSDF_TRANSLUCENT) | (bt == T.BSDF_DISPERSION),
+            (bt == T.BSDF_TRANSLUCENT) | (bt == T.BSDF_DISPERSION)
+            | (bt == T.BSDF_GGX_DIELECTRIC),
             ctx["ks"], base)
         base = jnp.where(
             (bt == T.BSDF_PLASTIC) | (bt == T.BSDF_PLASTIC_FORWARD),

@@ -30,7 +30,9 @@ BSDF_FORWARD = 7
 # rough dielectric (GGX transmission, Walter et al. 2007) — beyond the
 # reference, which has smooth dielectrics and rough conductors only
 BSDF_GGX_DIELECTRIC = 8
-NUM_BSDF_TYPES = 9
+# Oren-Nayar rough diffuse (fast A/B form) — beyond the reference
+BSDF_OREN_NAYAR = 9
+NUM_BSDF_TYPES = 10
 
 EMITTER_NULL = 0
 EMITTER_POINT = 1

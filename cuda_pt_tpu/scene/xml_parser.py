@@ -88,9 +88,11 @@ _BRDF_TYPES = {
     "conductor-ggx": T.BSDF_GGX_CONDUCTOR,
     "dispersion": T.BSDF_DISPERSION,
     "forward": T.BSDF_FORWARD,
-    # beyond-reference family: GGX rough dielectric (frosted glass)
+    # beyond-reference families: GGX rough dielectric (frosted glass),
+    # Oren-Nayar rough diffuse
     "rough-dielectric": T.BSDF_GGX_DIELECTRIC,
     "dielectric-ggx": T.BSDF_GGX_DIELECTRIC,
+    "oren-nayar": T.BSDF_OREN_NAYAR,
 }
 
 _PHASE_TYPES = {

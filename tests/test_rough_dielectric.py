@@ -136,3 +136,78 @@ def test_frosted_pane_transmits_light():
     assert img_r.mean() > 0.2, img_r.mean()
     ratio = img_r.mean() / max(img_s.mean(), 1e-9)
     assert 0.75 < ratio < 1.25, ratio
+
+
+# ---------------------------------------------------------------------------
+# Oren-Nayar rough diffuse (also beyond reference; shares this test module)
+# ---------------------------------------------------------------------------
+
+
+def test_oren_nayar_sigma0_is_lambert():
+    """σ=0 must reduce exactly to the Lambertian family (eval + sampling)."""
+    B = 4096
+    n = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (B, 1)), jnp.float32)
+    wo = vm.normalize(jnp.asarray(np.tile([[0.3, 0.2, 0.9]], (B, 1)), jnp.float32))
+    wi = vm.normalize(jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, 3)).astype(np.float32)
+        * np.array([1, 1, 0.0]) + np.array([0, 0, 1.0])))
+
+    from cuda_pt_tpu.scene.builder import BSDFSpec, SceneBuilder
+
+    def ctx_of(btype, sig):
+        b = SceneBuilder()
+        b.add_bsdf(BSDFSpec(btype=btype, k_d=(0.6, 0.5, 0.4),
+                            roughness_x=sig, roughness_y=sig))
+        b.add_sphere((0, 0, 0), 1.0, 0)
+        s = b.compile()
+        return bsdf_eval.make_ctx(s, jnp.zeros(B, jnp.int32),
+                                  jnp.zeros((B, 2), jnp.float32), n)
+
+    f_on, p_on = bsdf_eval.eval_bsdf(ctx_of(T.BSDF_OREN_NAYAR, 1e-4), wo, wi)
+    f_lam, p_lam = bsdf_eval.eval_bsdf(ctx_of(T.BSDF_LAMBERTIAN, 0.1), wo, wi)
+    np.testing.assert_allclose(np.asarray(f_on), np.asarray(f_lam), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p_on), np.asarray(p_lam), atol=1e-6)
+
+
+def test_oren_nayar_sample_weight_matches_eval():
+    B = 1 << 13
+    n = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (B, 1)), jnp.float32)
+    wo = vm.normalize(jnp.asarray(np.tile([[0.5, 0.0, 0.7]], (B, 1)), jnp.float32))
+    from cuda_pt_tpu.scene.builder import BSDFSpec, SceneBuilder
+
+    b = SceneBuilder()
+    b.add_bsdf(BSDFSpec(btype=T.BSDF_OREN_NAYAR, k_d=(0.8, 0.6, 0.3),
+                        roughness_x=0.5, roughness_y=0.5))
+    b.add_sphere((0, 0, 0), 1.0, 0)
+    scene = b.compile()
+    ctx = bsdf_eval.make_ctx(scene, jnp.zeros(B, jnp.int32),
+                             jnp.zeros((B, 2), jnp.float32), n)
+    out, _ = bsdf_eval.sample_bsdf(ctx, wo, prng.seed(9, jnp.arange(B)))
+    f_cos, pdf = bsdf_eval.eval_bsdf(ctx, wo, out["wi"])
+    recon = np.asarray(f_cos) / np.maximum(np.asarray(pdf)[:, None], 1e-12)
+    np.testing.assert_allclose(recon, np.asarray(out["weight"]), rtol=2e-2,
+                               atol=1e-4)
+
+
+def test_oren_nayar_darker_at_normal_flatter_at_grazing():
+    """The qualitative ON behavior: relative to Lambert, grazing-view
+    retro-reflection is boosted vs normal-view."""
+    B = 2
+    n = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (B, 1)), jnp.float32)
+    from cuda_pt_tpu.scene.builder import BSDFSpec, SceneBuilder
+
+    b = SceneBuilder()
+    b.add_bsdf(BSDFSpec(btype=T.BSDF_OREN_NAYAR, k_d=(1.0, 1.0, 1.0),
+                        roughness_x=0.6, roughness_y=0.6))
+    b.add_sphere((0, 0, 0), 1.0, 0)
+    scene = b.compile()
+    ctx = bsdf_eval.make_ctx(scene, jnp.zeros(B, jnp.int32),
+                             jnp.zeros((B, 2), jnp.float32), n)
+    grazing = vm.normalize(jnp.asarray([[0.95, 0.0, 0.3]] * B, jnp.float32))
+    normal = jnp.asarray([[0.0, 0.0, 1.0]] * B, jnp.float32)
+    # retro-reflection (wi == wo): grazing ON factor > normal-incidence ON
+    f_g, _ = bsdf_eval.eval_bsdf(ctx, grazing, grazing)
+    f_n, _ = bsdf_eval.eval_bsdf(ctx, normal, normal)
+    on_g = float(f_g[0, 0]) / max(float(grazing[0, 2]), 1e-6)
+    on_n = float(f_n[0, 0])
+    assert on_g > on_n, (on_g, on_n)
