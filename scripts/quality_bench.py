@@ -31,6 +31,9 @@ import numpy as np  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", choices=["cornell", "slot"], default="cornell",
+                    help="slot = light through a narrow slot (concentrated "
+                         "variance; the adaptive sampler's best case)")
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--budgets", type=int, nargs="+", default=[4, 8, 16])
     ap.add_argument("--target-mse", type=float, default=None,
@@ -46,7 +49,17 @@ def main() -> None:
     from cuda_pt_tpu.scene import testscenes
 
     w = args.width
-    scene, cam, _ = testscenes.cornell_box(width=w, height=w)
+    if args.scene == "slot":
+        sys.path.insert(0, str(REPO / "tests"))
+        from test_guiding import _slot_scene
+
+        scene, cam0 = _slot_scene()
+        from cuda_pt_tpu.core import camera as cam_mod
+
+        cam = cam_mod.make_camera((0, 0.7, -2.6), (0, 0.3, 0), fov=35,
+                                  width=w, height=w)
+    else:
+        scene, cam, _ = testscenes.cornell_box(width=w, height=w)
     md = MaxDepthParams(max_depth=5)
     ref = np.asarray(pt.render(scene, cam, md, spp=1024, seed=991,
                                use_bvh=False))
@@ -130,11 +143,14 @@ def main() -> None:
                         "mse": m, "seconds": round(dt, 3)})
         print(json.dumps(tt_rows[-1]))
 
-    Path(args.out).write_text(json.dumps(
-        {"scene": f"cornell {w}x{w} depth5", "reference_spp": 1024,
+    out = args.out
+    if args.scene != "cornell" and out == str(REPO / "QUALITY_BENCH.json"):
+        out = str(REPO / f"QUALITY_BENCH_{args.scene}.json")
+    Path(out).write_text(json.dumps(
+        {"scene": f"{args.scene} {w}x{w} depth5", "reference_spp": 1024,
          "metric": "MSE vs reference", "rows": rows,
          "time_to_quality": tt_rows}, indent=1))
-    print(f"wrote {args.out}")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
