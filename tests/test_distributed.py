@@ -143,3 +143,39 @@ def test_distributed_vpt_renderer(cbox):
     ref = np.asarray(dist.render_distributed(
         scene, cam, md, spp=2, mesh=mesh, seed=5, use_bvh=False))
     assert abs(img.mean() - ref.mean()) < 0.05, (img.mean(), ref.mean())
+
+
+def test_distributed_sobol_matches_single_device(cbox):
+    """The QMC sampler under tile sharding: same per-(pixel, sample)
+    low-discrepancy sequences as the single-device render."""
+    scene, cam, md = cbox
+    mesh = dist.make_mesh(sp=1)
+    img_d = np.asarray(
+        dist.render_distributed(scene, cam, md, spp=4, mesh=mesh, seed=0,
+                                use_bvh=False, sampler="sobol")
+    )
+    img_s = np.asarray(pt.render(scene, cam, md, spp=4, seed=0,
+                                 use_bvh=False, sampler="sobol"))
+    match = np.isclose(img_d, img_s, atol=1e-4).mean()
+    assert match > 0.95, match
+    assert abs(img_d.mean() - img_s.mean()) < 0.02
+
+
+def test_distributed_sample_window_advances(cbox):
+    """sample_base0 must shift the per-pixel sample indices: two windows
+    give different (decorrelated) but unbiased passes."""
+    scene, cam, md = cbox
+    mesh = dist.make_mesh(sp=1)
+    a = np.asarray(dist.render_distributed(
+        scene, cam, md, spp=2, mesh=mesh, seed=0, use_bvh=False,
+        sampler="sobol", sample_base0=0))
+    b = np.asarray(dist.render_distributed(
+        scene, cam, md, spp=2, mesh=mesh, seed=0, use_bvh=False,
+        sampler="sobol", sample_base0=2))
+    assert np.abs(a - b).max() > 1e-3  # different samples
+    assert abs(a.mean() - b.mean()) < 0.05  # same estimator
+    # windows [0,2) and [2,4) must average to the [0,4) render
+    both = np.asarray(dist.render_distributed(
+        scene, cam, md, spp=4, mesh=mesh, seed=0, use_bvh=False,
+        sampler="sobol"))
+    np.testing.assert_allclose((a + b) / 2, both, atol=2e-4)
