@@ -148,12 +148,16 @@ class Renderer:
         film (per-pixel counts land in film.weight)."""
         from .models import adaptive
 
-        img, n = adaptive.render_adaptive(
+        img, n, var = adaptive.render_adaptive(
             self.scene, self.camera, self.md, spp_budget, seed=self.seed,
-            use_bvh=self.use_bvh, sampler=self.sampler, **kw)
+            use_bvh=self.use_bvh, sampler=self.sampler, return_variance=True,
+            **kw)
+        cnt = max(int(round(float(n.mean()))), 2)
+        # film.m2 is scalar-count Welford state; reconstruct it so
+        # variance() ≈ the per-pixel sample variance (feeds denoise())
+        m2 = var * n * (cnt - 1)
         self.film = film_mod.Film(
-            mean=img, m2=jnp.zeros_like(img[..., 0]), weight=n,
-            count=jnp.int32(round(float(n.mean()))),
+            mean=img, m2=m2, weight=n, count=jnp.int32(cnt),
         )
         return np.asarray(img)
 

@@ -57,6 +57,7 @@ def render_adaptive(
     seed: int = 0,
     use_bvh=None,
     sampler: str = "pcg",
+    return_variance: bool = False,
 ):
     """Render with a total budget of ``spp_budget × W × H`` samples.
 
@@ -65,7 +66,8 @@ def render_adaptive(
     ``tile_frac`` highest-error tiles, until the budget is spent.
 
     Returns (image (H, W, 3), n_per_pixel (H, W)); n averages to
-    ~spp_budget across the frame.
+    ~spp_budget across the frame. return_variance=True appends the
+    per-pixel variance of the MEAN (H, W) — the denoiser's guidance input.
     """
     if base_spp is None:
         base_spp = max(spp_budget // 2, 2)
@@ -136,7 +138,11 @@ def render_adaptive(
             return welford_add((mean, m2, n), sel, rad)
 
         mean, m2, n = jax.lax.fori_loop(0, rounds, adapt, st)
-        return mean, n
+        return mean, n, m2
 
-    mean, n = run(scene)
+    mean, n, m2 = run(scene)
+    if return_variance:
+        var = m2 / (jnp.maximum(n - 1.0, 1.0) * jnp.maximum(n, 1.0))
+        return (mean.reshape(H, W, 3), n.reshape(H, W),
+                var.reshape(H, W))
     return mean.reshape(H, W, 3), n.reshape(H, W)
