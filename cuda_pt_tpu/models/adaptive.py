@@ -75,6 +75,9 @@ def render_adaptive(
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
     H, W = cam.height, cam.width
+    # fall back to the largest tile that divides the frame (odd resolutions)
+    while tile > 1 and (H % tile or W % tile):
+        tile //= 2
     assert H % tile == 0 and W % tile == 0, (H, W, tile)
     B = W * H
     th, tw = H // tile, W // tile
