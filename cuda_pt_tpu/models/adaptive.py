@@ -58,6 +58,7 @@ def render_adaptive(
     use_bvh=None,
     sampler: str = "pcg",
     return_variance: bool = False,
+    tracer: str = "pt",
 ):
     """Render with a total budget of ``spp_budget × W × H`` samples.
 
@@ -103,10 +104,13 @@ def render_adaptive(
         own count, keeping streams identical to uniform rendering."""
         rng = qmc.make_state(sampler, seed, pixel_ids, n_of_pixel)
         o, d, rng = cam_mod.generate_rays(cam, pixel_ids, rng)
-        return pt.trace_paths(
-            scene, md, o, d, rng, use_bvh,
-            wl_u=pt.wl_stratum_u(seed, n_of_pixel, pixel_ids),
-        )
+        wl_u = pt.wl_stratum_u(seed, n_of_pixel, pixel_ids)
+        if tracer == "vpt":
+            from . import volume_pt
+
+            return volume_pt.trace_paths(scene, md, o, d, rng, use_bvh,
+                                         wl_u=wl_u)
+        return pt.trace_paths(scene, md, o, d, rng, use_bvh, wl_u=wl_u)
 
     def welford_add(state, pixel_ids, radiance):
         mean, m2, n = state
