@@ -20,7 +20,9 @@ def test_autotune_picks_valid_impl_and_caches():
     scene, cam, _ = testscenes.cornell_box(width=16, height=16)
     autotune._CACHE.clear()
     res = autotune.autotune_traversal(scene, cam, n_rays=256, reps=1)
-    assert res["impl"] in ("xla", "pallas")
+    # under a loaded machine any measured candidate may win — what's pinned
+    # must simply be one of the valid backends
+    assert res["impl"] in ("xla", "wide", "wide_bf16", "pallas")
     assert res["cached"] is False
     assert np.isfinite(res["timings_ms"]["xla"])
     res2 = autotune.autotune_traversal(scene, cam, n_rays=256, reps=1)
