@@ -386,3 +386,39 @@ def test_nvdb_blosc_codec_raises(tmp_path):
     _write_synthetic_nvdb(path, [((0, 0, 0), v)], (0, 0, 0, 7, 7, 7), codec=2)
     with pytest.raises(ValueError, match="codec"):
         load_nvdb_density(path)
+
+
+def test_blackbody_trend_matches_reference_table():
+    """The reference ships a temperature→RGB table (scene/data/
+    blackbody.bin, 1024 float3 rows, src/impl/vol_grid.cu:304-326). Its
+    values are NOT a pure Planck locus — rows are normalized/clamped (the
+    table ends at exactly (1,1,1), and cool rows have B≈G, which Planck
+    never produces) — so our analytic Planck spectrum intentionally
+    differs in detail. What must agree is the physical trend both share:
+    cool = red-dominant, hot = balanced/white, with the red share falling
+    and the blue share rising monotonically along the ramp."""
+    import os
+
+    path = "/root/reference/scene/data/blackbody.bin"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference data not in checkout")
+    tab = np.fromfile(path, np.float32).reshape(-1, 3)
+    rows = tab[32:1024:64]
+    chroma_t = rows / np.maximum(rows.sum(axis=1, keepdims=True), 1e-9)
+
+    temps = jnp.asarray(np.linspace(1000.0, 10000.0, 16), jnp.float32)
+    ana = np.asarray(grid_med.blackbody_rgb(temps))
+    chroma_a = ana / np.maximum(ana.sum(axis=1, keepdims=True), 1e-9)
+
+    # endpoints both agree on: red-hot start, whitening end (the table's
+    # interior loops through saturated orange with near-zero blue — an
+    # artistic ramp, not Planck — so only the endpoints are comparable)
+    for chroma in (chroma_t, chroma_a):
+        assert chroma[0, 0] > 0.55, chroma[0]
+        assert chroma[-1, 0] < 0.45, chroma[-1]
+        assert chroma[-1, 2] > chroma[0, 2], chroma[:, 2]
+    # our physical version IS monotone along the whole ramp
+    assert (np.diff(chroma_a[:, 0]) < 1e-4).all(), chroma_a[:, 0]
+    assert (np.diff(chroma_a[:, 2]) > -1e-4).all(), chroma_a[:, 2]
