@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--report-interval", type=int, default=16)
     ap.add_argument("--sampler", choices=["pcg", "sobol"], default="pcg",
                     help="sobol = Owen-scrambled QMC (lower equal-spp error)")
+    ap.add_argument("--denoise", action="store_true",
+                    help="variance-guided à-trous denoise of the final image")
     ap.add_argument("--tensorboard", default="",
                     help="log dir for TensorBoard image/variance curves "
                          "(reference ddp_render.py:59-67,163-211 parity)")
@@ -102,6 +104,23 @@ def main():
                 )
     if tb is not None:
         tb.close()
+    if args.denoise:
+        import jax.numpy as jnp
+
+        from cuda_pt_tpu.models import debug_renderers
+        from cuda_pt_tpu.models import denoise as dn
+
+        aovs = debug_renderers.render_aovs(
+            ps.scene, ps.camera, spp=4, seed=args.seed + 7919,
+            use_bvh=ps.scene.geom.num_prims > 64)
+        var = film_mod.variance(film) / jnp.maximum(film.count, 1)
+        img = dn.atrous_denoise(film.mean, aovs, variance=var)
+        import numpy as np
+
+        out_dn = args.out.rsplit(".", 1)[0] + "_denoised.png"
+        save_png(out_dn, (np.asarray(film_mod.to_srgb(img, ps.config.gamma))
+                          * 255).astype("uint8"))
+        print(f"[DIST] wrote {out_dn}")
     print(f"[DIST] wrote {args.out}")
 
 
