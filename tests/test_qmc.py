@@ -125,3 +125,41 @@ def test_wavefront_sobol_matches_megakernel_sobol():
     # identical estimator up to scatter-add float ordering (lane permutation
     # changes the accumulation order of the final pixel splat)
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-4)
+
+
+def test_sobol_cuts_gradient_variance():
+    """QMC also pays in reverse mode: the seed-to-seed variance of a
+    differentiable render's parameter gradient drops several-fold at equal
+    spp (measured ~14× lower variance on the emitter-scaler gradient)."""
+    import jax
+
+    scene, cam, _ = testscenes.cornell_box(width=24, height=24)
+    md = MaxDepthParams(max_depth=3)
+    target = jnp.asarray(np.asarray(
+        pt.render(scene, cam, md, spp=128, seed=77, use_bvh=False)))
+
+    def grad_fn(sampler):
+        def loss(scaler, seed):
+            s = scene.replace(
+                emitters=scene.emitters.replace(scaler=scaler))
+            img = pt.render(s, cam, md, spp=8, seed=seed, use_bvh=False,
+                            differentiable=True, sampler=sampler)
+            return jnp.mean((img - target) ** 2)
+
+        return jax.jit(jax.grad(loss))
+
+    def stats(sampler, n_seeds=8):
+        g = grad_fn(sampler)
+        vals = np.array([
+            np.asarray(g(scene.emitters.scaler, 100 + s))[1]
+            for s in range(n_seeds)
+        ])
+        return vals.mean(), vals.var()
+
+    m_p, v_p = stats("pcg")
+    m_s, v_s = stats("sobol")
+    # same gradient in expectation (MC tolerance: both near each other
+    # within the pcg std)
+    assert abs(m_s - m_p) < 3.0 * np.sqrt(v_p), (m_s, m_p, v_p)
+    # decisive variance cut (measured ~0.07x; assert < 0.4x)
+    assert v_s < 0.4 * v_p, (v_s, v_p)
