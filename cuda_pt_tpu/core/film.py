@@ -53,10 +53,18 @@ def variance(film: Film) -> jnp.ndarray:
     return film.m2 / n
 
 
-def to_srgb(mean: jnp.ndarray, gamma: bool = True) -> jnp.ndarray:
-    """Tonemap linear radiance to [0,1] sRGB-ish (reference uses gamma 1/2.1,
-    src/core/host_device.cuh:44)."""
+def to_srgb(mean: jnp.ndarray, gamma: bool = True,
+            tonemap: str = "gamma") -> jnp.ndarray:
+    """Tonemap linear radiance to [0,1] sRGB-ish.
+
+    tonemap="gamma": the reference's gamma 1/2.1 (src/core/host_device.cuh
+    :44). tonemap="aces": Narkowicz's ACES filmic fit (public formula) —
+    highlight rolloff instead of clipping, then the same gamma; beyond the
+    reference, useful for bright emitters in the viewer."""
     img = jnp.clip(mean, 0.0, None)
+    if tonemap == "aces":
+        a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+        img = (img * (a * img + b)) / (img * (c * img + d) + e)
     if gamma:
         img = jnp.power(jnp.clip(img, 0.0, 1e9), 1.0 / 2.1)
     return jnp.clip(img, 0.0, 1.0)

@@ -50,6 +50,8 @@ canvas{image-rendering:pixelated;border:1px solid #444}
  onchange="post({kind:'denoise', value:this.checked})"> denoise (à-trous)</label></div>
 <div class=row><label><input type="checkbox" style="width:auto"
  onchange="post({kind:'sampler', value:this.checked ? 'sobol' : 'pcg'})"> Sobol sampler (QMC)</label></div>
+<div class=row><label><input type="checkbox" style="width:auto"
+ onchange="post({kind:'tonemap', value:this.checked ? 'aces' : 'gamma'})"> ACES filmic tonemap</label></div>
 <h3>Camera (WASD+RF move, drag rotate)</h3>
 <h3>Emitters</h3><div id="emitters"></div>
 <h3>Materials</h3><div id="materials"></div>
@@ -111,6 +113,7 @@ class ViewerState:
         # spp counter — VERDICT r1 flagged the polling test as flaky)
         self.generation = 0
         self.denoise_on = False
+        self.tonemap = "gamma"
         self.thread = threading.Thread(target=self._loop, daemon=True)
 
     def start(self):
@@ -126,16 +129,17 @@ class ViewerState:
                     self.dirty = False
                     self.generation += 1
             self.renderer.render_raw()  # 1 spp accumulate (render_online)
+            import numpy as np
+
+            from ..core import film as film_mod
+
             if self.denoise_on:
-                import numpy as np
-
-                from ..core import film as film_mod
-
                 lin = self.renderer.denoise(aov_spp=1)
-                arr = np.asarray(
-                    (film_mod.to_srgb(lin) * 255).astype("uint8"))
             else:
-                arr = self.renderer.get_image_buffer()
+                lin = self.renderer.film.mean
+            arr = np.asarray(
+                (film_mod.to_srgb(lin, tonemap=self.tonemap) * 255)
+                .astype("uint8"))
             buf = io.BytesIO()
             Image.fromarray(arr).save(buf, "PNG")
             self.png = buf.getvalue()
@@ -153,6 +157,8 @@ class ViewerState:
                 r._render_1spp = r._build()
             elif kind == "denoise":
                 self.denoise_on = bool(msg["value"])
+            elif kind == "tonemap":
+                self.tonemap = str(msg["value"])
             elif kind == "sampler":
                 # switch sampler live; restart accumulation (the two samplers
                 # draw from different sequences, mixing them is still

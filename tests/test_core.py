@@ -103,3 +103,21 @@ def test_film_welford():
     np.testing.assert_allclose(
         np.asarray(film_mod.variance(f)), lum.var(0, ddof=1), atol=1e-4
     )
+
+
+def test_aces_tonemap_properties():
+    """ACES filmic: monotone, bounded, rolls off highlights instead of
+    clipping, near-linear in the shadows."""
+    import jax.numpy as jnp
+
+    from cuda_pt_tpu.core import film as film_mod
+
+    x = jnp.linspace(0.0, 20.0, 256)[:, None] * jnp.ones((1, 3))
+    y = np.asarray(film_mod.to_srgb(x, gamma=False, tonemap="aces"))[:, 0]
+    assert (np.diff(y) >= -1e-6).all()
+    assert y.min() >= 0.0 and y.max() <= 1.0
+    # highlight rolloff: 10x radiance maps inside [0,1), not clipped at 4x
+    assert y[-1] < 1.0 + 1e-6 and 0.95 < y[-1]
+    g = np.asarray(film_mod.to_srgb(x, gamma=False, tonemap="gamma"))[:, 0]
+    # gamma clips well before ACES saturates
+    assert (g == 1.0).sum() > (y >= 0.999).sum()
