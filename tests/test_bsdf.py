@@ -221,3 +221,17 @@ def test_cie_xyz_fit_matches_published_tables():
     assert abs(dn[gx.argmax()] - 599.0) < 6.0
     assert abs(dn[gy.argmax()] - 555.0) < 6.0
     assert abs(dn[gz.argmax()] - 446.0) < 6.0
+
+
+def test_furnace_oren_nayar_bounded():
+    """ON is not exactly energy conserving; bounded near 1 in a furnace."""
+    m = _furnace_mean(T.BSDF_OREN_NAYAR, k_d=(1.0, 1.0, 1.0),
+                      roughness_x=0.5, roughness_y=0.5, spp=48)
+    assert 0.85 < m < 1.1, m
+
+
+def test_furnace_rough_dielectric_smoothish():
+    """Low roughness: near-unit furnace like the smooth translucent."""
+    m = _furnace_mean(T.BSDF_GGX_DIELECTRIC, k_s=(1.0, 1.0, 1.0), ior=1.5,
+                      roughness_x=0.05, roughness_y=0.05, spp=48)
+    assert 0.85 < m < 1.06, m
