@@ -545,6 +545,7 @@ def render_tiled(
     seed: int = 0,
     use_bvh=None,
     rows_per_tile: int = 128,
+    sampler: str = "pcg",
 ):
     """Memory-bounded render: the film is processed in row bands so lane
     state never exceeds rows_per_tile×W (the reference renders 2880×1920
@@ -566,11 +567,7 @@ def render_tiled(
         lane = row0 * W + jnp.arange(rows * W, dtype=jnp.int32)
 
         def body(i, acc):
-            rng = prng.seed(
-                jnp.asarray(seed, jnp.uint32)
-                + jnp.asarray(i, jnp.uint32) * jnp.uint32(9781),
-                lane,
-            )
+            rng = qmc.make_state(sampler, seed, lane, i)
             o, d, rng = cam_mod.generate_rays(cam, lane, rng)
             return acc + trace_paths(scene_arg, md, o, d, rng, use_bvh,
                                      wl_u=wl_stratum_u(seed, i, lane))

@@ -16,11 +16,13 @@ from .core import film as film_mod
 
 class PythonRenderer:
     def __init__(self, xml_path: str, device_id: int = 0, seed_offset: int = 0,
-                 override_res=None):
+                 override_res=None, **renderer_kw):
         # device_id kept for signature parity; JAX places arrays per its
         # default device policy (one process drives all local chips).
+        # Extra kwargs (sampler="sobol", traversal="auto", ...) pass through
+        # to api.Renderer — beyond-reference knobs on the drop-in surface.
         self._r = Renderer(xml_path, seed_offset=seed_offset,
-                           override_res=override_res)
+                           override_res=override_res, **renderer_kw)
 
     def render(self) -> np.ndarray:
         """One 1-spp pass; returns the accumulated (H, W, 4) float32 image
