@@ -59,30 +59,36 @@ class PTState:
     wl_u: jnp.ndarray | None = None
 
 
-# Strata count for dispersion-wavelength jittered stratification.
-WL_STRATA = 16
+# Golden ratio conjugate for the wavelength rotation sequence.
+_WL_PHI = 0.6180339887498949
 
 
 def wl_stratum_u(seed, s_idx, lane: jnp.ndarray) -> jnp.ndarray:
-    """Per-lane stratified uniform for the dispersion wavelength.
+    """Per-lane low-discrepancy uniform for the dispersion wavelength.
 
-    Sample s of a pixel draws its wavelength from stratum ``s % WL_STRATA``
-    of [0,1), jittered by a hash decorrelated from the main path stream (so
-    stratification shifts no other draw). Unbiased (jittered stratification)
-    and cuts the λ→RGB integration variance of dispersive paths ~K× for the
-    smooth part of the integrand — the obtainable slice of hero-wavelength
-    sampling: through a *delta* dispersive refraction (the only dispersive
-    lobe here and in reference src/bsdf/dispersion.cuh) non-hero wavelengths
-    have zero MIS weight, so carrying 4 wavelengths degenerates to one.
+    Sample s of a pixel draws its wavelength from the golden-ratio additive
+    sequence frac(u0 + s·φ) with a per-pixel random offset u0 hashed off the
+    main path stream (so enabling this shifts no other draw). u0 ~ U[0,1)
+    makes every sample's marginal exactly uniform — unbiased at ANY sample
+    count — while the three-distance theorem keeps every PREFIX of the
+    sequence near-evenly spread (the property fixed-K strata only have when
+    spp is a multiple of K: a K=16 ladder at spp<16 covers only the first
+    spp/16 of the spectrum and renders dispersion biased violet — caught by
+    the WL_STRATA sweep, mean drifted to 1.19 at K=64/spp=16).
+
+    This is the obtainable slice of hero-wavelength sampling: through a
+    *delta* dispersive refraction (the only dispersive lobe here and in
+    reference src/bsdf/dispersion.cuh) non-hero wavelengths carry zero MIS
+    weight, so carrying 4 wavelengths degenerates to one.
     """
     s_idx = jnp.asarray(s_idx, jnp.uint32)
     st = prng.seed(
         jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0xA511E9B3),
-        lane.astype(jnp.uint32) * jnp.uint32(7919) + s_idx,
+        lane.astype(jnp.uint32),
     )
-    u, _ = prng.next1d(st)
-    stratum = (s_idx % jnp.uint32(WL_STRATA)).astype(jnp.float32)
-    return (jnp.broadcast_to(stratum, u.shape) + u) / WL_STRATA
+    u0, _ = prng.next1d(st)
+    u = u0 + jnp.broadcast_to(s_idx, u0.shape).astype(jnp.float32) * _WL_PHI
+    return u - jnp.floor(u)
 
 
 # Traversal backend: "xla" = batched gather loop (accel/traverse.py),
