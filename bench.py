@@ -129,7 +129,8 @@ dt = (time.perf_counter() - t0) / reps
 # measured traced rays (segments + shadow) for one representative seed —
 # wavefront permutes lanes but traces the identical per-lane streams
 rays = int(jax.jit(lambda s: pt.count_rays(s, cam, md, spp=SPP, seed=1,
-                                           use_bvh=USE_BVH))(scene))
+                                           use_bvh=USE_BVH,
+                                           sampler=SAMPLER))(scene))
 mrays = rays / dt / 1e6
 print(json.dumps({"mrays": mrays, "backend": jax.default_backend(),
                   "w": W, "spp": SPP, "sec_per_frame": dt, "rays": rays}))

@@ -99,7 +99,8 @@ class Renderer:
             sc = max(self.config.specular_constraint, 0)
             def f(scene, cam, seed, idx):
                 img = light_tracer.render_pass(
-                    scene, cam, md, seed, idx, use_bvh, sc, cs)
+                    scene, cam, md, seed, idx, use_bvh, sc, cs,
+                    sampler=sampler)
                 return img.reshape(cam.height, cam.width, 3)
         elif rt == RendererType.DEPTH:
             def f(scene, cam, seed, idx):
@@ -154,8 +155,10 @@ class Renderer:
             **kw)
         cnt = max(int(round(float(n.mean()))), 2)
         # film.m2 is scalar-count Welford state; reconstruct it so
-        # variance() ≈ the per-pixel sample variance (feeds denoise())
-        m2 = var * n * (cnt - 1)
+        # variance(film)/count == the EXACT per-pixel variance of the mean
+        # (feeds denoise() — using n here instead of cnt would skew the
+        # noise estimate by n/cnt exactly on the tiles adaptive heated up)
+        m2 = var * cnt * (cnt - 1)
         self.film = film_mod.Film(
             mean=img, m2=m2, weight=n, count=jnp.int32(cnt),
         )

@@ -89,8 +89,11 @@ def _oren_nayar_factor(ctx, wo_l, wi_l):
         (wo_l[..., 0] * wi_l[..., 0] + wo_l[..., 1] * wi_l[..., 1])
         / denom_az, -1.0, 1.0)
     sin_a = jnp.maximum(sin_to, sin_ti)
+    # β is the SMALLER angle: tan(β) = min(sin)/max(cos) — pairing min(sin)
+    # with min(cos) (the other direction's cosine) explodes toward grazing
+    # (caught in review: ~150× over-bright at θo=45°, θi≈90°)
     tan_b = jnp.minimum(sin_to, sin_ti) / jnp.maximum(
-        jnp.minimum(cos_to, cos_ti), 1e-6)
+        jnp.maximum(cos_to, cos_ti), 1e-6)
     return A + Bc * jnp.maximum(cos_dphi, 0.0) * sin_a * tan_b
 
 

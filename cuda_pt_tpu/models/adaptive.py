@@ -34,16 +34,13 @@ import jax
 import jax.numpy as jnp
 
 from ..core import camera as cam_mod
+from ..core import math as vm
 from ..core import qmc
 from ..core.config import MaxDepthParams
 from ..scene import types as T
 from . import path_tracer as pt
 
-_LW = (0.212671, 0.715160, 0.072169)
-
-
-def _lum(rgb):
-    return _LW[0] * rgb[..., 0] + _LW[1] * rgb[..., 1] + _LW[2] * rgb[..., 2]
+_lum = vm.luminance
 
 
 def render_adaptive(

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import math as vm
+
 # B3 spline coefficients for the 5-tap 1D kernel -> separable 5x5
 # (plain Python floats: the tap table must stay static under jit)
 _B3 = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
@@ -31,8 +33,7 @@ _B3 = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
 _SHRINK_C = 4.0
 
 
-def _luminance(rgb):
-    return rgb @ jnp.asarray([0.2126, 0.7152, 0.0722])
+_luminance = vm.luminance
 
 
 def atrous_denoise(

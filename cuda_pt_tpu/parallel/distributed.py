@@ -52,11 +52,13 @@ def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_s
         s_idx = sample_base + i
         rng = qmc.make_state(sampler, seed, lane_ids, s_idx)
         o, d, rng = cam_mod.generate_rays(cam, lane_ids, rng)
+        wl_u = pt.wl_stratum_u(seed, s_idx, lane_ids)
         if renderer == "wfpt" and not differentiable:
             from ..models import wavefront
 
             Lw, pix_local = wavefront.trace_paths_wavefront(
-                scene, md, o, d, rng, use_bvh, sort_rays=True, compact=True
+                scene, md, o, d, rng, use_bvh, sort_rays=True, compact=True,
+                wl_u=wl_u,
             )
             # scatter back to this shard's lane order
             L = (o[:, :1] * 0.0 + jnp.zeros((1, 3))).at[pix_local].add(Lw)
@@ -65,16 +67,17 @@ def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_s
 
             if differentiable:
                 L = volume_pt.trace_paths(
-                    scene, md, o, d, rng, use_bvh, differentiable=True
+                    scene, md, o, d, rng, use_bvh, differentiable=True,
+                    wl_u=wl_u,
                 )
             else:
                 Lv, pix_local = volume_pt.trace_paths(
-                    scene, md, o, d, rng, use_bvh, compact=True
+                    scene, md, o, d, rng, use_bvh, compact=True, wl_u=wl_u
                 )
                 L = (o[:, :1] * 0.0 + jnp.zeros((1, 3))).at[pix_local].add(Lv)
         else:
             L = pt.trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
-                               wl_u=pt.wl_stratum_u(seed, s_idx, lane_ids))
+                               wl_u=wl_u)
         return acc + L
 
     # derive from lane_ids AND sample_base so the carry inherits every

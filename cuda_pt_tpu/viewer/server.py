@@ -138,7 +138,8 @@ class ViewerState:
             else:
                 lin = self.renderer.film.mean
             arr = np.asarray(
-                (film_mod.to_srgb(lin, tonemap=self.tonemap) * 255)
+                (film_mod.to_srgb(lin, gamma=self.renderer.config.gamma,
+                                  tonemap=self.tonemap) * 255.0 + 0.5)
                 .astype("uint8"))
             buf = io.BytesIO()
             Image.fromarray(arr).save(buf, "PNG")
