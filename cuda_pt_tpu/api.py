@@ -153,7 +153,11 @@ class Renderer:
             self.scene, self.camera, self.md, spp_budget, seed=self.seed,
             use_bvh=self.use_bvh, sampler=self.sampler, return_variance=True,
             **kw)
-        cnt = max(int(round(float(n.mean()))), 2)
+        # count must cover the LARGEST per-pixel sample index or a later
+        # render()/render_raw() accumulation would replay streams already
+        # consumed on adaptively-heated pixels (review finding); counter()
+        # therefore reports the max, not the average, after adaptive.
+        cnt = max(int(np.ceil(float(n.max()))), 2)
         # film.m2 is scalar-count Welford state; reconstruct it so
         # variance(film)/count == the EXACT per-pixel variance of the mean
         # (feeds denoise() — using n here instead of cnt would skew the
@@ -182,8 +186,13 @@ class Renderer:
         of the mean into the SVGF-style color test + shrinkage blend:
         never worse than ~0.77× the raw MSE at any spp. False = plain
         à-trous (stronger smoothing for ≤4-spp previews, but biased past
-        that)."""
+        that). A 1-pass film has no variance estimate (m2=0 would make the
+        guided filter an exact no-op — review finding), so it falls back
+        to the plain filter automatically."""
         from .models import denoise as dn
+
+        if variance_guided and int(self.film.count) < 2:
+            variance_guided = False
 
         f = self._jit_cached(("denoise", aov_spp, variance_guided), lambda: (
             lambda s, c, film: dn.atrous_denoise(

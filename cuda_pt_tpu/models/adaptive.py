@@ -68,7 +68,9 @@ def render_adaptive(
     per-pixel variance of the MEAN (H, W) — the denoiser's guidance input.
     """
     if base_spp is None:
-        base_spp = max(spp_budget // 2, 2)
+        # at tiny budgets fall back toward uniform instead of asserting
+        # (review finding: budget=2 crashed on the default base of 2)
+        base_spp = max(min(spp_budget // 2, spp_budget - 1), 1)
     assert spp_budget > base_spp, (spp_budget, base_spp)
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS

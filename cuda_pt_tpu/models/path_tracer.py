@@ -59,8 +59,11 @@ class PTState:
     wl_u: jnp.ndarray | None = None
 
 
-# Golden ratio conjugate for the wavelength rotation sequence.
-_WL_PHI = 0.6180339887498949
+# Golden ratio conjugate in u32 fixed point: round((sqrt(5)-1)/2 * 2^32).
+# The rotation advances in modular integer arithmetic so the sequence stays
+# exactly equidistributed at ANY sample index — a float32 s*phi quantizes
+# to ~128 distinct wavelengths by s~1e5 (review finding).
+_WL_PHI_U32 = 0x9E3779B9
 
 
 def wl_stratum_u(seed, s_idx, lane: jnp.ndarray) -> jnp.ndarray:
@@ -86,9 +89,11 @@ def wl_stratum_u(seed, s_idx, lane: jnp.ndarray) -> jnp.ndarray:
         jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0xA511E9B3),
         lane.astype(jnp.uint32),
     )
-    u0, _ = prng.next1d(st)
-    u = u0 + jnp.broadcast_to(s_idx, u0.shape).astype(jnp.float32) * _WL_PHI
-    return u - jnp.floor(u)
+    u0_bits = prng.next2d(st)[1][..., 0]  # raw u32 offset per lane
+    u32 = u0_bits + jnp.broadcast_to(s_idx, u0_bits.shape) * jnp.uint32(
+        _WL_PHI_U32
+    )
+    return u32.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
 
 
 # Traversal backend: "xla" = batched gather loop (accel/traverse.py),

@@ -110,9 +110,11 @@ def main():
         from cuda_pt_tpu.models import debug_renderers
         from cuda_pt_tpu.models import denoise as dn
 
+        from cuda_pt_tpu.models import path_tracer as pt
+
         aovs = debug_renderers.render_aovs(
             ps.scene, ps.camera, spp=4, seed=args.seed + 7919,
-            use_bvh=ps.scene.geom.num_prims > 64)
+            use_bvh=ps.scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS)
         var = film_mod.variance(film) / jnp.maximum(film.count, 1)
         img = dn.atrous_denoise(film.mean, aovs, variance=var)
         import numpy as np

@@ -93,8 +93,11 @@ def main() -> None:
     img, n, var = adaptive.render_adaptive(scene, cam, md, args.budget,
                                            seed=3, sampler="sobol",
                                            return_variance=True)
-    aovs = debug_renderers.render_aovs(scene, cam, spp=8, seed=7919,
-                                       use_bvh=scene.geom.num_prims > 64)
+    from cuda_pt_tpu.models import path_tracer as ptm
+
+    aovs = debug_renderers.render_aovs(
+        scene, cam, spp=8, seed=7919,
+        use_bvh=scene.geom.num_prims > ptm.BRUTE_FORCE_MAX_PRIMS)
     dn = denoise.atrous_denoise(img, aovs, variance=var)
 
     raw8 = np.asarray(film_mod.to_srgb(img) * 255 + 0.5).astype(np.uint8)

@@ -53,7 +53,20 @@ def test_adaptive_api():
                  override_res=(32, 32))
     img = r.render_adaptive(6)
     assert img.shape == (32, 32, 3) and np.isfinite(img).all()
-    assert r.counter() == 6  # film count reflects the average spp
+    # count covers the LARGEST per-pixel sample index so later accumulation
+    # never replays an already-consumed (pixel, sample) stream
+    assert r.counter() >= 6
+    # continued accumulation after adaptive must keep the image sane
+    r.render(2)
+    assert np.isfinite(np.asarray(r.film.mean)).all()
+
+
+def test_adaptive_tiny_budget_no_crash():
+    scene, cam, md = _setup(width=16)
+    img, n = adaptive.render_adaptive(scene, cam, md, 2, seed=1,
+                                      use_bvh=False)
+    assert np.isfinite(np.asarray(img)).all()
+    assert float(n.mean()) >= 1.9
 
 
 def test_adaptive_vpt():
