@@ -54,6 +54,8 @@ def cornell_box(width=64, height=64, light_scale=12.0, tall_box_bsdf=None):
     # two interior boxes (as simple scaled cubes)
     if tall_box_bsdf is None:
         tall_box_bsdf = white
+    elif isinstance(tall_box_bsdf, BSDFSpec):
+        tall_box_bsdf = b.add_bsdf(tall_box_bsdf)
 
     def box_mesh(lo, hi):
         lo = np.asarray(lo, np.float32)

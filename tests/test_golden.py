@@ -64,3 +64,56 @@ def test_golden_furnace():
     md = MaxDepthParams(max_depth=12, max_diffuse=12)
     img = np.asarray(pt.render(scene, cam, md, spp=16, seed=9, use_bvh=False))
     _check("furnace_a075_16_s9", img)
+
+
+def test_golden_rough_dielectric_pane():
+    """Frosted pane over a lit floor — pins the Walter transmission math."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec, EmitterSpec, SceneBuilder
+
+    b = SceneBuilder()
+    q = testscenes.quad
+    glass = b.add_bsdf(BSDFSpec(btype=T.BSDF_GGX_DIELECTRIC, k_s=(1, 1, 1),
+                                ior=1.5, roughness_x=0.2, roughness_y=0.2))
+    white = b.add_bsdf(BSDFSpec(k_d=(0.7, 0.7, 0.7)))
+    dark = b.add_bsdf(BSDFSpec(k_d=(0, 0, 0)))
+    em = b.add_emitter(EmitterSpec(emission=(1, 1, 1), scaler=10.0))
+    b.add_mesh(q([-2, 0, -2], [-2, 0, 2], [2, 0, 2], [2, 0, -2]), white)
+    b.add_mesh(q([-0.5, 1.5, -0.5], [0.5, 1.5, -0.5], [0.5, 1.5, 0.5],
+                 [-0.5, 1.5, 0.5]), dark, emitter_id=em)
+    b.add_mesh(q([-1, 0.6, -1], [1, 0.6, -1], [1, 0.6, 1], [-1, 0.6, 1]),
+               glass)
+    scene = b.compile()
+    from cuda_pt_tpu.core import camera as cam_mod
+
+    cam = cam_mod.make_camera((0, 1.1, -2.5), (0, 0.3, 0), fov=45,
+                              width=24, height=24)
+    md = MaxDepthParams(max_depth=5, max_transmit=6)
+    img = np.asarray(pt.render(scene, cam, md, spp=16, seed=31,
+                               use_bvh=False))
+    _check("rough_dielectric_pane_24_s31", img)
+
+
+def test_golden_oren_nayar(cbox):
+    """Cornell with an ON tall box — pins the corrected tan(beta) factor."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec
+
+    scene, cam, _ = testscenes.cornell_box(
+        width=24, height=24,
+        tall_box_bsdf=BSDFSpec(btype=T.BSDF_OREN_NAYAR, k_d=(0.6, 0.5, 0.4),
+                               roughness_x=0.6, roughness_y=0.6),
+    )
+    md = MaxDepthParams(max_depth=4)
+    img = np.asarray(pt.render(scene, cam, md, spp=16, seed=8,
+                               use_bvh=True))
+    _check("cornell_on_24_s8", img)
+
+
+def test_golden_sobol_megakernel(cbox):
+    """Pins the QMC sequence itself: any change to the Sobol/Owen bit math
+    shifts this image."""
+    scene, cam, md = cbox
+    img = np.asarray(pt.render(scene, cam, md, spp=8, seed=4, use_bvh=True,
+                               sampler="sobol"))
+    _check("cornell_sobol_24_s4", img)
