@@ -79,6 +79,14 @@ def main() -> None:
                                           use_bvh=False, sampler=sampler)
         return img
 
+    def denoised_adaptive(budget, sampler):
+        """Everything on: adaptive + QMC + variance-guided denoise, with
+        the denoiser fed adaptive's own per-pixel variance."""
+        img, _, var = adaptive.render_adaptive(
+            scene, cam, md, budget, seed=0, use_bvh=False, sampler=sampler,
+            return_variance=True)
+        return denoise.atrous_denoise(img, aovs, variance=var)
+
     def denoised_uniform(budget, sampler):
         """Film-accumulated render → variance-guided à-trous denoise."""
         import jax.numpy as jnp
@@ -102,6 +110,8 @@ def main() -> None:
             "adaptive_sobol": lambda: adapt(budget, "sobol"),
             "uniform_pcg_denoised_vg": lambda: denoised_uniform(budget, "pcg"),
             "uniform_sobol_denoised_vg": lambda: denoised_uniform(
+                budget, "sobol"),
+            "adaptive_sobol_denoised_vg": lambda: denoised_adaptive(
                 budget, "sobol"),
         }
         base = None
