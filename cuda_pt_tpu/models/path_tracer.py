@@ -165,7 +165,7 @@ def intersect_stage(scene: T.Scene, s: PTState, use_bvh: bool):
 
 def shade_stage(
     scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: PTState, hit,
-    fixed_rr: bool = False, guide=None,
+    fixed_rr: bool = False, guide=None, nee_candidates: int = 1,
 ) -> PTState:
     """Wavefront stage 2: emitter MIS + NEE + BSDF scatter + RR (reference
     fused_ray_bounce_shader, src/pt_impl/wavefront_pt.cu:213-314).
@@ -174,7 +174,18 @@ def shade_stage(
     scatter step becomes a one-sample-MIS mixture of BSDF sampling and a
     learned vMF lobe (reference guided_ray_scatter_net_eval_shader skeleton,
     src/pt_impl/wavefront_pt.cu:324-474). The mixture pdf replaces the BSDF
-    pdf everywhere downstream, so an untrained guide stays unbiased."""
+    pdf everywhere downstream, so an untrained guide stays unbiased.
+
+    nee_candidates=M>1 switches the light strategy to RIS (Talbot
+    resampled importance sampling, beyond the reference): M emitter
+    candidates are drawn, streamed through a weighted reservoir with target
+    p̂ = lum(f·Le) (the unshadowed contribution), and ONE shadow ray is
+    traced for the survivor — M× more VPU math per bounce buys a better
+    light sample without extra traversal, the trade TPU wants. Unbiased:
+    E[(Σw/M)·F/p̂] = ∫F for any positive target, and the MIS partition
+    weights stay the deterministic p_src-based heuristic on both the NEE
+    and BSDF-hit sides (weights need only sum to 1 per point — they are
+    partition functions, not required to equal the RIS-effective pdf)."""
     B = s.o.shape[0]
     t = hit["t"]
     hit_ok = hit["hit"] & s.active
@@ -232,11 +243,51 @@ def shade_stage(
         g_sel = jnp.where(guidable, g_sel, 0.0)
 
     # ---- NEE (megakernel_pt.cu:112-152) ---------------------------------
-    es, rng = emitters.sample_emitter(scene, p, ctx["n"], s.rng)
-    f_cos, bpdf = bsdf_eval.eval_bsdf(ctx, wo, es["dir"])
-    if guide is not None:
-        bpdf = (1.0 - g_sel) * bpdf + g_sel * guiding.vmf_pdf(
-            g_axis, g_kappa, es["dir"]
+    def eval_candidate(es_k):
+        f_k, bp_k = bsdf_eval.eval_bsdf(ctx, wo, es_k["dir"])
+        if guide is not None:
+            bp_k = (1.0 - g_sel) * bp_k + g_sel * guiding.vmf_pdf(
+                g_axis, g_kappa, es_k["dir"]
+            )
+        return f_k, bp_k
+
+    if nee_candidates <= 1:
+        es, rng = emitters.sample_emitter(scene, p, ctx["n"], s.rng)
+        f_cos, bpdf = eval_candidate(es)
+        # 1/p_src weighting (the classic estimator)
+        inv_density = 1.0 / jnp.maximum(es["pdf"], 1e-12)
+    else:
+        # RIS over M light candidates (see docstring): weighted reservoir
+        # with target p̂ = lum(f·Le); one shadow ray for the survivor.
+        rng = s.rng
+        wsum = jnp.zeros((B,), jnp.float32)
+        res = None
+        for _ in range(nee_candidates):
+            es_k, rng = emitters.sample_emitter(scene, p, ctx["n"], rng)
+            f_k, bp_k = eval_candidate(es_k)
+            phat_k = vm.luminance(f_k * es_k["le"])
+            w_k = jnp.where(
+                es_k["valid"] & (phat_k > 0.0),
+                phat_k / jnp.maximum(es_k["pdf"], 1e-12),
+                0.0,
+            )
+            wsum = wsum + w_k
+            u_r, rng = prng.next1d(rng)
+            cand = {**es_k, "f_cos": f_k, "bpdf": bp_k, "phat": phat_k}
+            if res is None:
+                res = cand
+            else:
+                take = (u_r * wsum <= w_k) & (w_k > 0.0)
+                res = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        take[:, None] if new.ndim == 2 else take, new, old
+                    ),
+                    cand, res,
+                )
+        es, f_cos, bpdf = res, res["f_cos"], res["bpdf"]
+        # (Σw/M)/p̂(x_j): reduces to 1/p_src at M=1
+        inv_density = wsum / (
+            nee_candidates * jnp.maximum(res["phat"], 1e-12)
         )
     off_sign = jnp.sign(vm.dot(inter["n_g"], es["dir"], keepdims=True))
     p_shadow = p + inter["n_g"] * off_sign * 1e-3
@@ -255,7 +306,7 @@ def shade_stage(
     )
     nee_ok = hit_ok & es["valid"] & ~occ & (jnp.max(f_cos, axis=-1) > 0.0)
     tofw = _tof_weight(md, dist_new + jnp.where(es["dist"] < vm.MAX_DIST * 0.5, es["dist"], 0.0))
-    contrib = s.thp * f_cos * es["le"] * (w_nee * tofw / jnp.maximum(es["pdf"], 1e-12))[:, None]
+    contrib = s.thp * f_cos * es["le"] * (w_nee * tofw * inv_density)[:, None]
     L = L + jnp.where(nee_ok[:, None], contrib, 0.0)
 
     # ---- BSDF sampling (megakernel_pt.cu:154-160) ------------------------
@@ -344,10 +395,11 @@ def shade_stage(
 
 
 def pt_bounce(scene: T.Scene, md: MaxDepthParams, use_bvh: bool, s: PTState,
-              fixed_rr: bool = False) -> PTState:
+              fixed_rr: bool = False, nee_candidates: int = 1) -> PTState:
     """One full bounce (megakernel form = intersect + shade fused)."""
     return shade_stage(
-        scene, md, use_bvh, s, intersect_stage(scene, s, use_bvh), fixed_rr
+        scene, md, use_bvh, s, intersect_stage(scene, s, use_bvh), fixed_rr,
+        nee_candidates=nee_candidates,
     )
 
 
@@ -380,7 +432,7 @@ def init_state(o, d, rng, wl_u=None) -> PTState:
 
 def trace_paths_final(
     scene: T.Scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
-    differentiable: bool | str = False, wl_u=None,
+    differentiable: bool | str = False, wl_u=None, nee_candidates: int = 1,
 ) -> PTState:
     """Run the bounce loop to completion; returns the final PTState.
 
@@ -396,7 +448,8 @@ def trace_paths_final(
     state = init_state(o, d, rng, wl_u)
 
     if differentiable:
-        bounce = lambda s: pt_bounce(scene, md, use_bvh, s, fixed_rr=True)  # noqa: E731
+        bounce = lambda s: pt_bounce(scene, md, use_bvh, s, fixed_rr=True,  # noqa: E731
+                                     nee_candidates=nee_candidates)
         if differentiable == "remat":
             bounce = jax.checkpoint(bounce)
         return jax.lax.fori_loop(0, md.max_depth, lambda i, s: bounce(s), state)
@@ -405,18 +458,18 @@ def trace_paths_final(
         return jnp.any(s.active) & (s.bounce < md.max_depth)
 
     def body(s: PTState):
-        return pt_bounce(scene, md, use_bvh, s)
+        return pt_bounce(scene, md, use_bvh, s, nee_candidates=nee_candidates)
 
     return jax.lax.while_loop(cond, body, state)
 
 
 def trace_paths(
     scene: T.Scene, md: MaxDepthParams, o, d, rng, use_bvh: bool,
-    differentiable: bool | str = False, wl_u=None,
+    differentiable: bool | str = False, wl_u=None, nee_candidates: int = 1,
 ):
     """Radiance (B, 3) for a batch of camera rays."""
     return trace_paths_final(
-        scene, md, o, d, rng, use_bvh, differentiable, wl_u
+        scene, md, o, d, rng, use_bvh, differentiable, wl_u, nee_candidates
     ).L
 
 
@@ -458,6 +511,7 @@ def render_sample(
     use_bvh: bool,
     differentiable: bool | str = False,
     sampler: str = "pcg",
+    nee_candidates: int = 1,
 ):
     """One 1-spp pass over all pixels → (H, W, 3) radiance."""
     B = cam.width * cam.height
@@ -465,7 +519,8 @@ def render_sample(
     rng = qmc.make_state(sampler, seed, lane, sample_idx)
     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
     L = trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
-                    wl_u=wl_stratum_u(seed, sample_idx, lane))
+                    wl_u=wl_stratum_u(seed, sample_idx, lane),
+                    nee_candidates=nee_candidates)
     return L.reshape(cam.height, cam.width, 3)
 
 
@@ -511,6 +566,7 @@ def render(
     differentiable: bool | str = False,
     samples_per_pass: int = 1,
     sampler: str = "pcg",
+    nee_candidates: int = 1,
 ):
     """Multi-spp render with on-device accumulation (lax.fori over passes).
 
@@ -528,7 +584,7 @@ def render(
     def one_pass(i):
         if k == 1:
             return render_sample(scene, cam, md, seed, i, use_bvh,
-                                 differentiable, sampler)
+                                 differentiable, sampler, nee_candidates)
         return render_pass_batched(
             scene, cam, md, seed, i, k, use_bvh, differentiable, sampler
         )

@@ -69,6 +69,7 @@ def trace_paths_wavefront(
     compact_levels: int = 7,
     guide=None,
     wl_u=None,
+    nee_candidates: int = 1,
 ):
     """Bounce loop with per-bounce sort; returns (L, pixel_perm) where L[i]
     belongs to original lane pixel_perm[i].
@@ -99,7 +100,8 @@ def trace_paths_wavefront(
             s = _permute(s, perm)
             hit = {k: v[perm] for k, v in hit.items()}
             pix = pix[perm]
-        s = pt.shade_stage(scene, md, use_bvh, s, hit, guide=guide)
+        s = pt.shade_stage(scene, md, use_bvh, s, hit, guide=guide,
+                           nee_candidates=nee_candidates)
         return s, pix
 
     def body_compact(carry):
@@ -126,7 +128,8 @@ def trace_paths_wavefront(
                     sub = _permute(sub, p2)
                     hit = {k: v[p2] for k, v in hit.items()}
                     pix = pix.at[:size].set(pix[:size][p2])
-                sub = pt.shade_stage(scene, md, use_bvh, sub, hit, guide=guide)
+                sub = pt.shade_stage(scene, md, use_bvh, sub, hit, guide=guide,
+                                     nee_candidates=nee_candidates)
                 s2 = jax.tree_util.tree_map(
                     lambda full, part: full.at[:size].set(part)
                     if hasattr(full, "ndim") and full.ndim >= 1 and full.shape[0] == B
@@ -165,6 +168,7 @@ def render_sample(
     compact: bool = False,
     guide=None,
     sampler: str = "pcg",
+    nee_candidates: int = 1,
 ):
     """One 1-spp wavefront pass → (H, W, 3)."""
     B = cam.width * cam.height
@@ -173,7 +177,8 @@ def render_sample(
     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
     L, pix = trace_paths_wavefront(scene, md, o, d, rng, use_bvh, sort_rays,
                                    compact, guide=guide,
-                                   wl_u=pt.wl_stratum_u(seed, sample_idx, lane))
+                                   wl_u=pt.wl_stratum_u(seed, sample_idx, lane),
+                                   nee_candidates=nee_candidates)
     img = jnp.zeros((B, 3), jnp.float32).at[pix].add(L)
     return img.reshape(cam.height, cam.width, 3)
 
@@ -189,13 +194,15 @@ def render(
     compact: bool = False,
     guide=None,
     sampler: str = "pcg",
+    nee_candidates: int = 1,
 ):
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
 
     def body(i, acc):
         return acc + render_sample(scene, cam, md, seed, i, use_bvh, sort_rays,
-                                   compact, guide=guide, sampler=sampler)
+                                   compact, guide=guide, sampler=sampler,
+                                   nee_candidates=nee_candidates)
 
     acc = jax.lax.fori_loop(
         0, spp, body, jnp.zeros((cam.height, cam.width, 3), jnp.float32)
