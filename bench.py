@@ -42,6 +42,11 @@ SWEEP = [
     # cost on-chip (quality win is ~5x MSE at 16 spp, tests/test_qmc.py)
     {"name": "xla_mega_sobol", "BENCH_IMPL": "xla",
      "BENCH_RENDERER": "megakernel", "BENCH_SAMPLER": "sobol"},
+    # RIS NEE: M=4 light candidates per bounce, one shadow ray — trades
+    # VPU math for sample quality; on-chip cost unknown (quality win 2.6x,
+    # tests/test_ris_nee.py)
+    {"name": "xla_mega_ris4", "BENCH_IMPL": "xla",
+     "BENCH_RENDERER": "megakernel", "BENCH_NEE_M": "4"},
     {"name": "wide_mega", "BENCH_IMPL": "wide", "BENCH_RENDERER": "megakernel"},
     {"name": "wide_bf16_mega", "BENCH_IMPL": "wide", "BENCH_RENDERER": "megakernel",
      "BENCH_NODE_FMT": "bf16"},
@@ -77,6 +82,7 @@ FOREST_CHUNK = int(os.environ.get("BENCH_FOREST_CHUNK", "0"))
 NODE_FMT = os.environ.get("BENCH_NODE_FMT", "f32")
 USE_BVH = os.environ.get("BENCH_USE_BVH", "1") == "1"
 SAMPLER = os.environ.get("BENCH_SAMPLER", "pcg")
+NEE_M = int(os.environ.get("BENCH_NEE_M", "1"))
 
 W = H = 512 if backend != "cpu" else 128
 SPP = 16 if backend != "cpu" else 2
@@ -113,11 +119,12 @@ if RENDERER == "wavefront":
 
     fn = jax.jit(lambda s, seed: wavefront.render(
         s, cam, md, spp=SPP, seed=seed, use_bvh=USE_BVH, compact=True,
-        sampler=SAMPLER))
+        sampler=SAMPLER, nee_candidates=NEE_M))
 else:
     fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed,
                                            use_bvh=USE_BVH, samples_per_pass=K,
-                                           sampler=SAMPLER))
+                                           sampler=SAMPLER,
+                                           nee_candidates=NEE_M))
 fn(scene, 0).block_until_ready()
 t0 = time.perf_counter()
 reps = 3
