@@ -452,12 +452,11 @@ def _kernel(flip, max_leaf, rn, node_fmt, count_iters,
                 sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
 
                 t_k = jnp.where(is_sph, t_sph, t_tri)
-                ok = (
-                    jnp.where(is_sph, sph_ok, tri_ok)
-                    & (k < cnt)
-                    & (t_k < t_best)
-                    & live
-                )
+                # logical blend, not jnp.where: Mosaic cannot legalize
+                # arith.select on i1 vectors (caught on the first live-chip
+                # compile of this kernel)
+                shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
+                ok = shape_ok & (k < cnt) & (t_k < t_best) & live
                 t_best = jnp.where(ok, t_k, t_best)
                 prim = jnp.where(ok, gid, prim)
                 b1 = jnp.where(ok, jnp.where(is_sph, 0.0, u), b1)
@@ -523,33 +522,40 @@ def traverse_forest(forest: TraversalForest, o, d, t_far=None,
     )
     T_ = Bp // tile
 
+    # Ray tiles are (1, R, 128) blocks over a (T_, R, 128) array so the last
+    # two block dims always EQUAL the array dims — Mosaic requires blocks to
+    # tile the sublane dim in multiples of 8 otherwise, which a (R<8, 128)
+    # block over a multi-tile (T_*R, 128) array violates (caught on the first
+    # live-chip run; the AOT export gate only covered the single-tile shape).
     def c2(x, j):
-        return x[..., j].reshape(Bp // 128, 128)
+        return x[..., j].reshape(T_, R, 128)
 
     def chunk_spec(rows):
         return pl.BlockSpec(
             (1, rows, 128), lambda t, c: (c, 0, 0), memory_space=pltpu.VMEM
         )
 
-    ray_spec = pl.BlockSpec((R, 128), lambda t, c: (t, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec(
+        (1, R, 128), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM
+    )
 
     args = (
         forest.nodes, forest.prims,
         c2(o_p, 0), c2(o_p, 1), c2(o_p, 2),
         c2(d_p, 0), c2(d_p, 1), c2(d_p, 2),
-        tf.reshape(Bp // 128, 128),
+        tf.reshape(T_, R, 128),
     )
     in_specs = [chunk_spec(rn), chunk_spec(rp)] + [ray_spec] * 7
     out_specs = [ray_spec, ray_spec, ray_spec, ray_spec]
     out_shape = [
-        jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
-        jax.ShapeDtypeStruct((Bp // 128, 128), jnp.int32),
-        jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
-        jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32),
+        jax.ShapeDtypeStruct((T_, R, 128), jnp.float32),
+        jax.ShapeDtypeStruct((T_, R, 128), jnp.int32),
+        jax.ShapeDtypeStruct((T_, R, 128), jnp.float32),
+        jax.ShapeDtypeStruct((T_, R, 128), jnp.float32),
     ]
     if count_iters:
         out_specs.append(ray_spec)
-        out_shape.append(jax.ShapeDtypeStruct((Bp // 128, 128), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((T_, R, 128), jnp.float32))
     kern = functools.partial(_kernel, occlusion, max_leaf, rn,
                              forest.node_fmt, count_iters)
     outs = pl.pallas_call(
@@ -572,7 +578,7 @@ def traverse_forest(forest: TraversalForest, o, d, t_far=None,
         res = {"t": t, "prim": prim, "hit": prim >= 0, "b1": b1, "b2": b2}
     if count_iters:
         # rows within a tile carry identical values; one row per tile
-        res["tile_iters"] = outs[4][::R, 0].astype(jnp.int32)
+        res["tile_iters"] = outs[4][:, 0, 0].astype(jnp.int32)
     return res
 
 

@@ -68,6 +68,29 @@ def test_forest_lowers(setup, fmt):
     )
 
 
+def test_multi_tile_lowers(setup):
+    """Ray counts spanning SEVERAL packet tiles (T_ > 1). The first live-chip
+    run failed exactly here: a 2D (R<8, 128) ray block over a multi-tile
+    array violates Mosaic's sublane-divisibility rule, but a single-tile
+    shape (block == array) hides it. Blocks are 3D (1, R, 128) now; this
+    pins the multi-tile shape class forever."""
+    scene, _, _ = setup
+    ml = scene.bvh.max_leaf
+    n = 3 * tk.TILE  # deliberately > one tile and not a multiple of 1024
+    o = jnp.zeros((n, 3), jnp.float32) + jnp.asarray([0.0, 1.0, 3.0])
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+    _export_ok(
+        lambda o, d: tk.traverse_pallas(scene.geom, scene.bvh, o, d, None, ml),
+        o, d,
+    )
+    _export_ok(
+        lambda o, d: tk.traverse_pallas(
+            scene.geom, scene.bvh, o, d, jnp.full(n, 2.0), ml, True
+        ),
+        o, d,
+    )
+
+
 def test_counting_variant_lowers(setup):
     scene, o, d = setup
     ml = scene.bvh.max_leaf
