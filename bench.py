@@ -84,8 +84,20 @@ USE_BVH = os.environ.get("BENCH_USE_BVH", "1") == "1"
 SAMPLER = os.environ.get("BENCH_SAMPLER", "pcg")
 NEE_M = int(os.environ.get("BENCH_NEE_M", "1"))
 
-W = H = 512 if backend != "cpu" else 128
-SPP = 16 if backend != "cpu" else 2
+# Per-call work budget (measured on the live tunnel, ONCHIP_PROBE.json,
+# 2026-08-18): single calls whose execution runs past ~60 s die with
+# "UNAVAILABLE: TPU device error" (512²×16spp did, in both rounds); 512²×4spp
+# (22 s/call) and below are reliable. Default to 256²×4spp on accelerators —
+# measured throughput is flat in batch size (0.2-0.28 Mrays/s at every probe
+# point), so the smaller config measures the same number in a fifth of the
+# wall time and lets the whole sweep fit the driver's window. Override with
+# BENCH_W / BENCH_SPP.
+if backend != "cpu":
+    W = H = int(os.environ.get("BENCH_W", "256"))
+    SPP = int(os.environ.get("BENCH_SPP", "4"))
+else:
+    W = H = int(os.environ.get("BENCH_W", "128"))
+    SPP = int(os.environ.get("BENCH_SPP", "2"))
 MAXD = 5
 SCENE = os.environ.get("BENCH_SCENE", "cornell")
 if SCENE == "cornell":

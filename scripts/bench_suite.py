@@ -64,7 +64,10 @@ def cornell_medium(w):
     return scene, cam
 
 res_big = 128 if backend == "cpu" or quick else 512
-spp = 2 if backend == "cpu" or quick else 16
+# spp=4 on accelerators: the live tunnel kills single calls past ~60 s of
+# execution (ONCHIP_PROBE.json — 512²×16spp died both rounds, 512²×4spp at
+# 22 s/call is reliable), and measured Mrays/s is flat in batch size anyway
+spp = 2 if backend == "cpu" or quick else 4
 maxd = 5
 md = MaxDepthParams(max_depth=maxd)
 
