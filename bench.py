@@ -26,7 +26,11 @@ import os
 import subprocess
 import sys
 
-BASELINE_MRAYS = None  # set after the first recorded TPU number
+# First recorded real-TPU number (2026-08-18, BENCH_SWEEP.json): cornell
+# 256²×4spp depth-5 through the compiled Pallas packet traversal on a
+# v5e chip — 5.846 Mrays/s (24x the XLA gather loop's 0.246 on the same
+# config). vs_baseline is measured against this.
+BASELINE_MRAYS = 5.846
 TIMEOUT_S = 480
 PROBE_TIMEOUT_S = 120
 
@@ -37,6 +41,8 @@ PROBE_TIMEOUT_S = 120
 SWEEP = [
     {"name": "brute_mega", "BENCH_RENDERER": "megakernel", "BENCH_USE_BVH": "0"},
     {"name": "brute_wf", "BENCH_RENDERER": "wavefront", "BENCH_USE_BVH": "0"},
+    # matmul-form brute force: all ray x prim tests as one MXU contraction
+    {"name": "mxu_mega", "BENCH_IMPL": "mxu", "BENCH_RENDERER": "megakernel"},
     {"name": "xla_mega", "BENCH_IMPL": "xla", "BENCH_RENDERER": "megakernel"},
     # same config with the Owen-Sobol sampler: quantifies the QMC compute
     # cost on-chip (quality win is ~5x MSE at 16 spp, tests/test_qmc.py)

@@ -87,6 +87,10 @@ def autotune_traversal(scene: T.Scene, cam=None, n_rays: int = 4096,
     candidates = ["xla", "wide", "wide_bf16"]
     if scene.forest is not None or tk.scene_fits_vmem(scene.geom, scene.bvh):
         candidates.append("pallas")
+    # matmul-form brute force: O(B*P) MXU flops, no gather-dependent loop.
+    # Eligible while the per-bounce contraction stays cheap (96 flops/pair).
+    if int(scene.geom.num_prims) <= 8192:
+        candidates.append("mxu")
 
     from . import wide_build
 

@@ -98,25 +98,44 @@ def wl_stratum_u(seed, s_idx, lane: jnp.ndarray) -> jnp.ndarray:
 
 # Traversal backend: "xla" = batched gather loop (accel/traverse.py),
 # "pallas" = packet kernel (ops/pallas/traverse_kernel.py; scene must fit
-# VMEM). Module-level so benchmarks/tests can flip it without replumbing.
+# VMEM), "mxu" = matmul-form brute force (ops/intersect_mxu.py — every
+# ray x prim test as one (B,12)@(12,4P) contraction on the systolic array;
+# no tree at all). Module-level so benchmarks/tests can flip it without
+# replumbing.
 TRAVERSAL_IMPL = "xla"
 
 
+def _detached(fn, *args, **kw):
+    """Run a traversal kernel outside AD: inputs and outputs are detached so
+    jax.grad treats the call as a constant (Pallas kernels define no VJP).
+    Material/emitter/texture/volume gradients still flow through the shading
+    -stage gathers — the BASELINE.json gradient targets; GEOMETRY (vertex)
+    gradients need the differentiable xla or mxu traversal."""
+    args = jax.tree_util.tree_map(jax.lax.stop_gradient, args)
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, fn(*args, **kw))
+
+
 def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int | None = None):
+    impl = scene.traversal or TRAVERSAL_IMPL
+    if impl == "mxu":
+        from ..ops import intersect_mxu
+
+        return intersect_mxu.closest_hit_mxu(scene.geom, o, d)
     if not use_bvh:
         return isect.closest_hit_brute(scene.geom, o, d)
     # The leaf unroll must cover the tree's actual leaf capacity: a smaller
     # constant silently skips prims (see BVHArrays.max_leaf).
     if max_leaf is None:
         max_leaf = scene.bvh.max_leaf
-    impl = scene.traversal or TRAVERSAL_IMPL
     if impl == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
         if scene.forest is not None:
-            return tk.traverse_forest(scene.forest, o, d, max_leaf=max_leaf)
+            return _detached(tk.traverse_forest, scene.forest, o, d,
+                             max_leaf=max_leaf)
         if tk.scene_fits_vmem(scene.geom, scene.bvh):
-            return tk.traverse_pallas(scene.geom, scene.bvh, o, d, max_leaf=max_leaf)
+            return _detached(tk.traverse_pallas, scene.geom, scene.bvh, o, d,
+                             max_leaf=max_leaf)
     if impl == "wide" and scene.wide is not None:
         from ..accel import wide_traverse
 
@@ -125,21 +144,27 @@ def closest_hit(scene: T.Scene, o, d, use_bvh: bool, max_leaf: int | None = None
 
 
 def occluded(scene: T.Scene, o, d, t_far, use_bvh: bool, max_leaf: int | None = None):
+    impl = scene.traversal or TRAVERSAL_IMPL
+    if impl == "mxu":
+        from ..ops import intersect_mxu
+
+        return intersect_mxu.occlusion_mxu(scene.geom, o, d, t_far)
     if not use_bvh:
         return isect.occlusion_brute(scene.geom, o, d, t_far)
     if max_leaf is None:
         max_leaf = scene.bvh.max_leaf
-    impl = scene.traversal or TRAVERSAL_IMPL
     if impl == "pallas":
         from ..ops.pallas import traverse_kernel as tk
 
         if scene.forest is not None:
-            return tk.traverse_forest(
-                scene.forest, o, d, t_far, max_leaf=max_leaf, occlusion=True
+            return _detached(
+                tk.traverse_forest, scene.forest, o, d, t_far,
+                max_leaf=max_leaf, occlusion=True,
             )["occluded"]
         if tk.scene_fits_vmem(scene.geom, scene.bvh):
-            out = tk.traverse_pallas(
-                scene.geom, scene.bvh, o, d, t_far, max_leaf=max_leaf, occlusion=True
+            out = _detached(
+                tk.traverse_pallas, scene.geom, scene.bvh, o, d, t_far,
+                max_leaf=max_leaf, occlusion=True,
             )
             return out["occluded"]
     if impl == "wide" and scene.wide is not None:

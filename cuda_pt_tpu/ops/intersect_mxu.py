@@ -34,12 +34,9 @@ best hit) to bound the (B, chunk, 4) intermediate.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
-from ..core import math as vm
 from ..scene.types import Geometry
 
 HIT_EPS = 1e-4
@@ -122,7 +119,12 @@ def _chunk_tests(F, Gc, sph_c, t_clip):
     bh = o0
     cc = o3
     disc = bh * bh - cc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # safe sqrt: d(sqrt)/d(disc) at the clamp point is inf, and inf*0 = NaN
+    # poisons vertex gradients through the jnp.where selects downstream —
+    # substitute 1.0 under the mask instead of clamping to 0
+    disc_pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(disc_pos, disc, 1.0))
+    sq = jnp.where(disc_pos, sq, 0.0)
     t0 = -bh - sq
     t1 = -bh + sq
     t_sph = jnp.where(t0 > HIT_EPS, t0, t1)

@@ -22,7 +22,7 @@ def test_autotune_picks_valid_impl_and_caches():
     res = autotune.autotune_traversal(scene, cam, n_rays=256, reps=1)
     # under a loaded machine any measured candidate may win — what's pinned
     # must simply be one of the valid backends
-    assert res["impl"] in ("xla", "wide", "wide_bf16", "pallas")
+    assert res["impl"] in ("xla", "wide", "wide_bf16", "pallas", "mxu")
     assert res["cached"] is False
     assert np.isfinite(res["timings_ms"]["xla"])
     res2 = autotune.autotune_traversal(scene, cam, n_rays=256, reps=1)
