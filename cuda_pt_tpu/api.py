@@ -28,6 +28,14 @@ from .models import volume_pt, wavefront
 from .scene import types as T
 from .scene.xml_parser import ParsedScene, load_xml
 
+# Per-device-call lane budget on accelerators. Measured on the live tunnel
+# (ONCHIP_PROBE.json, 2026-08-18): 512²×1spp ≈ 5.5 s/call and calls past
+# ~60 s die with "TPU device error" — 512² lanes/call keeps every call far
+# inside the window at any depth cap, making 1024²+/whiskey-scale renders
+# possible at all. Override per-instance (max_lanes_per_call) or via env
+# CUDA_PT_MAX_LANES_PER_CALL; 0 disables banding (CPU default).
+DEFAULT_ACCEL_LANES_PER_CALL = 512 * 512
+
 
 class Renderer:
     """Stateful renderer over a compiled scene (any renderer family)."""
@@ -35,7 +43,8 @@ class Renderer:
     def __init__(self, source, renderer: RendererType | None = None,
                  seed_offset: int = 0, override_res=None,
                  traversal: str | None = None, sampler: str = "pcg",
-                 nee_candidates: int = 1):
+                 nee_candidates: int = 1,
+                 max_lanes_per_call: int | None = None):
         """traversal: None = module default, "xla" / "pallas" / "wide" =
         pin that backend ("wide" collapses an 8-ary BVH on first use),
         "auto" = time all eligible backends on the live backend and keep
@@ -72,6 +81,17 @@ class Renderer:
         self.use_bvh = self.scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
         self.film = film_mod.make_film(self.camera.height, self.camera.width)
         self._frame_times = deque(maxlen=32)
+        if max_lanes_per_call is None:
+            import os
+
+            env = os.environ.get("CUDA_PT_MAX_LANES_PER_CALL")
+            if env is not None:
+                max_lanes_per_call = int(env)
+            elif jax.default_backend() != "cpu":
+                max_lanes_per_call = DEFAULT_ACCEL_LANES_PER_CALL
+            else:
+                max_lanes_per_call = 0
+        self.max_lanes_per_call = int(max_lanes_per_call)
         self._render_1spp = self._build()
 
     # -- compiled 1-spp pass ----------------------------------------------
@@ -123,13 +143,60 @@ class Renderer:
                                         nee_candidates=nee_m)
         return jax.jit(f)
 
+    def _make_band(self, count: int):
+        """Band function: 1-spp over ``count`` lanes starting at a traced
+        offset → (count, 3). Used by render_raw to split big frames into
+        device calls sized by max_lanes_per_call (VERDICT r2 item 7)."""
+        md, use_bvh = self.md, self.use_bvh
+        sampler, nee_m = self.sampler, self.nee_candidates
+        if self.rtype == RendererType.VOLUME_PT:
+            def f(scene, cam, seed, idx, start):
+                from .core import qmc
+
+                lane = jnp.asarray(start, jnp.int32) + jnp.arange(
+                    count, dtype=jnp.int32)
+                rng = qmc.make_state(sampler, seed, lane, idx)
+                o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+                return volume_pt.trace_paths(
+                    scene, md, o, d, rng, use_bvh,
+                    wl_u=pt.wl_stratum_u(seed, idx, lane))
+        else:
+            def f(scene, cam, seed, idx, start):
+                return pt.render_band(
+                    scene, cam, md, seed, idx, use_bvh, start, count,
+                    sampler=sampler, nee_candidates=nee_m)
+        return f
+
+    _BANDABLE = (RendererType.MEGAKERNEL_PT, RendererType.VOLUME_PT)
+
     # -- TracerBase-equivalent API ----------------------------------------
     def render_raw(self) -> jnp.ndarray:
-        """One 1-spp pass folded into the film; returns the pass (H, W, 3)."""
+        """One 1-spp pass folded into the film; returns the pass (H, W, 3).
+
+        When H*W exceeds max_lanes_per_call (accelerator default: the
+        measured per-call tunnel budget) the pass is split into row bands,
+        one device call each — bit-identical to the single-call render
+        because RNG streams key off absolute lane indices."""
         t0 = time.perf_counter()
-        img = self._render_1spp(
-            self.scene, self.camera, self.seed, int(self.film.count)
-        )
+        H, W = self.camera.height, self.camera.width
+        budget = self.max_lanes_per_call
+        if budget and self.rtype in self._BANDABLE and H * W > budget:
+            rows_per = max(budget // W, 1)
+            idx = int(self.film.count)
+            parts, r0 = [], 0
+            while r0 < H:
+                rows = min(rows_per, H - r0)
+                f = self._jit_cached(
+                    ("band", rows), lambda rows=rows: self._make_band(rows * W))
+                part = f(self.scene, self.camera, self.seed, idx, r0 * W)
+                part.block_until_ready()  # one device call per band
+                parts.append(part)
+                r0 += rows
+            img = jnp.concatenate(parts, axis=0).reshape(H, W, 3)
+        else:
+            img = self._render_1spp(
+                self.scene, self.camera, self.seed, int(self.film.count)
+            )
         img.block_until_ready()
         self._frame_times.append((time.perf_counter() - t0) * 1e3)
         self.film = film_mod.accumulate(self.film, img)

@@ -473,6 +473,18 @@ def trace_paths_final(
     state = init_state(o, d, rng, wl_u)
 
     if differentiable:
+        # The Pallas packet kernel defines no VJP; _detached would silently
+        # zero geometry/vertex gradients (advisor r2, medium). Fall back to
+        # the differentiable XLA traversal and say so once.
+        if (scene.traversal or TRAVERSAL_IMPL) == "pallas":
+            import warnings
+
+            warnings.warn(
+                "differentiable render with traversal='pallas' would detach "
+                "geometry gradients; falling back to traversal='xla'",
+                stacklevel=2,
+            )
+            scene = scene.replace(traversal="xla")
         bounce = lambda s: pt_bounce(scene, md, use_bvh, s, fixed_rr=True,  # noqa: E731
                                      nee_candidates=nee_candidates)
         if differentiable == "remat":
@@ -547,6 +559,35 @@ def render_sample(
                     wl_u=wl_stratum_u(seed, sample_idx, lane),
                     nee_candidates=nee_candidates)
     return L.reshape(cam.height, cam.width, 3)
+
+
+def render_band(
+    scene: T.Scene,
+    cam: cam_mod.Camera,
+    md: MaxDepthParams,
+    seed,
+    sample_idx,
+    use_bvh: bool,
+    band_start,
+    band_count: int,
+    differentiable: bool | str = False,
+    sampler: str = "pcg",
+    nee_candidates: int = 1,
+):
+    """One 1-spp pass over lanes [band_start, band_start + band_count) →
+    (band_count, 3) radiance. Every per-(pixel, sample) RNG stream keys off
+    the absolute lane index, so chunked rendering is bit-identical to the
+    whole-frame render_sample — the first-class chunked-call path that keeps
+    each device call inside the measured tunnel execution budget (the
+    reference's analogue is per-spp kernel launches,
+    src/pt_impl/path_tracer.cu:113-133; here the split is pixels × spp)."""
+    lane = jnp.asarray(band_start, jnp.int32) + jnp.arange(
+        band_count, dtype=jnp.int32)
+    rng = qmc.make_state(sampler, seed, lane, sample_idx)
+    o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+    return trace_paths(scene, md, o, d, rng, use_bvh, differentiable,
+                       wl_u=wl_stratum_u(seed, sample_idx, lane),
+                       nee_candidates=nee_candidates)
 
 
 def render_pass_batched(

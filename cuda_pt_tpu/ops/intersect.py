@@ -67,7 +67,11 @@ def intersect_gather(
     b_half = jnp.sum(oc * db, axis=-1)
     cc = jnp.sum(oc * oc, axis=-1) - r * r
     disc = b_half * b_half - cc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where safe sqrt: sqrt'(0)=inf meets the miss-lane zero in the
+    # VJP as inf*0=NaN, poisoning vertex grads whenever ANY ray-sphere disc
+    # <= 0 (same fix as intersect_mxu.py; advisor r2 finding).
+    disc_pos = disc > 0.0
+    sq = jnp.where(disc_pos, jnp.sqrt(jnp.where(disc_pos, disc, 1.0)), 0.0)
     t0 = -b_half - sq
     t1 = -b_half + sq
     t_sph = jnp.where(t0 > HIT_EPS, t0, t1)

@@ -138,6 +138,18 @@ def _chunk_tests(F, Gc, sph_c, t_clip):
     return t, ok, b1, b2
 
 
+def _centroid(geom: Geometry) -> jnp.ndarray:
+    """Scene AABB center, detached. The expanded quadratic cc = |o|^2 -
+    2 o.c + (|c|^2 - r^2) and the |o|-scaled w = o x d features cancel
+    catastrophically in f32 when the scene sits far from the origin
+    (advisor r2 finding) — re-centering rays and prims about this point
+    keeps feature magnitudes O(scene size). The test is translation-
+    invariant, so stop_gradient drops only an analytically-zero term."""
+    lo = jnp.min(geom.p0, axis=0)
+    hi = jnp.max(geom.p0, axis=0)
+    return jax.lax.stop_gradient(0.5 * (lo + hi))
+
+
 def _padded(geom: Geometry, chunk: int):
     """G/sphere-mask padded to a chunk multiple, reshaped (C, chunk, ...)."""
     G, sph = prim_matrix(geom)
@@ -156,9 +168,10 @@ def closest_hit_mxu(geom: Geometry, o, d, t_max=None,
     """MXU-contraction closest hit over every primitive. Same contract as
     intersect.closest_hit_brute: dict(t, prim, hit, b1, b2)."""
     B = o.shape[0]
-    Gc, sphc, chunk, Pp = _padded(geom, chunk)
+    c0 = _centroid(geom)
+    Gc, sphc, chunk, Pp = _padded(geom.replace(p0=geom.p0 - c0), chunk)
     C = Gc.shape[0]
-    F = _ray_features(o, d)
+    F = _ray_features(o - c0, d)
     t_clip = jnp.inf if t_max is None else t_max[:, None]
 
     def step(carry, xs):
@@ -188,9 +201,10 @@ def closest_hit_mxu(geom: Geometry, o, d, t_max=None,
 
 def occlusion_mxu(geom: Geometry, o, d, t_far, chunk: int = DEFAULT_CHUNK):
     """Any-hit up to t_far (shadow rays). True = occluded."""
-    Gc, sphc, chunk, Pp = _padded(geom, chunk)
+    c0 = _centroid(geom)
+    Gc, sphc, chunk, Pp = _padded(geom.replace(p0=geom.p0 - c0), chunk)
     C = Gc.shape[0]
-    F = _ray_features(o, d)
+    F = _ray_features(o - c0, d)
     t_clip = t_far[:, None] * (1.0 - 1e-3)
 
     def step(occ, xs):

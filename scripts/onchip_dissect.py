@@ -40,6 +40,20 @@ def emit(name, sec, B):
     return {"component": name, "sec": sec, "ns_per_lane": sec / B * 1e9}
 
 
+def emit_row(rows, name, thunk, B, save=None):
+    """Fail-soft row: one device fault costs its own row, never the later
+    ones (advisor r2 finding — mid-list rows lacked the pallas_hit guard),
+    and --save is written incrementally so a hard kill keeps earlier rows."""
+    try:
+        rows.append(emit(name, thunk(), B))
+    except Exception as e:  # noqa: BLE001 — device faults must not kill the run
+        print(json.dumps({"component": name, "error": repr(e)[:200]}),
+              flush=True)
+        rows.append({"component": name, "error": repr(e)[:200]})
+    if save:
+        Path(save).write_text(json.dumps(rows, indent=1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -81,7 +95,8 @@ def main():
             return i + 1, v * 1.0001 + 0.001
         return jax.lax.while_loop(lambda s: s[0] < 30, body, (jnp.int32(0), x))[1]
 
-    rows.append(emit("while30_elementwise", bench(loop_only, jnp.ones((B, 3))), B))
+    emit_row(rows, "while30_elementwise",
+             lambda: bench(loop_only, jnp.ones((B, 3))), B, args.save)
 
     # 0b. gather microbench: 30 gather-steps from a small node-like table
     tbl = jnp.arange(64 * 3, dtype=jnp.float32).reshape(64, 3)
@@ -96,7 +111,8 @@ def main():
         return jax.lax.while_loop(lambda s: s[0] < 30, body,
                                   (jnp.int32(0), idx, jnp.zeros((B,))))[2]
 
-    rows.append(emit("while30_gather64", bench(loop_gather, lane % 64), B))
+    emit_row(rows, "while30_gather64",
+             lambda: bench(loop_gather, lane % 64), B, args.save)
 
     # 1. RNG + camera ray generation
     @jax.jit
@@ -105,59 +121,43 @@ def main():
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
         return o, d, rng
 
-    rows.append(emit("camera_rng", bench(gen, jnp.uint32(1)), B))
+    emit_row(rows, "camera_rng", lambda: bench(gen, jnp.uint32(1)), B, args.save)
     o, d, rng = gen(jnp.uint32(1))
 
     # 2. brute-force closest hit (41 prims, dense (B,N) sweep)
-    rows.append(emit(
-        "brute_hit",
-        bench(jax.jit(lambda o, d: isect.closest_hit_brute(scene.geom, o, d)["t"]), o, d),
-        B,
-    ))
+    emit_row(rows, "brute_hit", lambda: bench(
+        jax.jit(lambda o, d: isect.closest_hit_brute(scene.geom, o, d)["t"]),
+        o, d), B, args.save)
 
     # 3. BVH gather-walk closest hit
-    rows.append(emit(
-        "bvh_hit",
-        bench(jax.jit(lambda o, d: traverse.closest_hit_bvh(
-            scene.geom, scene.bvh, o, d)["t"]), o, d),
-        B,
-    ))
+    emit_row(rows, "bvh_hit", lambda: bench(
+        jax.jit(lambda o, d: traverse.closest_hit_bvh(
+            scene.geom, scene.bvh, o, d)["t"]), o, d), B, args.save)
 
     # 3b. Pallas packet-kernel closest hit (the on-chip sweep winner)
-    try:
+    def _pallas_hit():
         from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
 
-        rows.append(emit(
-            "pallas_hit",
-            bench(jax.jit(lambda o, d: tk.traverse_pallas(
-                scene.geom, scene.bvh, o, d)["t"]), o, d),
-            B,
-        ))
-    except Exception as e:  # noqa: BLE001 — a Mosaic reject shouldn't kill the run
-        print(json.dumps({"component": "pallas_hit", "error": repr(e)[:200]}),
-              flush=True)
+        return bench(jax.jit(lambda o, d: tk.traverse_pallas(
+            scene.geom, scene.bvh, o, d)["t"]), o, d)
+
+    emit_row(rows, "pallas_hit", _pallas_hit, B, args.save)
 
     # 3c. matmul-form brute force on the MXU
     from cuda_pt_tpu.ops import intersect_mxu
 
-    rows.append(emit(
-        "mxu_hit",
-        bench(jax.jit(lambda o, d: intersect_mxu.closest_hit_mxu(
-            scene.geom, o, d)["t"]), o, d),
-        B,
-    ))
+    emit_row(rows, "mxu_hit", lambda: bench(
+        jax.jit(lambda o, d: intersect_mxu.closest_hit_mxu(
+            scene.geom, o, d)["t"]), o, d), B, args.save)
 
     # 4. emitter NEE sample alone
     hit = jax.jit(lambda o, d: traverse.closest_hit_bvh(scene.geom, scene.bvh, o, d))(o, d)
     p = o + hit["t"][:, None] * d
     n = -d
 
-    rows.append(emit(
-        "sample_emitter",
-        bench(jax.jit(lambda p, n, rng: emitters.sample_emitter(
-            scene, p, n, rng)[0]["dir"]), p, n, rng),
-        B,
-    ))
+    emit_row(rows, "sample_emitter", lambda: bench(
+        jax.jit(lambda p, n, rng: emitters.sample_emitter(
+            scene, p, n, rng)[0]["dir"]), p, n, rng), B, args.save)
 
     # 5. BSDF eval + sample alone (full masked family dispatch)
     bid = jnp.zeros((B,), jnp.int32)
@@ -170,16 +170,14 @@ def main():
         bs, rng = bsdf_eval.sample_bsdf(ctx, -d, rng)
         return f + bs["weight"], pdf + bs["pdf"]
 
-    rows.append(emit("bsdf_eval_sample", bench(bsdf_only, rng), B))
+    emit_row(rows, "bsdf_eval_sample", lambda: bench(bsdf_only, rng), B,
+             args.save)
 
     # 6. occlusion walk alone
     tfar = jnp.full((B,), 1.5, jnp.float32)
-    rows.append(emit(
-        "occlusion_bvh",
-        bench(jax.jit(lambda p, rng: traverse.occlusion_bvh(
-            scene.geom, scene.bvh, p, d, tfar)), p, rng),
-        B,
-    ))
+    emit_row(rows, "occlusion_bvh", lambda: bench(
+        jax.jit(lambda p, rng: traverse.occlusion_bvh(
+            scene.geom, scene.bvh, p, d, tfar)), p, rng), B, args.save)
 
     # 7. one full bounce (intersect + shade) and a full 5-bounce trace
     @jax.jit
@@ -187,20 +185,23 @@ def main():
         s = pt.init_state(o, d, rng)
         return pt.pt_bounce(scene, md, True, s).L
 
-    rows.append(emit("bounce_full", bench(bounce_once, o, d, rng), B))
+    emit_row(rows, "bounce_full", lambda: bench(bounce_once, o, d, rng), B,
+             args.save)
 
     @jax.jit
     def trace5(o, d, rng):
         return pt.trace_paths(scene, md, o, d, rng, True)
 
-    rows.append(emit("trace_depth5", bench(trace5, o, d, rng), B))
+    emit_row(rows, "trace_depth5", lambda: bench(trace5, o, d, rng), B,
+             args.save)
 
     # 8. same trace through brute-force traversal
     @jax.jit
     def trace5_brute(o, d, rng):
         return pt.trace_paths(scene, md, o, d, rng, False)
 
-    rows.append(emit("trace_depth5_brute", bench(trace5_brute, o, d, rng), B))
+    emit_row(rows, "trace_depth5_brute",
+             lambda: bench(trace5_brute, o, d, rng), B, args.save)
 
     # 9. the full trace through the Pallas packet kernel and the MXU brute
     for impl in ("pallas", "mxu"):
@@ -210,12 +211,8 @@ def main():
         def trace5_impl(o, d, rng, sc=sc):
             return pt.trace_paths(sc, md, o, d, rng, True)
 
-        try:
-            rows.append(emit(f"trace_depth5_{impl}",
-                             bench(trace5_impl, o, d, rng), B))
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"component": f"trace_depth5_{impl}",
-                              "error": repr(e)[:200]}), flush=True)
+        emit_row(rows, f"trace_depth5_{impl}",
+                 lambda f=trace5_impl: bench(f, o, d, rng), B, args.save)
 
     if args.save:
         Path(args.save).write_text(json.dumps(rows, indent=1))
