@@ -7,18 +7,18 @@ rays (path segments with Russian roulette + NEE shadow rays, counted by
 ``path_tracer.count_rays`` with the same RNG streams) — not the
 W*H*spp*max_depth upper bound round 1 used.
 
-Resilience: every measurement runs in its own subprocess with a watchdog,
-because a wedged TPU tunnel or a faulting kernel compile hangs the process
-(round-1 history) and try/except cannot catch that. On a live accelerator
-the harness SWEEPS the tuning ladder (gather-loop / 8-wide / Pallas packet
-traversal × megakernel / compacted wavefront), each config isolated, and
-reports the best — one bad config costs its own watchdog window, never the
-TPU number. A 120 s probe short-circuits straight to the CPU fallback when
-the tunnel is down. Sweep details land in BENCH_SWEEP.json.
+Timing is readback-fenced (cuda_pt_tpu/utils/timing.py). Round-3 discovery:
+under the axon tunnel ``block_until_ready`` returns at dispatch-accept, not
+at execution-complete — every round-2 on-chip number timed the tunnel, not
+the chip. A device→host readback is the only trustworthy fence; its one-shot
+~300-900 s per-process claim stall is paid ONCE by running the whole sweep
+in a single child process (fail-soft per config, incremental BENCH_SWEEP
+writes). If a config hard-faults the child, the parent relaunches it for the
+remaining configs — one bad config costs its own slot, never the TPU number.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against our recorded TPU figure (None until the first TPU run lands).
-scripts/bench_suite.py produces the full per-scene table (BENCH_DETAILS.json).
+ratio against our recorded TPU figure. scripts/bench_suite.py produces the
+full per-scene table (BENCH_DETAILS.json).
 """
 
 import json
@@ -26,12 +26,12 @@ import os
 import subprocess
 import sys
 
-# First recorded real-TPU number (2026-08-18, BENCH_SWEEP.json): cornell
-# 256²×4spp depth-5 through the compiled Pallas packet traversal on a
-# v5e chip — 5.846 Mrays/s (24x the XLA gather loop's 0.246 on the same
-# config). vs_baseline is measured against this.
-BASELINE_MRAYS = 5.846
-TIMEOUT_S = 480
+# First READBACK-FENCED real-TPU number (2026-08-19, round 3): cornell
+# 256²×4spp depth-5. Round 2's 5.846 "Mrays/s" was dispatch-latency timing
+# (see module docstring) and is not comparable; this anchor is re-pinned on
+# the first honest sweep. None → vs_baseline reports 1.0 until pinned.
+BASELINE_MRAYS = None
+SWEEP_TIMEOUT_S = 2400  # whole sweep in one child incl. ~300-900 s warm stall
 PROBE_TIMEOUT_S = 120
 
 # The on-accelerator tuning ladder (ROADMAP #2: sweep impl × renderer).
@@ -39,25 +39,24 @@ PROBE_TIMEOUT_S = 120
 # sits under BRUTE_FORCE_MAX_PRIMS=64, where vectorized all-prims tests beat
 # any tree walk — measured 3.6× on CPU); the BVH rows record traversal perf.
 SWEEP = [
-    {"name": "brute_mega", "BENCH_RENDERER": "megakernel", "BENCH_USE_BVH": "0"},
-    {"name": "brute_wf", "BENCH_RENDERER": "wavefront", "BENCH_USE_BVH": "0"},
+    {"name": "brute_mega", "renderer": "megakernel", "use_bvh": False},
+    {"name": "brute_wf", "renderer": "wavefront", "use_bvh": False},
     # matmul-form brute force: all ray x prim tests as one MXU contraction
-    {"name": "mxu_mega", "BENCH_IMPL": "mxu", "BENCH_RENDERER": "megakernel"},
-    {"name": "xla_mega", "BENCH_IMPL": "xla", "BENCH_RENDERER": "megakernel"},
+    {"name": "mxu_mega", "impl": "mxu", "renderer": "megakernel"},
+    {"name": "xla_mega", "impl": "xla", "renderer": "megakernel"},
     # same config with the Owen-Sobol sampler: quantifies the QMC compute
     # cost on-chip (quality win is ~5x MSE at 16 spp, tests/test_qmc.py)
-    {"name": "xla_mega_sobol", "BENCH_IMPL": "xla",
-     "BENCH_RENDERER": "megakernel", "BENCH_SAMPLER": "sobol"},
-    # RIS NEE: M=4 light candidates per bounce, one shadow ray — trades
-    # VPU math for sample quality; on-chip cost unknown (quality win 2.6x,
-    # tests/test_ris_nee.py)
-    {"name": "xla_mega_ris4", "BENCH_IMPL": "xla",
-     "BENCH_RENDERER": "megakernel", "BENCH_NEE_M": "4"},
-    {"name": "wide_mega", "BENCH_IMPL": "wide", "BENCH_RENDERER": "megakernel"},
-    {"name": "wide_bf16_mega", "BENCH_IMPL": "wide", "BENCH_RENDERER": "megakernel",
-     "BENCH_NODE_FMT": "bf16"},
-    {"name": "pallas_mega", "BENCH_IMPL": "pallas", "BENCH_RENDERER": "megakernel"},
-    {"name": "xla_wf", "BENCH_IMPL": "xla", "BENCH_RENDERER": "wavefront"},
+    {"name": "xla_mega_sobol", "impl": "xla", "renderer": "megakernel",
+     "sampler": "sobol"},
+    # RIS NEE: M=4 light candidates per bounce, one shadow ray (quality win
+    # 2.6x, tests/test_ris_nee.py)
+    {"name": "xla_mega_ris4", "impl": "xla", "renderer": "megakernel",
+     "nee_m": 4},
+    {"name": "wide_mega", "impl": "wide", "renderer": "megakernel"},
+    {"name": "wide_bf16_mega", "impl": "wide", "renderer": "megakernel",
+     "node_fmt": "bf16"},
+    {"name": "pallas_mega", "impl": "pallas", "renderer": "megakernel"},
+    {"name": "xla_wf", "impl": "xla", "renderer": "wavefront"},
 ]
 
 _PROBE_CODE = r"""
@@ -71,6 +70,7 @@ print(json.dumps({"backend": jax.default_backend()}))
 _CHILD_CODE = r"""
 import json, os, sys, time
 backend = sys.argv[1]
+configs = json.loads(sys.argv[2])
 import jax
 if backend == "cpu":
     jax.config.update("jax_platforms", "cpu")
@@ -78,27 +78,12 @@ if backend == "cpu":
 from cuda_pt_tpu.core.config import MaxDepthParams
 from cuda_pt_tpu.models import path_tracer as pt
 from cuda_pt_tpu.scene import testscenes
+from cuda_pt_tpu.utils import timing
 
-# tuning knobs (swept on real hardware): traversal impl, samples per pass,
-# renderer family
-pt.TRAVERSAL_IMPL = os.environ.get("BENCH_IMPL", "xla")
-K = int(os.environ.get("BENCH_SPP_PER_PASS", "1"))
-RENDERER = os.environ.get("BENCH_RENDERER", "megakernel")
-FOREST_CHUNK = int(os.environ.get("BENCH_FOREST_CHUNK", "0"))
-NODE_FMT = os.environ.get("BENCH_NODE_FMT", "f32")
-USE_BVH = os.environ.get("BENCH_USE_BVH", "1") == "1"
-SAMPLER = os.environ.get("BENCH_SAMPLER", "pcg")
-NEE_M = int(os.environ.get("BENCH_NEE_M", "1"))
-
-# Per-call work budget (measured on the live tunnel, ONCHIP_PROBE.json,
-# 2026-08-18): single calls whose execution runs past ~60 s die with
-# "UNAVAILABLE: TPU device error" (512²×16spp did, in both rounds); 512²×4spp
-# (22 s/call) and below are reliable. Default to 256²×4spp on accelerators —
-# measured throughput is flat in batch size (0.2-0.28 Mrays/s at every probe
-# point), so the smaller config measures the same number in a fifth of the
-# wall time and lets the whole sweep fit the driver's window. Override with
-# BENCH_W / BENCH_SPP.
-if backend != "cpu":
+# Per-call work budget (ONCHIP_PROBE.json, 2026-08-18): single calls whose
+# execution runs past ~60 s die with "UNAVAILABLE: TPU device error".
+# 256²×4spp stays well inside the window on every config.
+if backend != "cpu" and jax.default_backend() != "cpu":
     W = H = int(os.environ.get("BENCH_W", "256"))
     SPP = int(os.environ.get("BENCH_SPP", "4"))
 else:
@@ -106,85 +91,121 @@ else:
     SPP = int(os.environ.get("BENCH_SPP", "2"))
 MAXD = 5
 SCENE = os.environ.get("BENCH_SCENE", "cornell")
-if SCENE == "cornell":
-    scene, cam, _ = testscenes.cornell_box(width=W, height=H)
-else:
-    # mesh scenes from the reference corpus (bunny 7.3k / whiskey 68k prims)
-    from cuda_pt_tpu.scene.xml_parser import load_xml
-
-    ps = load_xml(f"/root/reference/scene/xml/{SCENE}.xml",
-                  override_res=(W, H))
-    scene, cam = ps.scene, ps.camera
-if FOREST_CHUNK:
-    from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
-
-    scene = scene.replace(forest=tk.build_forest(
-        scene.geom, chunk_prims=FOREST_CHUNK, node_fmt=NODE_FMT))
-if pt.TRAVERSAL_IMPL == "wide":
-    from cuda_pt_tpu.accel import wide_build
-
-    scene = wide_build.with_wide(scene, box_dtype=NODE_FMT
-                                 if NODE_FMT in ("f32", "bf16") else "f32")
-elif pt.TRAVERSAL_IMPL == "auto":
-    from cuda_pt_tpu.accel.autotune import with_tuned_traversal
-
-    pt.TRAVERSAL_IMPL = "xla"
-    scene = with_tuned_traversal(scene, cam)
 md = MaxDepthParams(max_depth=MAXD)
 
-if RENDERER == "wavefront":
-    from cuda_pt_tpu.models import wavefront
+warm_s = timing.warm_readback() if jax.default_backend() != "cpu" else 0.0
+print(json.dumps({"warm_readback_s": round(warm_s, 1),
+                  "backend": jax.default_backend()}), flush=True)
 
-    fn = jax.jit(lambda s, seed: wavefront.render(
-        s, cam, md, spp=SPP, seed=seed, use_bvh=USE_BVH, compact=True,
-        sampler=SAMPLER, nee_candidates=NEE_M))
-else:
-    fn = jax.jit(lambda s, seed: pt.render(s, cam, md, spp=SPP, seed=seed,
-                                           use_bvh=USE_BVH, samples_per_pass=K,
-                                           sampler=SAMPLER,
-                                           nee_candidates=NEE_M))
-fn(scene, 0).block_until_ready()
-t0 = time.perf_counter()
-reps = 3
-for i in range(reps):
-    img = fn(scene, i + 1)
-img.block_until_ready()
-dt = (time.perf_counter() - t0) / reps
 
-# measured traced rays (segments + shadow) for one representative seed —
-# wavefront permutes lanes but traces the identical per-lane streams
-rays = int(jax.jit(lambda s: pt.count_rays(s, cam, md, spp=SPP, seed=1,
-                                           use_bvh=USE_BVH,
-                                           sampler=SAMPLER))(scene))
-mrays = rays / dt / 1e6
-print(json.dumps({"mrays": mrays, "backend": jax.default_backend(),
-                  "w": W, "spp": SPP, "sec_per_frame": dt, "rays": rays}))
+def build_scene(cfg):
+    if SCENE == "cornell":
+        scene, cam, _ = testscenes.cornell_box(width=W, height=H)
+    elif SCENE == "kitchen":
+        scene, cam, _ = testscenes.kitchen_stress(width=W, height=H)
+    else:
+        from cuda_pt_tpu.scene.xml_parser import load_xml
+
+        ps = load_xml(f"/root/reference/scene/xml/{SCENE}.xml",
+                      override_res=(W, H))
+        scene, cam = ps.scene, ps.camera
+    node_fmt = cfg.get("node_fmt", "f32")
+    if cfg.get("forest_chunk"):
+        from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
+
+        scene = scene.replace(forest=tk.build_forest(
+            scene.geom, chunk_prims=cfg["forest_chunk"], node_fmt=node_fmt))
+    impl = cfg.get("impl")
+    if impl == "wide":
+        from cuda_pt_tpu.accel import wide_build
+
+        scene = wide_build.with_wide(
+            scene, box_dtype=node_fmt if node_fmt in ("f32", "bf16") else "f32")
+        scene = scene.replace(traversal="wide")
+    elif impl == "auto":
+        from cuda_pt_tpu.accel.autotune import with_tuned_traversal
+
+        scene = with_tuned_traversal(scene, cam)
+    elif impl:
+        scene = scene.replace(traversal=impl)
+    return scene, cam
+
+
+for cfg in configs:
+    try:
+        scene, cam = build_scene(cfg)
+        use_bvh = cfg.get("use_bvh", True)
+        sampler = cfg.get("sampler", "pcg")
+        nee_m = cfg.get("nee_m", 1)
+        if cfg.get("renderer") == "wavefront":
+            from cuda_pt_tpu.models import wavefront
+
+            fn = jax.jit(lambda s, seed: wavefront.render(
+                s, cam, md, spp=SPP, seed=seed, use_bvh=use_bvh, compact=True,
+                sampler=sampler, nee_candidates=nee_m))
+        else:
+            fn = jax.jit(lambda s, seed: pt.render(
+                s, cam, md, spp=SPP, seed=seed, use_bvh=use_bvh,
+                sampler=sampler, nee_candidates=nee_m))
+        dt = timing.timeit(fn, scene, 1, reps=3)
+        rays = int(jax.jit(lambda s: pt.count_rays(
+            s, cam, md, spp=SPP, seed=1, use_bvh=use_bvh,
+            sampler=sampler))(scene))
+        print(json.dumps({
+            "config": cfg["name"], "mrays": rays / dt / 1e6,
+            "backend": jax.default_backend(), "w": W, "spp": SPP,
+            "sec_per_frame": dt, "rays": rays,
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001 — fail-soft per config
+        print(json.dumps({"config": cfg["name"],
+                          "error": repr(e)[:300]}), flush=True)
 """
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _run_code(code: str, argv: list, timeout: int, env_extra: dict | None = None):
-    env = dict(os.environ)
-    if env_extra:
-        env.update({k: str(v) for k, v in env_extra.items()})
+def _run_sweep(backend: str, configs: list, timeout: int):
+    """One child process over `configs`; returns (rows, crashed_config)."""
+    rows, seen = [], set()
     try:
         out = subprocess.run(
-            [sys.executable, "-c", code, *argv],
-            capture_output=True, timeout=timeout, text=True, cwd=_HERE, env=env,
+            [sys.executable, "-c", _CHILD_CODE, backend, json.dumps(configs)],
+            capture_output=True, timeout=timeout, text=True, cwd=_HERE,
+            env=dict(os.environ),
         )
-        for line in reversed(out.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                return json.loads(line)
-    except (subprocess.TimeoutExpired, json.JSONDecodeError):
-        pass
-    return None
+        stdout = out.stdout
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+    for line in stdout.strip().splitlines():
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "config" in rec:
+            rows.append(rec)
+            seen.add(rec["config"])
+    # the config after the last seen one is the crasher (if any remain)
+    remaining = [c for c in configs if c["name"] not in seen]
+    crashed = remaining[0]["name"] if remaining else None
+    return rows, crashed, remaining
 
 
 def _probe_backend() -> str | None:
     """Backend name if a tiny op completes inside the watchdog, else None."""
-    res = _run_code(_PROBE_CODE, [], PROBE_TIMEOUT_S)
-    return res.get("backend") if res else None
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE], capture_output=True,
+            timeout=PROBE_TIMEOUT_S, text=True, cwd=_HERE,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line).get("backend")
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
+    return None
 
 
 def _emit(metric: str, mrays: float):
@@ -197,42 +218,49 @@ def _emit(metric: str, mrays: float):
     }))
 
 
+def _write_sweep(backend, rows):
+    with open(os.path.join(_HERE, "BENCH_SWEEP.json"), "w") as f:
+        json.dump({"backend": backend, "timing": "readback_fenced",
+                   "results": rows}, f, indent=1)
+
+
 def main():
     backend = _probe_backend()
     if backend and backend != "cpu":
-        results = []
-        for cfg in SWEEP:
-            env = {k: v for k, v in cfg.items() if k != "name"}
-            r = _run_code(_CHILD_CODE, ["default"], TIMEOUT_S, env)
-            if r and r.get("backend") != "cpu":
-                results.append(dict(r, config=cfg["name"]))
-        with open(os.path.join(_HERE, "BENCH_SWEEP.json"), "w") as f:
-            json.dump({"backend": backend, "results": results}, f, indent=1)
-        if results:
-            best = max(results, key=lambda r: r["mrays"])
+        rows = []
+        todo = list(SWEEP)
+        for _attempt in range(3):  # a crash skips its config and resumes
+            got, crashed, remaining = _run_sweep("default", todo,
+                                                 SWEEP_TIMEOUT_S)
+            rows.extend(got)
+            if not crashed:
+                break
+            rows.append({"config": crashed, "error": "child died"})
+            todo = remaining[1:]
+            if not todo:
+                break
+        ok = [r for r in rows if "mrays" in r and r.get("backend") != "cpu"]
+        _write_sweep(backend, rows)
+        if ok:
+            best = max(ok, key=lambda r: r["mrays"])
             _emit("cornell_pt_mrays_per_s", best["mrays"])
             return
     # tunnel down or every accelerator config failed: CPU fallback — still
     # tuned (compacted wavefront beats the megakernel ~2x on CPU)
-    results = []
-    for cfg in (
-        {"name": "brute_mega", "BENCH_RENDERER": "megakernel",
-         "BENCH_USE_BVH": "0"},
-        {"name": "xla_wf", "BENCH_IMPL": "xla", "BENCH_RENDERER": "wavefront"},
-    ):
-        env = {k: v for k, v in cfg.items() if k != "name"}
-        r = _run_code(_CHILD_CODE, ["cpu"], TIMEOUT_S, env)
-        if r:
-            results.append(dict(r, config=cfg["name"]))
-    with open(os.path.join(_HERE, "BENCH_SWEEP.json"), "w") as f:
-        json.dump({"backend": "cpu_fallback", "results": results}, f, indent=1)
-    if not results:
+    cpu_sweep = [
+        {"name": "brute_mega", "renderer": "megakernel", "use_bvh": False},
+        {"name": "xla_wf", "impl": "xla", "renderer": "wavefront"},
+    ]
+    rows, _, _ = _run_sweep("cpu", cpu_sweep, 480)
+    _write_sweep("cpu_fallback", rows)
+    ok = [r for r in rows if "mrays" in r]
+    if not ok:
         print(json.dumps({
             "metric": "cornell_pt_mrays_per_s",
             "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
         }))
         return
-    best = max(results, key=lambda r: r["mrays"])
+    best = max(ok, key=lambda r: r["mrays"])
     _emit("cornell_pt_mrays_per_s_cpu_fallback", best["mrays"])
 
 

@@ -1,0 +1,115 @@
+"""Honest wall-clock timing under the axon TPU tunnel.
+
+Round-3 discovery (probe history in docs/TUNNEL.md): through the tunnel,
+``block_until_ready()`` returns when the dispatch is *accepted*, not when
+execution finishes — 100 chained 4096³ matmuls "complete" in 0.1 ms by that
+clock. Every round-2 on-chip number measured that way (ONCHIP_DISSECT's flat
+~0.4 µs/lane "cost floor", the 26 ms per-call constant) was tunnel dispatch
+latency, not compute. The only event that provably fences execution is a
+device→host readback, which has its own quirks:
+
+- the FIRST readback in a process stalls ~270-350 s (a one-shot claim/grant
+  handshake; subsequent readbacks are ~30 ms for scalars, ~5 MB/s for bulk);
+- single device calls whose execution runs past ~60 s die
+  ("TPU device error"), so timed regions must stay well under that.
+
+This module provides readback-fenced timing:
+
+``warm_readback()``      pay the one-time stall explicitly (call it early so
+                         it overlaps nothing you care about).
+``force(x)``             fence: readback one element of x (post-warm ~30 ms).
+``timeit(fn, *args)``    median of readback-fenced call times, minus the
+                         measured fence baseline.
+``loop_cost(step, init, n)``  per-iteration cost of ``step`` measured by the
+                         difference T(n) - T(n//2) of on-device fori_loops —
+                         immune to any fixed per-call offset. ``step`` must
+                         thread its state (data dependence) or XLA hoists it.
+
+On CPU (and any backend where block_until_ready is trustworthy) the fence
+degrades to block_until_ready, so the same harness runs everywhere.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _is_tunnel() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def warm_readback(timeout_note: bool = True) -> float:
+    """Pay the one-time first-readback stall; returns its duration (s).
+
+    Idempotent: after the first call (in this or any earlier code path that
+    did a readback) it costs one cheap fence.
+    """
+    t0 = time.perf_counter()
+    x = jnp.ones((8,), jnp.float32)
+    jax.device_get(x * 2.0)
+    return time.perf_counter() - t0
+
+
+def force(x) -> None:
+    """Fence: guarantee every op feeding ``x`` has executed."""
+    if _is_tunnel():
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        jax.device_get(jnp.ravel(leaf)[:1])
+    else:
+        jax.block_until_ready(x)
+
+
+def fence_baseline(reps: int = 5) -> float:
+    """Median cost of force() on an already-materialized array."""
+    x = jnp.ones((8,), jnp.float32)
+    force(x * 1.0)
+    ts = []
+    for _ in range(reps):
+        y = x * 1.0
+        t0 = time.perf_counter()
+        force(y)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def timeit(fn, *args, reps: int = 3, warm: bool = True,
+           baseline: float | None = None) -> float:
+    """Median readback-fenced wall time of fn(*args), minus fence baseline.
+
+    The first (warm) call compiles AND pays any residual one-time costs.
+    """
+    if warm:
+        force(fn(*args))
+    if baseline is None:
+        baseline = fence_baseline() if _is_tunnel() else 0.0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        force(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return max(ts[len(ts) // 2] - baseline, 0.0)
+
+
+def loop_cost(step, init, n: int, reps: int = 3):
+    """Per-iteration cost of ``step`` via the T(n) - T(n//2) difference.
+
+    step: state -> state (a pytree; MUST consume its input or XLA hoists the
+    body and the measurement collapses to zero — that collapse is itself
+    detectable: a per-iter cost ~0 means the body was optimized away).
+    Returns (sec_per_iter, T_n, T_half).
+    """
+    half = max(n // 2, 1)
+
+    def run(k):
+        f = jax.jit(lambda s: jax.lax.fori_loop(0, k, lambda i, t: step(t), s))
+        return timeit(f, init, reps=reps)
+
+    t_half = run(half)
+    t_full = run(2 * half)
+    return max(t_full - t_half, 0.0) / half, t_full, t_half

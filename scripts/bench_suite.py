@@ -150,6 +150,25 @@ elif name == "cornell_vpt":
     mdv = MaxDepthParams(max_depth=maxd, max_volume=8)
     fn = jax.jit(lambda s, i: volume_pt.render(s, cam, mdv, spp=spp, seed=i, use_bvh=True))
     counter = jax.jit(lambda s: volume_pt.count_rays(s, cam, mdv, spp=spp, seed=1, use_bvh=True))
+elif name in ("kitchen", "kitchen_wide", "kitchen_forest"):
+    # VERDICT r2 item 6: synthesized kitchen-class stress scene — ~99k
+    # textured prims, HDR envmap + area light, 5 BSDF families
+    # (scene/testscenes.kitchen_stress; reference target kitchen.xml).
+    res = min(res_big, 256)
+    fc = 32768 if name == "kitchen_forest" else None
+    scene, cam, _ = testscenes.kitchen_stress(width=res, height=res,
+                                              forest_chunk=fc)
+    if name == "kitchen_forest":
+        if backend == "cpu" or jax.default_backend() == "cpu":
+            print(json.dumps({"name": name, "backend": "skipped_cpu",
+                              "mrays_per_s": 0.0}))
+            raise SystemExit(0)
+        scene = scene.replace(traversal="pallas")
+    elif name == "kitchen_wide":
+        from cuda_pt_tpu.accel.wide_build import with_wide
+        scene = with_wide(scene)
+    fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
+    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 else:
     raise SystemExit(f"unknown bench {name}")
 
@@ -161,13 +180,13 @@ elif _impl == "auto":
     from cuda_pt_tpu.accel.autotune import with_tuned_traversal
     scene = with_tuned_traversal(scene, cam)
 
-fn(scene, 0).block_until_ready()
-reps = 3
-t0 = time.perf_counter()
-for i in range(reps):
-    img = fn(scene, i + 1)
-img.block_until_ready()
-dt = (time.perf_counter() - t0) / reps
+# Readback-fenced timing (utils/timing.py): under the axon tunnel
+# block_until_ready returns at dispatch-accept — the round-2 rows timed the
+# tunnel, not the chip. warm_readback pays the one-shot ~300 s claim stall
+# before any timed region.
+from cuda_pt_tpu.utils import timing
+warm_s = timing.warm_readback() if jax.default_backend() != "cpu" else 0.0
+dt = timing.timeit(fn, scene, 1, reps=3)
 rays = int(counter(scene))
 print(json.dumps({
     "name": name, "backend": jax.default_backend(),
@@ -175,11 +194,16 @@ print(json.dumps({
     "sec_per_frame": round(dt, 4), "rays": rays,
     "mrays_per_s": round(rays / dt / 1e6, 3),
     "prims": int(scene.geom.num_prims),
+    "warm_readback_s": round(warm_s, 1),
 }))
 """ % (REF_XML,)
 
 
-def run_one(name: str, backend: str, quick: bool, timeout: int = 600):
+def run_one(name: str, backend: str, quick: bool, timeout: int | None = None):
+    # accelerator children pay the one-shot ~300-900 s first-readback claim
+    # stall (utils/timing.warm_readback) before any timed region
+    if timeout is None:
+        timeout = 600 if backend == "cpu" else 1800
     t0 = time.time()
     try:
         out = subprocess.run(
@@ -202,6 +226,7 @@ def main():
     ap.add_argument("--scenes", nargs="*", default=[
         "cornell_mega", "cornell_wf", "cornell_wf_nosort",
         "bunny", "bunny_wide", "whiskey", "whiskey_wide", "whiskey_pallas",
+        "kitchen", "kitchen_forest",
         "cornell_vpt", "cornell_grad",
     ])
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_DETAILS.json"))

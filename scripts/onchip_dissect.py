@@ -24,14 +24,13 @@ sys.path.insert(0, str(REPO))
 
 
 def bench(fn, *args, reps: int = 5):
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    """Readback-fenced timing (utils/timing.py): under the axon tunnel
+    block_until_ready returns at dispatch-accept, so the round-2 version of
+    this function measured ~26 ms of tunnel latency for EVERY component —
+    the spurious flat "0.4 µs/lane floor" of ONCHIP_DISSECT.json r2."""
+    from cuda_pt_tpu.utils import timing
+
+    return timing.timeit(fn, *args, reps=reps)
 
 
 def emit(name, sec, B):
@@ -85,7 +84,13 @@ def main():
     lane = jnp.arange(B, dtype=jnp.int32)
     rows = []
 
-    print(json.dumps({"backend": jax.default_backend(), "B": B}), flush=True)
+    from cuda_pt_tpu.utils import timing
+
+    t_warm = timing.warm_readback()  # one-shot ~300 s tunnel claim stall
+    print(json.dumps({"backend": jax.default_backend(), "B": B,
+                      "warm_readback_s": round(t_warm, 1),
+                      "fence_baseline_s": round(timing.fence_baseline(), 4)}),
+          flush=True)
 
     # 0. raw while_loop overhead: 30 iterations of elementwise work
     @jax.jit
