@@ -128,6 +128,10 @@ def render_distributed(
         mesh=mesh,
         in_specs=(P(), P("dp", None)),
         out_specs=P("dp", None, None),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation, so
+        # the static vma checker rejects the Pallas forest traversal under
+        # shard_map; the collectives here are explicit psums over known axes
+        check_vma=False,
     )
     def shard_fn(scene_rep, lane_blk):
         lane_flat = lane_blk[0]

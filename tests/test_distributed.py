@@ -179,3 +179,35 @@ def test_distributed_sample_window_advances(cbox):
         scene, cam, md, spp=4, mesh=mesh, seed=0, use_bvh=False,
         sampler="sobol"))
     np.testing.assert_allclose((a + b) / 2, both, atol=2e-4)
+
+
+def test_forest_traversal_under_mesh():
+    """VERDICT r2 item 9: the Pallas streaming-forest path (chunked HBM
+    node/prim arrays) must compile and run under shard_map tile sharding —
+    forest chunk streaming inside a sharded while_loop was untested. Runs in
+    interpret mode on the CPU mesh; the driver dry-runs the same path
+    compiled."""
+    from cuda_pt_tpu.ops.pallas import traverse_kernel as tk
+
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=2)
+    old = tk.INTERPRET
+    tk.INTERPRET = True
+    try:
+        scene = scene.replace(
+            forest=tk.build_forest(scene.geom, chunk_prims=16),
+            traversal="pallas",
+        )
+        mesh = dist.make_mesh(sp=1)
+        img = np.asarray(
+            dist.render_distributed(scene, cam, md, spp=1, mesh=mesh,
+                                    seed=0, use_bvh=True)
+        )
+        assert np.isfinite(img).all()
+        ref = np.asarray(
+            pt.render(scene.replace(traversal="xla", forest=None), cam, md,
+                      spp=1, seed=0, use_bvh=True))
+        match = np.isclose(img, ref, atol=1e-4).mean()
+        assert match > 0.95, match
+    finally:
+        tk.INTERPRET = old
