@@ -57,6 +57,9 @@ SWEEP = [
      "node_fmt": "bf16"},
     {"name": "pallas_mega", "impl": "pallas", "renderer": "megakernel"},
     {"name": "xla_wf", "impl": "xla", "renderer": "wavefront"},
+    # the fully-fused in-kernel Pallas megakernel (trace+NEE+shade+RNG in
+    # one kernel, ops/pallas/megakernel.py)
+    {"name": "fused_mega", "renderer": "fused"},
 ]
 
 _PROBE_CODE = r"""
@@ -137,6 +140,25 @@ for cfg in configs:
         use_bvh = cfg.get("use_bvh", True)
         sampler = cfg.get("sampler", "pcg")
         nee_m = cfg.get("nee_m", 1)
+        if cfg.get("renderer") == "fused":
+            from cuda_pt_tpu.ops.pallas import megakernel as mk
+
+            if not mk.megakernel_ok(scene, md):
+                raise ValueError("scene outside fused-megakernel envelope")
+            pack = mk.make_pack(scene)
+            ml = int(scene.bvh.max_leaf)
+            fn = jax.jit(lambda p, seed: mk.render_pack(
+                p, cam, md, spp=SPP, seed=seed, max_leaf=ml))
+            dt = timing.timeit(fn, pack, 1, reps=3)
+            rays = int(jax.jit(lambda s: pt.count_rays(
+                s, cam, md, spp=SPP, seed=1, use_bvh=use_bvh,
+                sampler=sampler))(scene))
+            print(json.dumps({
+                "config": cfg["name"], "mrays": rays / dt / 1e6,
+                "backend": jax.default_backend(), "w": W, "spp": SPP,
+                "sec_per_frame": dt, "rays": rays,
+            }), flush=True)
+            continue
         if cfg.get("renderer") == "wavefront":
             from cuda_pt_tpu.models import wavefront
 

@@ -1,0 +1,77 @@
+"""Fused Pallas megakernel vs the composed XLA path tracer.
+
+The kernel mirrors pt_bounce's estimator and pcg draw order exactly, so on
+the same seeds the images agree up to fp reassociation (which can flip a
+rare borderline RR decision) — asserted as near-total per-pixel agreement
+plus tight mean agreement. Runs in interpret mode on CPU; the AOT lowering
+gate (test_tpu_export.py) covers the Mosaic compile path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_pt_tpu.core.config import MaxDepthParams
+from cuda_pt_tpu.models import path_tracer as pt
+from cuda_pt_tpu.ops.pallas import megakernel as mk
+from cuda_pt_tpu.scene import testscenes
+
+
+def test_envelope_check():
+    scene, cam, _ = testscenes.cornell_box(width=8, height=8)
+    assert mk.megakernel_ok(scene)
+    fscene, _, _ = testscenes.furnace(width=8, height=8)
+    assert not mk.megakernel_ok(fscene)  # envmap emitter
+    kscene, _, _ = testscenes.kitchen_stress(width=8, height=8, grid=2,
+                                             ns=6, nt=4)
+    assert not mk.megakernel_ok(kscene)  # textures + mixed BSDFs + envmap
+
+
+def test_megakernel_matches_composed_pt():
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=4)
+    img_k = np.asarray(mk.render_megakernel(scene, cam, md, spp=4, seed=3,
+                                            interpret=True))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=3, use_bvh=True))
+    assert np.isfinite(img_k).all()
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.95, match
+    assert abs(img_k.mean() - img_x.mean()) < 5e-3, (
+        img_k.mean(), img_x.mean())
+
+
+def test_megakernel_point_light():
+    from cuda_pt_tpu.scene.builder import BSDFSpec, EmitterSpec, SceneBuilder
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.core import camera as cam_mod
+
+    b = SceneBuilder()
+    white = b.add_bsdf(BSDFSpec(k_d=(0.7, 0.7, 0.7)))
+    b.add_emitter(EmitterSpec(etype=T.EMITTER_POINT, emission=(1, 1, 1),
+                              scaler=6.0, pos=(0.5, 0.9, 0.5)))
+    b.add_mesh(testscenes.quad([0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]),
+               white)
+    b.add_mesh(testscenes.quad([0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]),
+               white)
+    scene = b.compile()
+    cam = cam_mod.make_camera(origin=(0.5, 0.5, -1.2), target=(0.5, 0.2, 0.5),
+                              fov=45.0, width=12, height=12)
+    assert mk.megakernel_ok(scene)
+    md = MaxDepthParams(max_depth=3)
+    img_k = np.asarray(mk.render_megakernel(scene, cam, md, spp=4, seed=1,
+                                            interpret=True))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=1, use_bvh=True))
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.95, match
+
+
+def test_megakernel_nonsquare_batch_pad():
+    """B not a multiple of the tile: padding lanes must not corrupt output."""
+    scene, cam, _ = testscenes.cornell_box(width=10, height=7)
+    md = MaxDepthParams(max_depth=2)
+    img = np.asarray(mk.render_megakernel(scene, cam, md, spp=1, seed=0,
+                                          interpret=True))
+    assert img.shape == (7, 10, 3)
+    assert np.isfinite(img).all()
+    ref = np.asarray(pt.render(scene, cam, md, spp=1, seed=0, use_bvh=True))
+    match = np.isclose(img, ref, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.95, match

@@ -85,3 +85,19 @@ def test_grad_render_lowers(cornell):
     _lowers(lambda s: jax.grad(
         lambda kd: loss(s.replace(bsdfs=s.bsdfs.replace(k_d=kd)))
     )(s.bsdfs.k_d), scene)
+
+
+def test_fused_megakernel_lowers(cornell):
+    """The full in-kernel Pallas megakernel must pass Mosaic lowering AOT
+    (the r2 lesson: interpret-mode green ≠ compiles on silicon)."""
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+
+    scene, cam, md = cornell
+    assert mk.megakernel_ok(scene, md)
+    pack = mk.make_pack(scene)  # host-side (concrete scene)
+    _lowers(
+        lambda p, seed: mk.render_pack(p, cam, md, spp=1, seed=seed,
+                                       max_leaf=int(scene.bvh.max_leaf),
+                                       interpret=False),
+        pack, jnp.int32(0),
+    )
