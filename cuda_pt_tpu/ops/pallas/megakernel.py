@@ -254,9 +254,11 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
                                jnp.where(v < 0, -1e-8, 1e-8), v)
 
     # ---------------- BVH walks (adapted from traverse_kernel._kernel) ----
-    def walk_closest(o_x, o_y, o_z, d_x, d_y, d_z):
-        """Closest hit + in-leaf attribute capture. Returns a dict of
-        (R, 128) vectors."""
+    def walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, live):
+        """Closest hit + in-leaf attribute capture for lanes where ``live``.
+        Dead lanes register no box hits, so a tile whose lanes have all
+        died skips every leaf body (the packet-level compaction analogue).
+        Returns a dict of (R, 128) vectors."""
         ix, iy, iz = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
         init = (jnp.int32(0), jnp.full(shape, jnp.inf), f0 - 1.0,  # t, prim
                 f0, f0,  # b1, b2 (unused downstream but kept for parity)
@@ -297,7 +299,7 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
             tf = jnp.minimum(
                 jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                 jnp.maximum(tz0, tz1))
-            box_hit = (tn <= tf) & (tf > HIT_EPS) & (tn < t_best)
+            box_hit = (tn <= tf) & (tf > HIT_EPS) & (tn < t_best) & live
             any_hit = jnp.any(box_hit)
             is_leaf = cnt > 0
 
@@ -564,7 +566,7 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
         (bounce, sx, sy, o_x, o_y, o_z, d_x, d_y, d_z,
          tr, tg, tb, Lr, Lg, Lb, act, prev_pdf, prev_delta, n_diff) = cr
 
-        hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z)
+        hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
         hit_ok = hit["hit"] & (act > 0.5)
         t_safe = jnp.where(hit_ok, hit["t"], 1.0)
         px_ = o_x + t_safe * d_x
