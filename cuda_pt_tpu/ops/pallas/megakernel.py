@@ -17,8 +17,8 @@ weighting, per-lobe diffuse cap, and shadow-ray offsets as the XLA
 megakernel (models/path_tracer.pt_bounce) — images agree to fp tolerance
 (tests/test_pallas_megakernel.py).
 
-Scene envelope (megakernel_ok): lambertian-only BSDFs, untextured area +
-point emitters (≤ 7), no envmap / media / ToF / spot emitters, scene fits
+Scene envelope (megakernel_ok): lambertian + specular-mirror BSDFs,
+untextured area + point emitters (≤ 7), no envmap / media / ToF / spot emitters, scene fits
 VMEM whole, ≤ 56 emitter prims. Scenes outside the envelope use the
 composed path; cornell-class scenes (the reference's bread-and-butter
 megakernel target) are squarely inside.
@@ -41,7 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ...scene import types as T
 from . import traverse_kernel as tk
 
-TILE = 512
+# Rays per packet/program. Swept on-chip (cornell 256^2x4spp depth 5):
+# 512 -> 14.9, 1024 -> 29.8, 2048 -> 56, 4096 -> 96.6, 8192 -> 148,
+# 16384 -> 149, 32768 -> 131 Mrays/s, 65536 fails Mosaic (VMEM). The grid
+# runs programs SEQUENTIALLY on the single TensorCore, so bigger tiles
+# amortize the per-node scalar walk over more lanes until VMEM pressure
+# bites. trace_megakernel shrinks the tile for small batches.
+TILE = 8192
 SLOTS = tk.SLOTS
 SLOT_F = tk.SLOT_F
 HIT_EPS = tk.HIT_EPS
@@ -58,7 +64,7 @@ def megakernel_ok(scene: T.Scene, md=None) -> bool:
 
     if not tk.scene_fits_vmem(scene.geom, scene.bvh):
         return False
-    if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN}:
+    if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR}:
         return False
     et = np.asarray(scene.emitters.etype)
     if et.shape[0] > MAX_EMITTERS:
@@ -107,7 +113,7 @@ def _real_k(cdf_row, sel_row) -> int:
 
 def pack_attrs(scene: T.Scene) -> jnp.ndarray:
     """Per-prim shading attributes, 1 slot x 16 fields (packed like prims):
-    n0(3) n1(3) n2(3) kd(3) eid inv_area_obj — captured scalar-wise during
+    n0(3) n1(3) n2(3) kd(3) eid inv_area_obj btype — captured scalar-wise during
     the leaf test, the in-kernel analogue of surface_interaction +
     make_ctx's gathers."""
     g = scene.geom
@@ -116,15 +122,16 @@ def pack_attrs(scene: T.Scene) -> jnp.ndarray:
     kd = scene.bsdfs.k_d[bid]
     eid = scene.objects.emitter_id[obj].astype(jnp.float32)
     inv_a = scene.objects.inv_area[obj]
+    btype = scene.bsdfs.btype[bid].astype(jnp.float32)
     return tk._pack_rows(
         [
             g.n0[:, 0], g.n0[:, 1], g.n0[:, 2],
             g.n1[:, 0], g.n1[:, 1], g.n1[:, 2],
             g.n2[:, 0], g.n2[:, 1], g.n2[:, 2],
             kd[:, 0], kd[:, 1], kd[:, 2],
-            eid, inv_a,
+            eid, inv_a, btype,
         ],
-        [0.0] * 9 + [0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0] * 9 + [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
     )
 
 
@@ -236,7 +243,7 @@ def _u01(x):
     return (hi * 65536.0 + lo) * _INV_U32
 
 
-def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
+def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
             nodes, prims, attrs, erow, eprims,
             ox, oy, oz, dx, dy, dz, r0, r1,
             out_r, out_g, out_b):
@@ -267,14 +274,15 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
                 f0, f0, f0,  # kd
                 f0,  # eid
                 f0,  # inv_area
-                f0)  # is_sphere
+                f0,  # is_sphere
+                f0)  # btype
 
         def cond(cr):
             return cr[0] < M_pad
 
         def body(cr):
             (ptr, t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-             kdr, kdg, kdb, eidv, inva, sphv) = cr
+             kdr, kdg, kdb, eidv, inva, sphv, btv) = cr
             row = nodes[pl.ds(ptr // SLOTS, 1), :]
             sb = (ptr % SLOTS) * SLOT_F
             lo_x = _f(row, sb + 0)
@@ -305,7 +313,7 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
 
             def do_leaf(carry):
                 (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-                 kdr, kdg, kdb, eidv, inva, sphv) = carry
+                 kdr, kdg, kdb, eidv, inva, sphv, btv) = carry
                 for k in range(max_leaf):
                     pid = base + k
                     prow = prims[pl.ds(pid // SLOTS, 1), :]
@@ -370,6 +378,7 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
                     kb = _f(arow, pb + 11)
                     eid_s = _f(arow, pb + 12)
                     ia_s = _f(arow, pb + 13)
+                    bt_s = _f(arow, pb + 14)
 
                     # interpolated shading normal (tri) / center (sphere)
                     w0 = 1.0 - u - v
@@ -400,11 +409,12 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
                     eidv = jnp.where(ok, eid_s, eidv)
                     inva = jnp.where(ok, ia_s, inva)
                     sphv = jnp.where(ok, jnp.where(is_sph, 1.0, 0.0), sphv)
+                    btv = jnp.where(ok, bt_s, btv)
                 return (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-                        kdr, kdg, kdb, eidv, inva, sphv)
+                        kdr, kdg, kdb, eidv, inva, sphv, btv)
 
             leaf_carry = (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-                          kdr, kdg, kdb, eidv, inva, sphv)
+                          kdr, kdg, kdb, eidv, inva, sphv, btv)
             leaf_out = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                     lambda c: c, leaf_carry)
             ptr_next = jnp.where(any_hit & ~is_leaf, ptr + 1, skip)
@@ -412,13 +422,13 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
 
         out = jax.lax.while_loop(cond, body, init)
         (_, t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-         kdr, kdg, kdb, eidv, inva, sphv) = out
+         kdr, kdg, kdb, eidv, inva, sphv, btv) = out
         return {
             "t": t_best, "hit": prim >= 0.0,
             "nsx": nsx, "nsy": nsy, "nsz": nsz,
             "ngx": ngx, "ngy": ngy, "ngz": ngz,
             "kdr": kdr, "kdg": kdg, "kdb": kdb,
-            "eid": eidv, "inva": inva, "sph": sphv,
+            "eid": eidv, "inva": inva, "sph": sphv, "btype": btv,
         }
 
     def walk_anyhit(o_x, o_y, o_z, d_x, d_y, d_z, t_lim, need):
@@ -564,7 +574,8 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
 
     def bounce_body(cr):
         (bounce, sx, sy, o_x, o_y, o_z, d_x, d_y, d_z,
-         tr, tg, tb, Lr, Lg, Lb, act, prev_pdf, prev_delta, n_diff) = cr
+         tr, tg, tb, Lr, Lg, Lb, act, prev_pdf, prev_delta, n_diff,
+         n_spec) = cr
 
         hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
         hit_ok = hit["hit"] & (act > 0.5)
@@ -707,13 +718,15 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
         nlx = nsx * nsign
         nly = nsy * nsign
         nlz = nsz * nsign
+        is_spec = hit["btype"] == float(T.BSDF_SPECULAR)
         cos_i = es_dx * nlx + es_dy * nly + es_dz * nlz
         cos_ic = jnp.maximum(cos_i, 0.0)
-        ffac = _INV_PI * cos_ic
+        # specular mirrors: eval_bsdf returns f=0, pdf=0 (delta lobe)
+        ffac = jnp.where(is_spec, 0.0, _INV_PI * cos_ic)
         f_r = hit["kdr"] * ffac
         f_g = hit["kdg"] * ffac
         f_b = hit["kdb"] * ffac
-        bpdf = cos_ic * _INV_PI
+        bpdf = jnp.where(is_spec, 0.0, cos_ic * _INV_PI)
 
         # shadow walk (offsets: path_tracer.py:317-322)
         gdir = ngx * es_dx + ngy * es_dy + ngz * es_dz
@@ -762,6 +775,18 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
         wiy = loc_x * t1y + loc_y * t2y + cth * nly
         wiz = loc_x * t1z + loc_y * t2z + cth * nlz
         bs_pdf = jnp.maximum(cth, 1e-6) * _INV_PI
+        # specular lanes: mirror reflection wi = normalize(d - 2(d.nl)nl)
+        # (bsdf/eval.py wi_spec); weight stays kd, is_delta = 1; bs_pdf
+        # keeps the cosine value, matching the XLA table default (unused
+        # downstream because prev_delta forces MIS weight 1)
+        dn = d_x * nlx + d_y * nly + d_z * nlz
+        wmx = d_x - 2.0 * dn * nlx
+        wmy = d_y - 2.0 * dn * nly
+        wmz = d_z - 2.0 * dn * nlz
+        wml = jax.lax.rsqrt(wmx * wmx + wmy * wmy + wmz * wmz + 1e-20)
+        wix = jnp.where(is_spec, wmx * wml, wix)
+        wiy = jnp.where(is_spec, wmy * wml, wiy)
+        wiz = jnp.where(is_spec, wmz * wml, wiz)
 
         # throughput *= kd (weight = kd for cosine-sampled lambertian)
         tr2 = tr * hit["kdr"]
@@ -775,9 +800,11 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
         o_y2 = py_ + ngy * osign2 * 1e-3
         o_z2 = pz_ + ngz * osign2 * 1e-3
 
-        # per-lobe cap (diffuse only in this envelope)
-        n_diff2 = n_diff + jnp.where(hit_ok, 1.0, 0.0)
-        depth_ok = n_diff2 <= float(max_diffuse)
+        # per-lobe caps (path_tracer.py:365-372)
+        n_diff2 = n_diff + jnp.where(hit_ok & ~is_spec, 1.0, 0.0)
+        n_spec2 = n_spec + jnp.where(hit_ok & is_spec, 1.0, 0.0)
+        depth_ok = (n_diff2 <= float(max_diffuse)) & (
+            n_spec2 <= float(max_specular))
 
         # RR (throughput rule, pt_bounce fixed_rr=False)
         max_thp = jnp.maximum(tr2, jnp.maximum(tg2, tb2))
@@ -797,14 +824,15 @@ def _kernel(max_depth, max_diffuse, max_leaf, rn, n_eslots,
         tg2 = tg2 * actf
         tb2 = tb2 * actf
         prev_pdf2 = jnp.where(act2, bs_pdf, prev_pdf)
-        prev_delta2 = jnp.where(act2, 0.0, prev_delta)
+        prev_delta2 = jnp.where(act2, jnp.where(is_spec, 1.0, 0.0),
+                                prev_delta)
 
         return (bounce + 1, sx, sy, o_x2, o_y2, o_z2, wix, wiy, wiz,
                 tr2, tg2, tb2, Lr, Lg, Lb, actf, prev_pdf2, prev_delta2,
-                n_diff2)
+                n_diff2, n_spec2)
 
     init = (jnp.int32(0), sx0, sy0, o_x0, o_y0, o_z0, d_x0, d_y0, d_z0,
-            f1, f1, f1, f0, f0, f0, f1, f1, f1, f0)
+            f1, f1, f1, f0, f0, f0, f1, f1, f1, f0, f0)
     out = jax.lax.while_loop(bounce_cond, bounce_body, init)
     out_r[:] = out[12]
     out_g[:] = out[13]
@@ -839,6 +867,8 @@ def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
     if tile is None:
         tile = TILE
     B = o.shape[0]
+    # shrink to the batch (multiple of 1024 keeps R a sublane multiple of 8)
+    tile = max(min(tile, -(-B // 1024) * 1024), 1024)
     pad = (-B) % tile
     Bp = B + pad
     R = tile // 128
@@ -878,7 +908,7 @@ def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
     )
     kern = functools.partial(
         _kernel, int(md.max_depth), int(md.max_diffuse),
-        int(max_leaf), rn, MAX_EMITTERS,
+        int(md.max_specular), int(max_leaf), rn, MAX_EMITTERS,
     )
     lr, lg, lb = pl.pallas_call(
         kern,

@@ -75,3 +75,21 @@ def test_megakernel_nonsquare_batch_pad():
     ref = np.asarray(pt.render(scene, cam, md, spp=1, seed=0, use_bvh=True))
     match = np.isclose(img, ref, atol=2e-2, rtol=1e-3).mean()
     assert match > 0.95, match
+
+
+def test_megakernel_specular_mirror():
+    """Specular mirror box inside the envelope: matches the composed PT."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec
+
+    scene, cam, _ = testscenes.cornell_box(
+        width=16, height=16,
+        tall_box_bsdf=BSDFSpec(btype=T.BSDF_SPECULAR, k_d=(0.9, 0.9, 0.9)))
+    assert mk.megakernel_ok(scene)
+    md = MaxDepthParams(max_depth=4)
+    img_k = np.asarray(mk.render_megakernel(scene, cam, md, spp=4, seed=5,
+                                            interpret=True))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=5, use_bvh=True))
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.95, match
+    assert abs(img_k.mean() - img_x.mean()) < 6e-3
