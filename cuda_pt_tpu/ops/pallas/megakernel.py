@@ -3,7 +3,9 @@
 This is the true TPU-native analogue of the reference's render_pt_kernel
 (src/pt_impl/megakernel_pt.cu:32-201): one kernel owns a (R, 128) ray tile
 and runs the full bounce loop — BVH walk, NEE with shadow-ray walk, MIS,
-lambertian shading, Russian roulette, pcg2d RNG — entirely in VMEM/registers.
+four BSDF families (lambertian, mirror, smooth dielectric, GGX conductor
+with VNDF sampling), Russian roulette, pcg2d RNG — entirely in
+VMEM/registers.
 The XLA-composed path (models/path_tracer.py) pays ~60 ns/lane/bounce of
 inter-op glue because its (B, 3) state arrays put the 3-vector in the
 128-lane minor dimension (~2.4% VPU lane utilization, measured — docs/
@@ -56,6 +58,7 @@ _TWO_PI = 6.283185307179586
 _INV_U32 = 2.3283064365386963e-10
 MAX_EMITTERS = 8  # slots in the single emitter row (slot 0 = null)
 MAX_EMITTER_PRIMS = 56  # 7 rows of 8 slots
+MAX_BSDFS = 32  # material lookup is a masked scalar loop over bsdf ids
 
 
 def megakernel_ok(scene: T.Scene, md=None) -> bool:
@@ -64,7 +67,10 @@ def megakernel_ok(scene: T.Scene, md=None) -> bool:
 
     if not tk.scene_fits_vmem(scene.geom, scene.bvh):
         return False
-    if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR}:
+    if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR,
+                                   T.BSDF_TRANSLUCENT, T.BSDF_GGX_CONDUCTOR}:
+        return False
+    if int(np.asarray(scene.bsdfs.btype).shape[0]) > MAX_BSDFS:
         return False
     et = np.asarray(scene.emitters.etype)
     if et.shape[0] > MAX_EMITTERS:
@@ -113,26 +119,51 @@ def _real_k(cdf_row, sel_row) -> int:
 
 def pack_attrs(scene: T.Scene) -> jnp.ndarray:
     """Per-prim shading attributes, 1 slot x 16 fields (packed like prims):
-    n0(3) n1(3) n2(3) kd(3) eid inv_area_obj btype — captured scalar-wise during
-    the leaf test, the in-kernel analogue of surface_interaction +
-    make_ctx's gathers."""
+    n0(3) n1(3) n2(3) eid inv_area_obj bsdf_id — captured scalar-wise during
+    the leaf test (surface_interaction's gathers); material params resolve
+    from bsdf_id after the walk via pack_bsdfs."""
     g = scene.geom
     obj = g.obj_idx
     bid = jnp.maximum(scene.objects.bsdf_id[obj], 0)
-    kd = scene.bsdfs.k_d[bid]
     eid = scene.objects.emitter_id[obj].astype(jnp.float32)
     inv_a = scene.objects.inv_area[obj]
-    btype = scene.bsdfs.btype[bid].astype(jnp.float32)
     return tk._pack_rows(
         [
             g.n0[:, 0], g.n0[:, 1], g.n0[:, 2],
             g.n1[:, 0], g.n1[:, 1], g.n1[:, 2],
             g.n2[:, 0], g.n2[:, 1], g.n2[:, 2],
-            kd[:, 0], kd[:, 1], kd[:, 2],
-            eid, inv_a, btype,
+            eid, inv_a, bid.astype(jnp.float32),
         ],
-        [0.0] * 9 + [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0] * 9 + [0.0, 0.0, 0.0],
     )
+
+
+def pack_bsdfs(scene: T.Scene) -> jnp.ndarray:
+    """(rows, 128) material table, TWO slots per bsdf (32 fields):
+    slot A: btype kd(3) ks(3) kg(3) ior ax ay; slot B: eta(3) k(3).
+    Resolved per-lane after the walk with a masked loop over bsdf ids
+    (the in-kernel make_ctx, bsdf/eval.py:43-74)."""
+    import numpy as np
+
+    b = scene.bsdfs
+    NB = int(np.asarray(b.btype).shape[0])
+    P = np.asarray(b.params)
+    cols_a = np.zeros((NB, SLOT_F), np.float32)
+    cols_b = np.zeros((NB, SLOT_F), np.float32)
+    cols_a[:, 0] = np.asarray(b.btype, np.float32)
+    cols_a[:, 1:4] = np.asarray(b.k_d)
+    cols_a[:, 4:7] = np.asarray(b.k_s)
+    cols_a[:, 7:10] = np.asarray(b.k_g)
+    cols_a[:, 10] = P[:, T.P_IOR]
+    cols_a[:, 11] = np.maximum(P[:, T.P_ROUGH_X], 1e-4)
+    cols_a[:, 12] = np.maximum(P[:, T.P_ROUGH_Y], 1e-4)
+    cols_b[:, 0:3] = np.asarray(b.eta)
+    cols_b[:, 3:6] = np.asarray(b.k)
+    inter = np.stack([cols_a, cols_b], axis=1).reshape(2 * NB, SLOT_F)
+    rows = -(-inter.shape[0] // SLOTS) * SLOTS
+    out = np.zeros((rows, SLOT_F), np.float32)
+    out[: inter.shape[0]] = inter
+    return jnp.asarray(out.reshape(rows // SLOTS, SLOTS * SLOT_F))
 
 
 def pack_emitters(scene: T.Scene) -> jnp.ndarray:
@@ -243,8 +274,9 @@ def _u01(x):
     return (hi * 65536.0 + lo) * _INV_U32
 
 
-def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
-            nodes, prims, attrs, erow, eprims,
+def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
+            max_leaf, rn, n_eslots, n_bsdfs,
+            nodes, prims, attrs, erow, eprims, brows,
             ox, oy, oz, dx, dy, dz, r0, r1,
             out_r, out_g, out_b):
     o_x0, o_y0, o_z0 = ox[:], oy[:], oz[:]
@@ -271,18 +303,17 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
                 f0, f0,  # b1, b2 (unused downstream but kept for parity)
                 f0, f0, f0,  # ns (or sphere center)
                 f0, f0, f1,  # ng
-                f0, f0, f0,  # kd
                 f0,  # eid
                 f0,  # inv_area
                 f0,  # is_sphere
-                f0)  # btype
+                f0)  # bsdf id
 
         def cond(cr):
             return cr[0] < M_pad
 
         def body(cr):
             (ptr, t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-             kdr, kdg, kdb, eidv, inva, sphv, btv) = cr
+             eidv, inva, sphv, bidv) = cr
             row = nodes[pl.ds(ptr // SLOTS, 1), :]
             sb = (ptr % SLOTS) * SLOT_F
             lo_x = _f(row, sb + 0)
@@ -313,7 +344,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
 
             def do_leaf(carry):
                 (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-                 kdr, kdg, kdb, eidv, inva, sphv, btv) = carry
+                 eidv, inva, sphv, bidv) = carry
                 for k in range(max_leaf):
                     pid = base + k
                     prow = prims[pl.ds(pid // SLOTS, 1), :]
@@ -373,12 +404,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
                     n2x = _f(arow, pb + 6)
                     n2y = _f(arow, pb + 7)
                     n2z = _f(arow, pb + 8)
-                    kr = _f(arow, pb + 9)
-                    kg = _f(arow, pb + 10)
-                    kb = _f(arow, pb + 11)
-                    eid_s = _f(arow, pb + 12)
-                    ia_s = _f(arow, pb + 13)
-                    bt_s = _f(arow, pb + 14)
+                    eid_s = _f(arow, pb + 9)
+                    ia_s = _f(arow, pb + 10)
+                    bid_s = _f(arow, pb + 11)
 
                     # interpolated shading normal (tri) / center (sphere)
                     w0 = 1.0 - u - v
@@ -403,18 +431,15 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
                     ngx = jnp.where(ok, gx, ngx)
                     ngy = jnp.where(ok, gy, ngy)
                     ngz = jnp.where(ok, gz, ngz)
-                    kdr = jnp.where(ok, kr, kdr)
-                    kdg = jnp.where(ok, kg, kdg)
-                    kdb = jnp.where(ok, kb, kdb)
                     eidv = jnp.where(ok, eid_s, eidv)
                     inva = jnp.where(ok, ia_s, inva)
                     sphv = jnp.where(ok, jnp.where(is_sph, 1.0, 0.0), sphv)
-                    btv = jnp.where(ok, bt_s, btv)
+                    bidv = jnp.where(ok, bid_s, bidv)
                 return (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-                        kdr, kdg, kdb, eidv, inva, sphv, btv)
+                        eidv, inva, sphv, bidv)
 
             leaf_carry = (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-                          kdr, kdg, kdb, eidv, inva, sphv, btv)
+                          eidv, inva, sphv, bidv)
             leaf_out = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                     lambda c: c, leaf_carry)
             ptr_next = jnp.where(any_hit & ~is_leaf, ptr + 1, skip)
@@ -422,13 +447,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
 
         out = jax.lax.while_loop(cond, body, init)
         (_, t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-         kdr, kdg, kdb, eidv, inva, sphv, btv) = out
+         eidv, inva, sphv, bidv) = out
         return {
             "t": t_best, "hit": prim >= 0.0,
             "nsx": nsx, "nsy": nsy, "nsz": nsz,
             "ngx": ngx, "ngy": ngy, "ngz": ngz,
-            "kdr": kdr, "kdg": kdg, "kdb": kdb,
-            "eid": eidv, "inva": inva, "sph": sphv, "btype": btv,
+            "eid": eidv, "inva": inva, "sph": sphv, "bid": bidv,
         }
 
     def walk_anyhit(o_x, o_y, o_z, d_x, d_y, d_z, t_lim, need):
@@ -575,7 +599,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
     def bounce_body(cr):
         (bounce, sx, sy, o_x, o_y, o_z, d_x, d_y, d_z,
          tr, tg, tb, Lr, Lg, Lb, act, prev_pdf, prev_delta, n_diff,
-         n_spec) = cr
+         n_spec, n_trans) = cr
 
         hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
         hit_ok = hit["hit"] & (act > 0.5)
@@ -712,21 +736,139 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
         es_valid = ((is_point | front) & (setype != float(T.EMITTER_NULL))
                     & (le_max > 0.0) & (es_pdf > 1e-12))
 
-        # lambertian f·cos and pdf toward the light (nl = ns flipped to wo)
-        wo_dot_n = -(d_x * nsx + d_y * nsy + d_z * nsz)
+        # ---- material lookup (in-kernel make_ctx, bsdf/eval.py:43-74) ---
+        bidv = hit["bid"]
+        kdr = kdg = kdb = f0
+        ksr = ksg = ksb = f0
+        kgr = kgg = kgb = f0
+        etr = etg = etb = f0
+        kkr = kkg = kkb = f0
+        iorv = f0 + 1.5
+        axv = f0 + 1e-4
+        ayv = f0 + 1e-4
+        btypev = f0
+        for bi in range(n_bsdfs):
+            ra = brows[pl.ds((2 * bi) // SLOTS, 1), :]
+            rb = brows[pl.ds((2 * bi + 1) // SLOTS, 1), :]
+            sa = ((2 * bi) % SLOTS) * SLOT_F
+            sb2 = ((2 * bi + 1) % SLOTS) * SLOT_F
+            m = bidv == float(bi)
+            btypev = jnp.where(m, _f(ra, sa + 0), btypev)
+            kdr = jnp.where(m, _f(ra, sa + 1), kdr)
+            kdg = jnp.where(m, _f(ra, sa + 2), kdg)
+            kdb = jnp.where(m, _f(ra, sa + 3), kdb)
+            ksr = jnp.where(m, _f(ra, sa + 4), ksr)
+            ksg = jnp.where(m, _f(ra, sa + 5), ksg)
+            ksb = jnp.where(m, _f(ra, sa + 6), ksb)
+            kgr = jnp.where(m, _f(ra, sa + 7), kgr)
+            kgg = jnp.where(m, _f(ra, sa + 8), kgg)
+            kgb = jnp.where(m, _f(ra, sa + 9), kgb)
+            iorv = jnp.where(m, _f(ra, sa + 10), iorv)
+            axv = jnp.where(m, _f(ra, sa + 11), axv)
+            ayv = jnp.where(m, _f(ra, sa + 12), ayv)
+            etr = jnp.where(m, _f(rb, sb2 + 0), etr)
+            etg = jnp.where(m, _f(rb, sb2 + 1), etg)
+            etb = jnp.where(m, _f(rb, sb2 + 2), etb)
+            kkr = jnp.where(m, _f(rb, sb2 + 3), kkr)
+            kkg = jnp.where(m, _f(rb, sb2 + 4), kkg)
+            kkb = jnp.where(m, _f(rb, sb2 + 5), kkb)
+        is_lam = btypev == float(T.BSDF_LAMBERTIAN)
+        is_spec = btypev == float(T.BSDF_SPECULAR)
+        is_tr = btypev == float(T.BSDF_TRANSLUCENT)
+        is_ggx = btypev == float(T.BSDF_GGX_CONDUCTOR)
+
+        # nl = shading normal flipped toward wo (bsdf/eval.py:_flip_to)
+        wo_dot_n = -(d_x * nsx + d_y * nsy + d_z * nsz)  # = cos_signed
         nsign = jnp.where(wo_dot_n < 0.0, -1.0, 1.0)
         nlx = nsx * nsign
         nly = nsy * nsign
         nlz = nsz * nsign
-        is_spec = hit["btype"] == float(T.BSDF_SPECULAR)
+        entering = wo_dot_n > 0.0
+        # ONB of nl (math.py:59-72, Duff/Frisvad) — shared by GGX local
+        # frames and the cosine-hemisphere to_world
+        bsig = jnp.where(nlz >= 0.0, 1.0, -1.0)
+        aon = -1.0 / (bsig + nlz)
+        bon = nlx * nly * aon
+        t1x = 1.0 + bsig * nlx * nlx * aon
+        t1y = bsig * bon
+        t1z = -bsig * nlx
+        t2x = bon
+        t2y = bsig + nly * nly * aon
+        t2z = -nly
+        # wo in the local frame (z = nl)
+        wox, woy, woz = -d_x, -d_y, -d_z
+        wo_lx = wox * t1x + woy * t1y + woz * t1z
+        wo_ly = wox * t2x + woy * t2y + woz * t2z
+        wo_lz = wox * nlx + woy * nly + woz * nlz
+
+        def ggx_lambda(wx, wy, wz):
+            cz = jnp.abs(wz)
+            a2 = (wx * axv) ** 2 + (wy * ayv) ** 2
+            t2_ = a2 / jnp.maximum(cz * cz, 1e-10)
+            return 0.5 * (jnp.sqrt(1.0 + t2_) - 1.0)
+
+        def ggx_ndf(hx, hy, hz):
+            x_ = hx / jnp.maximum(axv, 1e-5)
+            y_ = hy / jnp.maximum(ayv, 1e-5)
+            t_ = x_ * x_ + y_ * y_ + hz * hz
+            d_ = 1.0 / (jnp.pi * axv * ayv * jnp.maximum(t_ * t_, 1e-12))
+            return jnp.where(hz > 0.0, d_, 0.0)
+
+        def fresnel_cond(c, eta_c, k_c):
+            c = jnp.clip(c, 1e-5, 1.0)
+            c2 = c * c
+            s2 = 1.0 - c2
+            e2 = eta_c * eta_c
+            k2 = k_c * k_c
+            tq0 = e2 - k2 - s2
+            a2b2 = jnp.sqrt(jnp.maximum(tq0 * tq0 + 4.0 * e2 * k2, 0.0))
+            tq1 = a2b2 + c2
+            aq = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + tq0), 0.0))
+            tq2 = 2.0 * aq * c
+            rs = (tq1 - tq2) / jnp.maximum(tq1 + tq2, 1e-8)
+            tq3 = c2 * a2b2 + s2 * s2
+            tq4 = tq2 * s2
+            rp = rs * (tq3 - tq4) / jnp.maximum(tq3 + tq4, 1e-8)
+            return jnp.clip(0.5 * (rp + rs), 0.0, 1.0)
+
+        def vndf_pdf(doh_abs, hx, hy, hz):
+            d_ = ggx_ndf(hx, hy, hz)
+            g1_ = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, wo_lz))
+            return (g1_ * d_ * doh_abs / jnp.maximum(jnp.abs(wo_lz), 1e-6)
+                    / jnp.maximum(4.0 * doh_abs, 1e-8))
+
+        # ---- NEE f·cos and pdf (bsdf/eval.py:eval_bsdf) -----------------
         cos_i = es_dx * nlx + es_dy * nly + es_dz * nlz
+        same_side = cos_i > 0.0
         cos_ic = jnp.maximum(cos_i, 0.0)
-        # specular mirrors: eval_bsdf returns f=0, pdf=0 (delta lobe)
-        ffac = jnp.where(is_spec, 0.0, _INV_PI * cos_ic)
-        f_r = hit["kdr"] * ffac
-        f_g = hit["kdg"] * ffac
-        f_b = hit["kdb"] * ffac
-        bpdf = jnp.where(is_spec, 0.0, cos_ic * _INV_PI)
+        ffac = _INV_PI * cos_ic
+        # GGX eval toward the light
+        wi_lx = es_dx * t1x + es_dy * t1y + es_dz * t1z
+        wi_ly = es_dx * t2x + es_dy * t2y + es_dz * t2z
+        wi_lz = cos_i
+        hsx = wo_lx + wi_lx
+        hsy = wo_ly + wi_ly
+        hsz = wo_lz + wi_lz
+        hsl = jax.lax.rsqrt(hsx * hsx + hsy * hsy + hsz * hsz + 1e-20)
+        hsx, hsy, hsz = hsx * hsl, hsy * hsl, hsz * hsl
+        d_ndf = ggx_ndf(hsx, hsy, hsz)
+        g2v = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, wo_lz)
+                     + ggx_lambda(wi_lx, wi_ly, wi_lz))
+        doh_e = jnp.abs(wo_lx * hsx + wo_ly * hsy + wo_lz * hsz)
+        spec_fac = d_ndf * g2v / jnp.maximum(4.0 * jnp.abs(wo_lz), 1e-6)
+        fg_r = fresnel_cond(doh_e, etr, kkr) * kgr * spec_fac
+        fg_g = fresnel_cond(doh_e, etg, kkg) * kgg * spec_fac
+        fg_b = fresnel_cond(doh_e, etb, kkb) * kgb * spec_fac
+        pdf_ggx_e = vndf_pdf(doh_e, hsx, hsy, hsz)
+        lamf = jnp.where(is_lam, 1.0, 0.0)
+        ggxf = jnp.where(is_ggx & same_side, 1.0, 0.0)
+        f_r = kdr * ffac * lamf + fg_r * ggxf
+        f_g = kdg * ffac * lamf + fg_g * ggxf
+        f_b = kdb * ffac * lamf + fg_b * ggxf
+        bpdf = (cos_ic * _INV_PI) * lamf + pdf_ggx_e * ggxf
+        # same-side gate (eval.py:193-194); delta families stay zero
+        ssf = jnp.where(same_side, 1.0, 0.0)
+        f_r, f_g, f_b, bpdf = f_r * ssf, f_g * ssf, f_b * ssf, bpdf * ssf
 
         # shadow walk (offsets: path_tracer.py:317-322)
         gdir = ngx * es_dx + ngy * es_dy + ngz * es_dz
@@ -750,48 +892,140 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
         Lg = Lg + tg * f_g * le_g * scale
         Lb = Lb + tb * f_b * le_b * scale
 
-        # ---- BSDF sample: cosine hemisphere (draw order eval.py:276-278) -
+        # ---- BSDF sample (draw order bsdf/eval.py:276-278) ---------------
         sx, sy = _pcg2d(sx, sy)
         u_d0, u_d1 = _u01(sx), _u01(sy)
-        sx, sy = _pcg2d(sx, sy)  # u_lobe (unused for lambertian)
-        sx, sy = _pcg2d(sx, sy)  # u_wl (unused)
+        sx, sy = _pcg2d(sx, sy)
+        u_lobe = _u01(sx)
+        sx, sy = _pcg2d(sx, sy)  # u_wl (no dispersion in the envelope)
 
+        # cosine hemisphere around nl (lambertian)
         phi = _TWO_PI * u_d0
         cth = jnp.sqrt(jnp.maximum(1.0 - u_d1, 0.0))
         sth = jnp.sqrt(jnp.maximum(u_d1, 0.0))
         loc_x = sth * jnp.cos(phi)
         loc_y = sth * jnp.sin(phi)
-        # ONB of nl (math.py:59-72, Duff/Frisvad)
-        bsig = jnp.where(nlz >= 0.0, 1.0, -1.0)
-        aon = -1.0 / (bsig + nlz)
-        bon = nlx * nly * aon
-        t1x = 1.0 + bsig * nlx * nlx * aon
-        t1y = bsig * bon
-        t1z = -bsig * nlx
-        t2x = bon
-        t2y = bsig + nly * nly * aon
-        t2z = -nly
         wix = loc_x * t1x + loc_y * t2x + cth * nlx
         wiy = loc_x * t1y + loc_y * t2y + cth * nly
         wiz = loc_x * t1z + loc_y * t2z + cth * nlz
         bs_pdf = jnp.maximum(cth, 1e-6) * _INV_PI
-        # specular lanes: mirror reflection wi = normalize(d - 2(d.nl)nl)
-        # (bsdf/eval.py wi_spec); weight stays kd, is_delta = 1; bs_pdf
-        # keeps the cosine value, matching the XLA table default (unused
-        # downstream because prev_delta forces MIS weight 1)
+
+        # mirror reflection wi = normalize(d - 2(d.nl)nl)
         dn = d_x * nlx + d_y * nly + d_z * nlz
         wmx = d_x - 2.0 * dn * nlx
         wmy = d_y - 2.0 * dn * nly
         wmz = d_z - 2.0 * dn * nlz
         wml = jax.lax.rsqrt(wmx * wmx + wmy * wmy + wmz * wmz + 1e-20)
-        wix = jnp.where(is_spec, wmx * wml, wix)
-        wiy = jnp.where(is_spec, wmy * wml, wiy)
-        wiz = jnp.where(is_spec, wmz * wml, wiz)
+        wmx, wmy, wmz = wmx * wml, wmy * wml, wmz * wml
 
-        # throughput *= kd (weight = kd for cosine-sampled lambertian)
-        tr2 = tr * hit["kdr"]
-        tg2 = tg * hit["kdg"]
-        tb2 = tb * hit["kdb"]
+        # smooth dielectric (bsdf/eval.py:316-331): Fresnel lobe choice
+        eta_rel = jnp.where(entering, iorv, 1.0 / jnp.maximum(iorv, 1e-4))
+        ci_t = jnp.clip(jnp.abs(wo_dot_n), 0.0, 1.0)
+        sin2_t = (1.0 - ci_t * ci_t) / jnp.maximum(eta_rel * eta_rel, 1e-8)
+        tir = sin2_t >= 1.0
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        r_par = (eta_rel * ci_t - cos_t) / jnp.maximum(
+            eta_rel * ci_t + cos_t, 1e-8)
+        r_per = (ci_t - eta_rel * cos_t) / jnp.maximum(
+            ci_t + eta_rel * cos_t, 1e-8)
+        f_die = jnp.where(tir, 1.0,
+                          jnp.clip(0.5 * (r_par * r_par + r_per * r_per),
+                                   0.0, 1.0))
+        refl_t = u_lobe < f_die
+        # refraction of d through nl with eta = 1/eta_rel (math.py:refract)
+        etai = 1.0 / jnp.maximum(eta_rel, 1e-4)
+        ci_r = -(d_x * nlx + d_y * nly + d_z * nlz)
+        s2r = etai * etai * jnp.maximum(0.0, 1.0 - ci_r * ci_r)
+        ct_r = jnp.sqrt(jnp.maximum(1.0 - s2r, 0.0))
+        wtx = etai * d_x + (etai * ci_r - ct_r) * nlx
+        wty = etai * d_y + (etai * ci_r - ct_r) * nly
+        wtz = etai * d_z + (etai * ci_r - ct_r) * nlz
+        wtl = jax.lax.rsqrt(wtx * wtx + wty * wty + wtz * wtz + 1e-20)
+        wtx, wty, wtz = wtx * wtl, wty * wtl, wtz * wtl
+        rad_scale = 1.0 / jnp.maximum(eta_rel * eta_rel, 1e-6)
+
+        # GGX VNDF sample (Heitz 2018 stretched slopes, bsdf/ggx.py:43-83)
+        gz = jnp.maximum(wo_lz, 1e-5)
+        vx_ = wo_lx * axv
+        vy_ = wo_ly * ayv
+        vz_ = gz
+        vl = jax.lax.rsqrt(vx_ * vx_ + vy_ * vy_ + vz_ * vz_ + 1e-20)
+        vx_, vy_, vz_ = vx_ * vl, vy_ * vl, vz_ * vl
+        lensq = vx_ * vx_ + vy_ * vy_
+        inv_sq = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-8))
+        big = lensq > 1e-8
+        T1x = jnp.where(big, -vy_ * inv_sq, 1.0)
+        T1y = jnp.where(big, vx_ * inv_sq, 0.0)
+        T1z = f0
+        T2x = vy_ * T1z - vz_ * T1y
+        T2y = vz_ * T1x - vx_ * T1z
+        T2z = vx_ * T1y - vy_ * T1x
+        rr_ = jnp.sqrt(jnp.maximum(u_d0, 0.0))
+        ph2 = _TWO_PI * u_d1
+        pp1 = rr_ * jnp.cos(ph2)
+        pp2 = rr_ * jnp.sin(ph2)
+        sfac = 0.5 * (1.0 + vz_)
+        pp2 = (1.0 - sfac) * jnp.sqrt(jnp.maximum(1.0 - pp1 * pp1, 0.0)) \
+            + sfac * pp2
+        pp3 = jnp.sqrt(jnp.maximum(1.0 - pp1 * pp1 - pp2 * pp2, 0.0))
+        nhx = pp1 * T1x + pp2 * T2x + pp3 * vx_
+        nhy = pp1 * T1y + pp2 * T2y + pp3 * vy_
+        nhz = pp1 * T1z + pp2 * T2z + pp3 * vz_
+        hgx = nhx * axv
+        hgy = nhy * ayv
+        hgz = jnp.maximum(nhz, 1e-6)
+        hgl = jax.lax.rsqrt(hgx * hgx + hgy * hgy + hgz * hgz + 1e-20)
+        hgx, hgy, hgz = hgx * hgl, hgy * hgl, hgz * hgl
+        doh_s = wo_lx * hgx + wo_ly * hgy + gz * hgz
+        wg_lx = 2.0 * doh_s * hgx - wo_lx
+        wg_ly = 2.0 * doh_s * hgy - wo_ly
+        wg_lz = 2.0 * doh_s * hgz - gz
+        ggx_ok = wg_lz > 1e-5
+        g2s = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, gz)
+                     + ggx_lambda(wg_lx, wg_ly, wg_lz))
+        g1s = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, gz))
+        gfac = jnp.where(ggx_ok, g2s / jnp.maximum(g1s, 1e-6), 0.0)
+        doh_abs = jnp.abs(doh_s)
+        wg_r = fresnel_cond(doh_abs, etr, kkr) * kgr * gfac
+        wg_g = fresnel_cond(doh_abs, etg, kkg) * kgg * gfac
+        wg_b = fresnel_cond(doh_abs, etb, kkb) * kgb * gfac
+        pdf_ggx_s = jnp.where(ggx_ok, vndf_pdf(doh_abs, hgx, hgy, hgz), 1.0)
+        wgl = jax.lax.rsqrt(wg_lx * wg_lx + wg_ly * wg_ly
+                            + wg_lz * wg_lz + 1e-20)
+        ngx_ = wg_lx * wgl
+        ngy_ = wg_ly * wgl
+        ngz_ = wg_lz * wgl
+        wgx = ngx_ * t1x + ngy_ * t2x + ngz_ * nlx
+        wgy = ngx_ * t1y + ngy_ * t2y + ngz_ * nly
+        wgz = ngx_ * t1z + ngy_ * t2z + ngz_ * nlz
+
+        # ---- family selects: wi, weight, pdf, delta, lobe ----------------
+        use_mirror = is_spec | (is_tr & refl_t)
+        wix = jnp.where(use_mirror, wmx, wix)
+        wiy = jnp.where(use_mirror, wmy, wiy)
+        wiz = jnp.where(use_mirror, wmz, wiz)
+        tr_refr = is_tr & ~refl_t
+        wix = jnp.where(tr_refr, wtx, wix)
+        wiy = jnp.where(tr_refr, wty, wiy)
+        wiz = jnp.where(tr_refr, wtz, wiz)
+        wix = jnp.where(is_ggx, wgx, wix)
+        wiy = jnp.where(is_ggx, wgy, wiy)
+        wiz = jnp.where(is_ggx, wgz, wiz)
+        bs_pdf = jnp.where(is_ggx, pdf_ggx_s, bs_pdf)
+
+        w_r = jnp.where(is_lam | is_spec, kdr,
+                        jnp.where(is_ggx, wg_r,
+                                  jnp.where(refl_t, ksr, ksr * rad_scale)))
+        w_g = jnp.where(is_lam | is_spec, kdg,
+                        jnp.where(is_ggx, wg_g,
+                                  jnp.where(refl_t, ksg, ksg * rad_scale)))
+        w_b = jnp.where(is_lam | is_spec, kdb,
+                        jnp.where(is_ggx, wg_b,
+                                  jnp.where(refl_t, ksb, ksb * rad_scale)))
+        tr2 = tr * w_r
+        tg2 = tg * w_g
+        tb2 = tb * w_b
+        is_delta = is_spec | is_tr
 
         # new origin offset along ng toward wi
         gdir2 = ngx * wix + ngy * wiy + ngz * wiz
@@ -801,10 +1035,15 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
         o_z2 = pz_ + ngz * osign2 * 1e-3
 
         # per-lobe caps (path_tracer.py:365-372)
-        n_diff2 = n_diff + jnp.where(hit_ok & ~is_spec, 1.0, 0.0)
-        n_spec2 = n_spec + jnp.where(hit_ok & is_spec, 1.0, 0.0)
-        depth_ok = (n_diff2 <= float(max_diffuse)) & (
-            n_spec2 <= float(max_specular))
+        lobe_diff = is_lam
+        lobe_spec = is_spec | is_ggx | (is_tr & refl_t)
+        lobe_trans = is_tr & ~refl_t
+        n_diff2 = n_diff + jnp.where(hit_ok & lobe_diff, 1.0, 0.0)
+        n_spec2 = n_spec + jnp.where(hit_ok & lobe_spec, 1.0, 0.0)
+        n_trans2 = n_trans + jnp.where(hit_ok & lobe_trans, 1.0, 0.0)
+        depth_ok = ((n_diff2 <= float(max_diffuse))
+                    & (n_spec2 <= float(max_specular))
+                    & (n_trans2 <= float(max_transmit)))
 
         # RR (throughput rule, pt_bounce fixed_rr=False)
         max_thp = jnp.maximum(tr2, jnp.maximum(tg2, tb2))
@@ -824,15 +1063,15 @@ def _kernel(max_depth, max_diffuse, max_specular, max_leaf, rn, n_eslots,
         tg2 = tg2 * actf
         tb2 = tb2 * actf
         prev_pdf2 = jnp.where(act2, bs_pdf, prev_pdf)
-        prev_delta2 = jnp.where(act2, jnp.where(is_spec, 1.0, 0.0),
+        prev_delta2 = jnp.where(act2, jnp.where(is_delta, 1.0, 0.0),
                                 prev_delta)
 
         return (bounce + 1, sx, sy, o_x2, o_y2, o_z2, wix, wiy, wiz,
                 tr2, tg2, tb2, Lr, Lg, Lb, actf, prev_pdf2, prev_delta2,
-                n_diff2, n_spec2)
+                n_diff2, n_spec2, n_trans2)
 
     init = (jnp.int32(0), sx0, sy0, o_x0, o_y0, o_z0, d_x0, d_y0, d_z0,
-            f1, f1, f1, f0, f0, f0, f1, f1, f1, f0, f0)
+            f1, f1, f1, f0, f0, f0, f1, f1, f1, f0, f0, f0)
     out = jax.lax.while_loop(bounce_cond, bounce_body, init)
     out_r[:] = out[12]
     out_g[:] = out[13]
@@ -854,6 +1093,7 @@ def make_pack(scene: T.Scene) -> dict:
         "attrs": pack_attrs(scene),
         "erow": pack_emitters(scene),
         "eprims": pack_emitter_prims(scene),
+        "brows": pack_bsdfs(scene),
     }
 
 
@@ -896,19 +1136,23 @@ def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
         return pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    args = (nodes, prims, attrs, erow, eprims,
+    brows = pack["brows"]
+    args = (nodes, prims, attrs, erow, eprims, brows,
             c2(o_p, 0), c2(o_p, 1), c2(o_p, 2),
             c2(d_p, 0), c2(d_p, 1), c2(d_p, 2),
             c2(rng_p, 0), c2(rng_p, 1))
     in_specs = [full_spec(nodes), full_spec(prims), full_spec(attrs),
-                full_spec(erow), full_spec(eprims)] + [ray_spec] * 8
+                full_spec(erow), full_spec(eprims),
+                full_spec(brows)] + [ray_spec] * 8
     out_specs = (ray_spec, ray_spec, ray_spec)
     out_shape = tuple(
         jax.ShapeDtypeStruct((T_, R, 128), jnp.float32) for _ in range(3)
     )
+    n_bsdfs = pack["brows"].shape[0] * SLOTS // 2
     kern = functools.partial(
         _kernel, int(md.max_depth), int(md.max_diffuse),
-        int(md.max_specular), int(max_leaf), rn, MAX_EMITTERS,
+        int(md.max_specular), int(md.max_transmit),
+        int(max_leaf), rn, MAX_EMITTERS, n_bsdfs,
     )
     lr, lg, lb = pl.pallas_call(
         kern,

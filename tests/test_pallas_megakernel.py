@@ -93,3 +93,44 @@ def test_megakernel_specular_mirror():
     match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
     assert match > 0.95, match
     assert abs(img_k.mean() - img_x.mean()) < 6e-3
+
+
+def test_megakernel_ggx_conductor():
+    """GGX conductor box: matches the composed PT (VNDF sampling, Smith G2,
+    spectral conductor Fresnel all replicated in-kernel)."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec
+
+    scene, cam, _ = testscenes.cornell_box(
+        width=16, height=16,
+        tall_box_bsdf=BSDFSpec(btype=T.BSDF_GGX_CONDUCTOR,
+                               eta=(0.143, 0.375, 1.444),
+                               k=(3.983, 2.386, 1.603),
+                               roughness_x=0.2, roughness_y=0.35))
+    assert mk.megakernel_ok(scene)
+    md = MaxDepthParams(max_depth=4)
+    img_k = np.asarray(mk.render_megakernel(scene, cam, md, spp=4, seed=7,
+                                            interpret=True))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=7, use_bvh=True))
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.95, match
+    assert abs(img_k.mean() - img_x.mean()) < 6e-3
+
+
+def test_megakernel_translucent_glass():
+    """Smooth dielectric box (Fresnel reflect/refract + eta^2 transport)."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec
+
+    scene, cam, _ = testscenes.cornell_box(
+        width=16, height=16,
+        tall_box_bsdf=BSDFSpec(btype=T.BSDF_TRANSLUCENT,
+                               k_s=(0.98, 0.98, 0.98), ior=1.5))
+    assert mk.megakernel_ok(scene)
+    md = MaxDepthParams(max_depth=5)
+    img_k = np.asarray(mk.render_megakernel(scene, cam, md, spp=4, seed=11,
+                                            interpret=True))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=11, use_bvh=True))
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.94, match
+    assert abs(img_k.mean() - img_x.mean()) < 8e-3
