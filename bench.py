@@ -26,11 +26,13 @@ import os
 import subprocess
 import sys
 
-# First READBACK-FENCED real-TPU number (2026-08-19, round 3): cornell
-# 256²×4spp depth-5. Round 2's 5.846 "Mrays/s" was dispatch-latency timing
-# (see module docstring) and is not comparable; this anchor is re-pinned on
-# the first honest sweep. None → vs_baseline reports 1.0 until pinned.
-BASELINE_MRAYS = None
+# Anchor = round 2's recorded number (5.846 Mrays/s, cornell 256²×4spp
+# depth 5 via the composed Pallas packet traversal). The round-3 fenced
+# re-measurement of that exact config gives 6.06 — r2's render-level timing
+# was approximately right (backpressure-fenced) — so vs_baseline honestly
+# reads as improvement over the recorded r2 state. Round-3 fused megakernel:
+# 135.6 Mrays/s on the same config (readback-fenced), vs_baseline ≈ 23x.
+BASELINE_MRAYS = 5.846
 SWEEP_TIMEOUT_S = 2400  # whole sweep in one child incl. ~300-900 s warm stall
 PROBE_TIMEOUT_S = 120
 
