@@ -12,6 +12,7 @@ the same way as the reference's persistent DeviceImage.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import deque
 
@@ -86,8 +87,6 @@ class Renderer:
         self.film = film_mod.make_film(self.camera.height, self.camera.width)
         self._frame_times = deque(maxlen=32)
         if max_lanes_per_call is None:
-            import os
-
             env = os.environ.get("CUDA_PT_MAX_LANES_PER_CALL")
             if env is not None:
                 max_lanes_per_call = int(env)
@@ -96,6 +95,19 @@ class Renderer:
             else:
                 max_lanes_per_call = 0
         self.max_lanes_per_call = int(max_lanes_per_call)
+        if (not self._mk_requested and traversal is None
+                and self.rtype == RendererType.MEGAKERNEL_PT
+                and self.sampler == "pcg" and self.nee_candidates == 1
+                and jax.default_backend() != "cpu"
+                and not os.environ.get("CUDA_PT_NO_FUSED")):
+            # Auto-pick the fused in-kernel megakernel on accelerators when
+            # the scene allows: 135.6 vs 6.06 Mrays/s on-chip (cornell,
+            # CHANGELOG r3) with the same estimator. Opt out with
+            # CUDA_PT_NO_FUSED=1 or any explicit traversal.
+            from .ops.pallas import megakernel as mk
+
+            if mk.megakernel_ok(self.scene, self.md):
+                self._mk_requested = True
         if self._mk_requested:
             # fully-fused Pallas megakernel (ops/pallas/megakernel.py)
             from .ops.pallas import megakernel as mk
