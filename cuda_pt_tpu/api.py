@@ -106,7 +106,9 @@ class Renderer:
             # CUDA_PT_NO_FUSED=1 or any explicit traversal.
             from .ops.pallas import megakernel as mk
 
-            if mk.megakernel_ok(self.scene, self.md):
+            # strict adds the whiskey-scale stability cap (flaky worker
+            # faults at ~10 MB resident packs — megakernel.py)
+            if mk.megakernel_ok(self.scene, self.md, strict=True):
                 self._mk_requested = True
         if self._mk_requested:
             # fully-fused Pallas megakernel (ops/pallas/megakernel.py)

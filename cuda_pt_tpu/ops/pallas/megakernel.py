@@ -59,14 +59,26 @@ _INV_U32 = 2.3283064365386963e-10
 MAX_EMITTERS = 8  # slots in the single emitter row (slot 0 = null)
 MAX_EMITTER_PRIMS = 56  # 7 rows of 8 slots
 MAX_BSDFS = 32  # material lookup is a masked scalar loop over bsdf ids
+# Auto-selection stability gate: cornell-class packs (<~1 MB) have never
+# faulted on silicon; whiskey-class (~10.7 MB resident) runs 0.64 s/frame
+# when it runs but crashes the TPU worker non-deterministically (~50% of
+# sessions, EXP_FUSED_BIG.json + docs/TUNNEL.md §5). Until the fault is
+# isolated, megakernel_ok(strict=True) — the api.Renderer auto-pick — caps
+# the resident pack; explicit traversal='fused' bypasses the cap.
+AUTO_MAX_PACK_BYTES = 6 * 1024 * 1024
 
 
-def megakernel_ok(scene: T.Scene, md=None) -> bool:
-    """Static envelope check (host-side, concrete arrays)."""
+def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
+    """Static envelope check (host-side, concrete arrays). strict=True adds
+    the AUTO_MAX_PACK_BYTES stability cap (see above)."""
     import numpy as np
 
     if not tk.scene_fits_vmem(scene.geom, scene.bvh):
         return False
+    if strict:
+        packed = (scene.bvh.num_nodes + 2 * scene.geom.num_prims) * 64
+        if packed > AUTO_MAX_PACK_BYTES:
+            return False
     if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR,
                                    T.BSDF_TRANSLUCENT, T.BSDF_GGX_CONDUCTOR}:
         return False
