@@ -75,6 +75,17 @@ if name == "cornell_mega":
     scene, cam = cornell(res_big)
     fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
     counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+elif name == "cornell_fused":
+    # the fused in-kernel Pallas megakernel (ops/pallas/megakernel.py)
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+    if backend == "cpu" or jax.default_backend() == "cpu":
+        mk.INTERPRET = True
+    scene, cam = cornell(res_big)
+    pack = mk.make_pack(scene)
+    ml = int(scene.bvh.max_leaf)
+    fn = jax.jit(lambda s, i, pack=pack: mk.render_pack(
+        pack, cam, md, spp=spp, seed=i, max_leaf=ml))
+    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name == "cornell_wf":
     from cuda_pt_tpu.models import wavefront
     scene, cam = cornell(res_big)
@@ -224,7 +235,7 @@ def main():
     ap.add_argument("--backend", default="default", choices=["default", "cpu"])
     ap.add_argument("--quick", action="store_true", help="small res/spp")
     ap.add_argument("--scenes", nargs="*", default=[
-        "cornell_mega", "cornell_wf", "cornell_wf_nosort",
+        "cornell_mega", "cornell_fused", "cornell_wf", "cornell_wf_nosort",
         "bunny", "bunny_wide", "whiskey", "whiskey_wide", "whiskey_pallas",
         "kitchen", "kitchen_forest",
         "cornell_vpt", "cornell_grad",
