@@ -21,7 +21,6 @@ sys.path.insert(0, str(REPO))
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from cuda_pt_tpu.models import path_tracer as pt
     from cuda_pt_tpu.ops.pallas import megakernel as mk

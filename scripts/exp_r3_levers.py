@@ -61,8 +61,6 @@ def main() -> None:
             dt = timing.timeit(fn, *fargs, reps=3)
             row = {"name": name, "sec": round(dt, 4)}
             if rays_fn is not None:
-                import jax.numpy as jnp  # noqa: F401
-
                 rays = int(jax.device_get(rays_fn()))
                 row.update(rays=rays, mrays=round(rays / dt / 1e6, 3))
             emit(row)

@@ -7,7 +7,6 @@ plus tight mean agreement. Runs in interpret mode on CPU; the AOT lowering
 gate (test_tpu_export.py) covers the Mosaic compile path.
 """
 
-import jax.numpy as jnp
 import numpy as np
 
 from cuda_pt_tpu.core.config import MaxDepthParams
