@@ -45,7 +45,8 @@ def make_mesh(devices=None, sp: int = 1, dp=None) -> Mesh:
 
 def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_samples,
                        differentiable=False, renderer: str = "pt",
-                       sampler: str = "pcg"):
+                       sampler: str = "pcg", fused_pack=None,
+                       fused_max_leaf: int = 4):
     """Render n_samples passes for the given flat pixel ids; (L, B, 3) sum."""
 
     def body(i, acc):
@@ -62,6 +63,14 @@ def _render_tile_lanes(scene, cam, md, seed, sample_base, lane_ids, use_bvh, n_s
             )
             # scatter back to this shard's lane order
             L = (o[:, :1] * 0.0 + jnp.zeros((1, 3))).at[pix_local].add(Lw)
+        elif renderer == "fused":
+            # fully-fused Pallas megakernel under the mesh: the pack is a
+            # replicated pytree of packed rows built OUTSIDE shard_map
+            # (ops/pallas/megakernel.make_pack needs a concrete scene)
+            from ..ops.pallas import megakernel as mk
+
+            L = mk.trace_megakernel(fused_pack, md, o, d, rng,
+                                    max_leaf=fused_max_leaf)
         elif renderer == "vpt":
             from ..models import volume_pt
 
@@ -100,8 +109,14 @@ def render_distributed(
     renderer: str = "pt",
     sampler: str = "pcg",
     sample_base0=0,
+    fused_pack=None,
+    fused_max_leaf: int = 4,
 ):
     """SPMD render: pixels sharded over "dp", samples over "sp".
+
+    renderer="fused" drives the in-kernel Pallas megakernel per shard;
+    pass fused_pack = megakernel.make_pack(scene) (built from the concrete
+    scene outside any jit) and the scene's bvh.max_leaf.
 
     Returns the full (H, W, 3) image (replicated). Differentiable.
     ``sample_base0`` offsets every lane's sample index — drivers that
@@ -140,7 +155,7 @@ def render_distributed(
         sample_base = sp_rank * spp_per + jnp.asarray(sample_base0, jnp.int32)
         acc = _render_tile_lanes(
             scene_rep, cam, md, seed, sample_base, lane_flat, use_bvh, spp_per,
-            differentiable, renderer, sampler,
+            differentiable, renderer, sampler, fused_pack, fused_max_leaf,
         )
         acc = jax.lax.psum(acc, "sp") / (sp * spp_per)
         return acc[None]

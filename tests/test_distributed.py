@@ -211,3 +211,29 @@ def test_forest_traversal_under_mesh():
         assert match > 0.95, match
     finally:
         tk.INTERPRET = old
+
+
+def test_fused_megakernel_under_mesh():
+    """The fused in-kernel megakernel runs under shard_map tile sharding
+    (interpret mode on the CPU mesh) and matches the composed distributed
+    render."""
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=3)
+    old = mk.INTERPRET
+    mk.INTERPRET = True
+    try:
+        pack = mk.make_pack(scene)
+        mesh = dist.make_mesh(sp=1)
+        img_f = np.asarray(dist.render_distributed(
+            scene, cam, md, spp=2, mesh=mesh, seed=0, use_bvh=True,
+            renderer="fused", fused_pack=pack,
+            fused_max_leaf=int(scene.bvh.max_leaf)))
+        img_c = np.asarray(dist.render_distributed(
+            scene, cam, md, spp=2, mesh=mesh, seed=0, use_bvh=True))
+        assert np.isfinite(img_f).all()
+        match = np.isclose(img_f, img_c, atol=2e-2, rtol=1e-3).mean()
+        assert match > 0.95, match
+    finally:
+        mk.INTERPRET = old
