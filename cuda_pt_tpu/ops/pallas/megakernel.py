@@ -80,7 +80,8 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
         if packed > AUTO_MAX_PACK_BYTES:
             return False
     if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR,
-                                   T.BSDF_TRANSLUCENT, T.BSDF_GGX_CONDUCTOR}:
+                                   T.BSDF_TRANSLUCENT, T.BSDF_GGX_CONDUCTOR,
+                                   T.BSDF_PLASTIC}:
         return False
     if int(np.asarray(scene.bsdfs.btype).shape[0]) > MAX_BSDFS:
         return False
@@ -152,7 +153,7 @@ def pack_attrs(scene: T.Scene) -> jnp.ndarray:
 
 def pack_bsdfs(scene: T.Scene) -> jnp.ndarray:
     """(rows, 128) material table, TWO slots per bsdf (32 fields):
-    slot A: btype kd(3) ks(3) kg(3) ior ax ay; slot B: eta(3) k(3).
+    slot A: btype kd(3) ks(3) kg(3) ior ax ay; slot B: eta(3) k(3) thickness.
     Resolved per-lane after the walk with a masked loop over bsdf ids
     (the in-kernel make_ctx, bsdf/eval.py:43-74)."""
     import numpy as np
@@ -171,6 +172,7 @@ def pack_bsdfs(scene: T.Scene) -> jnp.ndarray:
     cols_a[:, 12] = np.maximum(P[:, T.P_ROUGH_Y], 1e-4)
     cols_b[:, 0:3] = np.asarray(b.eta)
     cols_b[:, 3:6] = np.asarray(b.k)
+    cols_b[:, 6] = P[:, T.P_THICKNESS]
     inter = np.stack([cols_a, cols_b], axis=1).reshape(2 * NB, SLOT_F)
     rows = -(-inter.shape[0] // SLOTS) * SLOTS
     out = np.zeros((rows, SLOT_F), np.float32)
@@ -758,6 +760,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         iorv = f0 + 1.5
         axv = f0 + 1e-4
         ayv = f0 + 1e-4
+        thv = f0
         btypev = f0
         for bi in range(n_bsdfs):
             ra = brows[pl.ds((2 * bi) // SLOTS, 1), :]
@@ -784,10 +787,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             kkr = jnp.where(m, _f(rb, sb2 + 3), kkr)
             kkg = jnp.where(m, _f(rb, sb2 + 4), kkg)
             kkb = jnp.where(m, _f(rb, sb2 + 5), kkb)
+            thv = jnp.where(m, _f(rb, sb2 + 6), thv)
         is_lam = btypev == float(T.BSDF_LAMBERTIAN)
         is_spec = btypev == float(T.BSDF_SPECULAR)
         is_tr = btypev == float(T.BSDF_TRANSLUCENT)
         is_ggx = btypev == float(T.BSDF_GGX_CONDUCTOR)
+        is_pla = btypev == float(T.BSDF_PLASTIC)
 
         # nl = shading normal flipped toward wo (bsdf/eval.py:_flip_to)
         wo_dot_n = -(d_x * nsx + d_y * nsy + d_z * nsz)  # = cos_signed
@@ -825,6 +830,17 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             t_ = x_ * x_ + y_ * y_ + hz * hz
             d_ = 1.0 / (jnp.pi * axv * ayv * jnp.maximum(t_ * t_, 1e-12))
             return jnp.where(hz > 0.0, d_, 0.0)
+
+        def fres_diel(c, e):
+            # bsdf/fresnel.py:15-28 (returns 1 under TIR)
+            c = jnp.clip(c, 0.0, 1.0)
+            s2t = (1.0 - c * c) / jnp.maximum(e * e, 1e-8)
+            tir_ = s2t >= 1.0
+            ct_ = jnp.sqrt(jnp.maximum(1.0 - s2t, 0.0))
+            rpar = (e * c - ct_) / jnp.maximum(e * c + ct_, 1e-8)
+            rper = (c - e * ct_) / jnp.maximum(c + e * ct_, 1e-8)
+            fv = jnp.clip(0.5 * (rpar * rpar + rper * rper), 0.0, 1.0)
+            return jnp.where(tir_, 1.0, fv)
 
         def fresnel_cond(c, eta_c, k_c):
             c = jnp.clip(c, 1e-5, 1.0)
@@ -872,12 +888,33 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         fg_g = fresnel_cond(doh_e, etg, kkg) * kgg * spec_fac
         fg_b = fresnel_cond(doh_e, etb, kkb) * kgb * spec_fac
         pdf_ggx_e = vndf_pdf(doh_e, hsx, hsy, hsz)
+        # plastic diffuse substrate toward the light (bsdf/eval.py:145-171)
+        cos_o_p = jnp.abs(wo_dot_n)
+        f_o_p = fres_diel(cos_o_p, iorv)
+        f_i_e = fres_diel(cos_ic, iorv)
+        fdr_p = jnp.clip(
+            -1.4399 / jnp.maximum(iorv * iorv, 1.0)
+            + 0.7099 / jnp.maximum(iorv, 1.0 + 1e-4)
+            + 0.6681 + 0.0636 * iorv, 0.0, 0.999)
+        klen = jnp.sqrt(kkr * kkr + kkg * kkg + kkb * kkb)
+        absorb_e = jnp.exp(-klen * thv * (1.0 / jnp.maximum(cos_ic, 1e-4)
+                                          + 1.0 / jnp.maximum(cos_o_p, 1e-4)))
+        pfac = (1.0 - f_o_p) * (1.0 - f_i_e) * _INV_PI * cos_ic * absorb_e
+        ior2 = iorv * iorv
+        fp_r = kdr * pfac / (jnp.maximum(1.0 - kdr * fdr_p, 0.05) * ior2)
+        fp_g = kdg * pfac / (jnp.maximum(1.0 - kdg * fdr_p, 0.05) * ior2)
+        fp_b = kdb * pfac / (jnp.maximum(1.0 - kdb * fdr_p, 0.05) * ior2)
+        p_spec_p = jnp.clip(f_o_p, 0.1, 0.9)
+        pdf_pla_e = (1.0 - p_spec_p) * jnp.maximum(cos_i, 0.0) * _INV_PI
+
         lamf = jnp.where(is_lam, 1.0, 0.0)
         ggxf = jnp.where(is_ggx & same_side, 1.0, 0.0)
-        f_r = kdr * ffac * lamf + fg_r * ggxf
-        f_g = kdg * ffac * lamf + fg_g * ggxf
-        f_b = kdb * ffac * lamf + fg_b * ggxf
-        bpdf = (cos_ic * _INV_PI) * lamf + pdf_ggx_e * ggxf
+        plaf = jnp.where(is_pla, 1.0, 0.0)
+        f_r = kdr * ffac * lamf + fg_r * ggxf + fp_r * plaf
+        f_g = kdg * ffac * lamf + fg_g * ggxf + fp_g * plaf
+        f_b = kdb * ffac * lamf + fg_b * ggxf + fp_b * plaf
+        bpdf = ((cos_ic * _INV_PI) * lamf + pdf_ggx_e * ggxf
+                + pdf_pla_e * plaf)
         # same-side gate (eval.py:193-194); delta families stay zero
         ssf = jnp.where(same_side, 1.0, 0.0)
         f_r, f_g, f_b, bpdf = f_r * ssf, f_g * ssf, f_b * ssf, bpdf * ssf
@@ -1011,8 +1048,23 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         wgy = ngx_ * t1y + ngy_ * t2y + ngz_ * nly
         wgz = ngx_ * t1z + ngy_ * t2z + ngz_ * nlz
 
+        # plastic lobe choice (bsdf/eval.py:333-367): Fresnel-weighted
+        # specular coat vs absorbing diffuse substrate
+        take_spec_p = u_lobe < p_spec_p
+        cos_i_d = jnp.maximum(cth, 1e-6)  # cosine-sampled substrate angle
+        f_i_s = fres_diel(cos_i_d, iorv)
+        absorb_s = jnp.exp(-klen * thv * (1.0 / cos_i_d
+                                          + 1.0 / jnp.maximum(cos_o_p, 1e-4)))
+        dfac = ((1.0 - f_o_p) * (1.0 - f_i_s) / (1.0 - p_spec_p)) * absorb_s
+        wp_sr = ksr * (f_o_p / p_spec_p)
+        wp_sg = ksg * (f_o_p / p_spec_p)
+        wp_sb = ksb * (f_o_p / p_spec_p)
+        wp_dr = kdr * dfac / (jnp.maximum(1.0 - kdr * fdr_p, 0.05) * ior2)
+        wp_dg = kdg * dfac / (jnp.maximum(1.0 - kdg * fdr_p, 0.05) * ior2)
+        wp_db = kdb * dfac / (jnp.maximum(1.0 - kdb * fdr_p, 0.05) * ior2)
+
         # ---- family selects: wi, weight, pdf, delta, lobe ----------------
-        use_mirror = is_spec | (is_tr & refl_t)
+        use_mirror = is_spec | (is_tr & refl_t) | (is_pla & take_spec_p)
         wix = jnp.where(use_mirror, wmx, wix)
         wiy = jnp.where(use_mirror, wmy, wiy)
         wiz = jnp.where(use_mirror, wmz, wiz)
@@ -1024,6 +1076,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         wiy = jnp.where(is_ggx, wgy, wiy)
         wiz = jnp.where(is_ggx, wgz, wiz)
         bs_pdf = jnp.where(is_ggx, pdf_ggx_s, bs_pdf)
+        bs_pdf = jnp.where(is_pla, (1.0 - p_spec_p) * bs_pdf, bs_pdf)
 
         w_r = jnp.where(is_lam | is_spec, kdr,
                         jnp.where(is_ggx, wg_r,
@@ -1034,10 +1087,13 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         w_b = jnp.where(is_lam | is_spec, kdb,
                         jnp.where(is_ggx, wg_b,
                                   jnp.where(refl_t, ksb, ksb * rad_scale)))
+        w_r = jnp.where(is_pla, jnp.where(take_spec_p, wp_sr, wp_dr), w_r)
+        w_g = jnp.where(is_pla, jnp.where(take_spec_p, wp_sg, wp_dg), w_g)
+        w_b = jnp.where(is_pla, jnp.where(take_spec_p, wp_sb, wp_db), w_b)
         tr2 = tr * w_r
         tg2 = tg * w_g
         tb2 = tb * w_b
-        is_delta = is_spec | is_tr
+        is_delta = is_spec | is_tr | (is_pla & take_spec_p)
 
         # new origin offset along ng toward wi
         gdir2 = ngx * wix + ngy * wiy + ngz * wiz
@@ -1047,8 +1103,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         o_z2 = pz_ + ngz * osign2 * 1e-3
 
         # per-lobe caps (path_tracer.py:365-372)
-        lobe_diff = is_lam
-        lobe_spec = is_spec | is_ggx | (is_tr & refl_t)
+        lobe_diff = is_lam | (is_pla & ~take_spec_p)
+        lobe_spec = is_spec | is_ggx | (is_tr & refl_t) | (is_pla & take_spec_p)
         lobe_trans = is_tr & ~refl_t
         n_diff2 = n_diff + jnp.where(hit_ok & lobe_diff, 1.0, 0.0)
         n_spec2 = n_spec + jnp.where(hit_ok & lobe_spec, 1.0, 0.0)

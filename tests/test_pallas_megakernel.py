@@ -133,3 +133,23 @@ def test_megakernel_translucent_glass():
     match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
     assert match > 0.94, match
     assert abs(img_k.mean() - img_x.mean()) < 8e-3
+
+
+def test_megakernel_plastic():
+    """Coated plastic (Fresnel lobe choice + absorbing substrate)."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec
+
+    scene, cam, _ = testscenes.cornell_box(
+        width=16, height=16,
+        tall_box_bsdf=BSDFSpec(btype=T.BSDF_PLASTIC, k_d=(0.2, 0.4, 0.7),
+                               k_s=(1.0, 1.0, 1.0), ior=1.5, thickness=0.3,
+                               k=(0.5, 0.3, 0.1)))
+    assert mk.megakernel_ok(scene)
+    md = MaxDepthParams(max_depth=4)
+    img_k = np.asarray(mk.render_megakernel(scene, cam, md, spp=4, seed=9,
+                                            interpret=True))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=9, use_bvh=True))
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.95, match
+    assert abs(img_k.mean() - img_x.mean()) < 6e-3
