@@ -81,7 +81,7 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
             return False
     if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR,
                                    T.BSDF_TRANSLUCENT, T.BSDF_GGX_CONDUCTOR,
-                                   T.BSDF_PLASTIC}:
+                                   T.BSDF_PLASTIC, T.BSDF_GGX_DIELECTRIC}:
         return False
     if int(np.asarray(scene.bsdfs.btype).shape[0]) > MAX_BSDFS:
         return False
@@ -793,6 +793,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         is_tr = btypev == float(T.BSDF_TRANSLUCENT)
         is_ggx = btypev == float(T.BSDF_GGX_CONDUCTOR)
         is_pla = btypev == float(T.BSDF_PLASTIC)
+        is_rd = btypev == float(T.BSDF_GGX_DIELECTRIC)
 
         # nl = shading normal flipped toward wo (bsdf/eval.py:_flip_to)
         wo_dot_n = -(d_x * nsx + d_y * nsy + d_z * nsz)  # = cos_signed
@@ -907,17 +908,56 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         p_spec_p = jnp.clip(f_o_p, 0.1, 0.9)
         pdf_pla_e = (1.0 - p_spec_p) * jnp.maximum(cos_i, 0.0) * _INV_PI
 
+        # rough dielectric toward the light (bsdf/eval.py:208-249) — the
+        # transmission lobe is smooth, so it joins NEE on BOTH sides
+        e_rd = jnp.where(entering, iorv, 1.0 / jnp.maximum(iorv, 1e-4))
+        coso_c = jnp.maximum(wo_lz, 1e-5)
+        refl_e = wi_lz > 0.0
+        hrx, hry, hrz = wo_lx + wi_lx, wo_ly + wi_ly, coso_c + wi_lz
+        hrl = jax.lax.rsqrt(hrx * hrx + hry * hry + hrz * hrz + 1e-20)
+        htx = -(wo_lx + e_rd * wi_lx)
+        hty = -(wo_ly + e_rd * wi_ly)
+        htz = -(coso_c + e_rd * wi_lz)
+        htl = jax.lax.rsqrt(htx * htx + hty * hty + htz * htz + 1e-20)
+        hts = jnp.where(htz * htl < 0.0, -1.0, 1.0)
+        hex_ = jnp.where(refl_e, hrx * hrl, htx * htl * hts)
+        hey = jnp.where(refl_e, hry * hrl, hty * htl * hts)
+        hez = jnp.where(refl_e, hrz * hrl, htz * htl * hts)
+        coh_e = wo_lx * hex_ + wo_ly * hey + coso_c * hez
+        wih_e = wi_lx * hex_ + wi_ly * hey + wi_lz * hez
+        d_rd = ggx_ndf(hex_, hey, hez)
+        g1_rd = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, coso_c))
+        g2_rd = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, coso_c)
+                       + ggx_lambda(wi_lx, wi_ly, wi_lz))
+        F_rd = fres_diel(jnp.maximum(coh_e, 0.0), e_rd)
+        dv_rd = g1_rd * d_rd * jnp.maximum(coh_e, 0.0) / coso_c
+        frd_refl = F_rd * d_rd * g2_rd / jnp.maximum(4.0 * coso_c, 1e-6)
+        prd_refl = F_rd * dv_rd / jnp.maximum(4.0 * coh_e, 1e-8)
+        den2_e = jnp.maximum((coh_e + e_rd * wih_e) ** 2, 1e-8)
+        frd_tr = ((1.0 - F_rd) * d_rd * g2_rd * jnp.abs(coh_e * wih_e)
+                  / (coso_c * den2_e))
+        prd_tr = (1.0 - F_rd) * dv_rd * e_rd * e_rd * jnp.abs(wih_e) / den2_e
+        ok_r_e = refl_e & (coh_e > 1e-6) & (wih_e > 1e-6)
+        ok_t_e = (~refl_e) & (coh_e > 1e-6) & (wih_e < -1e-6)
+        frd_fac = jnp.where(ok_r_e, frd_refl, jnp.where(ok_t_e, frd_tr, 0.0))
+        prd_e = jnp.where(ok_r_e, prd_refl, jnp.where(ok_t_e, prd_tr, 0.0))
+
         lamf = jnp.where(is_lam, 1.0, 0.0)
         ggxf = jnp.where(is_ggx & same_side, 1.0, 0.0)
         plaf = jnp.where(is_pla, 1.0, 0.0)
+        rdf = jnp.where(is_rd, 1.0, 0.0)
         f_r = kdr * ffac * lamf + fg_r * ggxf + fp_r * plaf
         f_g = kdg * ffac * lamf + fg_g * ggxf + fp_g * plaf
         f_b = kdb * ffac * lamf + fg_b * ggxf + fp_b * plaf
         bpdf = ((cos_ic * _INV_PI) * lamf + pdf_ggx_e * ggxf
                 + pdf_pla_e * plaf)
-        # same-side gate (eval.py:193-194); delta families stay zero
+        # same-side gate (eval.py:193-194) — does NOT apply to the rough
+        # dielectric, whose transmission crosses the surface by design
         ssf = jnp.where(same_side, 1.0, 0.0)
-        f_r, f_g, f_b, bpdf = f_r * ssf, f_g * ssf, f_b * ssf, bpdf * ssf
+        f_r = f_r * ssf + ksr * frd_fac * rdf
+        f_g = f_g * ssf + ksg * frd_fac * rdf
+        f_b = f_b * ssf + ksb * frd_fac * rdf
+        bpdf = bpdf * ssf + prd_e * rdf
 
         # shadow walk (offsets: path_tracer.py:317-322)
         gdir = ngx * es_dx + ngy * es_dy + ngz * es_dz
@@ -1048,6 +1088,47 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         wgy = ngx_ * t1y + ngy_ * t2y + ngz_ * nly
         wgz = ngx_ * t1z + ngy_ * t2z + ngz_ * nlz
 
+        # rough dielectric sample (bsdf/eval.py:404-455): Fresnel choice +
+        # reflect/refract through the SAME sampled microfacet h
+        f_rd_s = fres_diel(jnp.abs(doh_s), e_rd)
+        eta_i = 1.0 / jnp.maximum(e_rd, 1e-4)
+        s2_rd = eta_i * eta_i * jnp.maximum(0.0, 1.0 - doh_s * doh_s)
+        tir_rd = s2_rd >= 1.0
+        ct_rd = jnp.sqrt(jnp.maximum(1.0 - s2_rd, 0.0))
+        # refract(-wo_l, h): d = -wo_l, cos_i = doh_s
+        wt_rx = -eta_i * wo_lx + (eta_i * doh_s - ct_rd) * hgx
+        wt_ry = -eta_i * wo_ly + (eta_i * doh_s - ct_rd) * hgy
+        wt_rz = -eta_i * gz + (eta_i * doh_s - ct_rd) * hgz
+        wt_rl = jax.lax.rsqrt(wt_rx * wt_rx + wt_ry * wt_ry
+                              + wt_rz * wt_rz + 1e-20)
+        wt_rx, wt_ry, wt_rz = wt_rx * wt_rl, wt_ry * wt_rl, wt_rz * wt_rl
+        refl_rd = (u_lobe < f_rd_s) | tir_rd
+        wrd_lx = jnp.where(refl_rd, wg_lx, wt_rx)
+        wrd_ly = jnp.where(refl_rd, wg_ly, wt_ry)
+        wrd_lz = jnp.where(refl_rd, wg_lz, wt_rz)
+        ok_rd = jnp.where(refl_rd, wrd_lz > 1e-5, wrd_lz < -1e-5)
+        g2_rds = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, gz)
+                        + ggx_lambda(wrd_lx, wrd_ly, wrd_lz))
+        rad_rd = jnp.where(refl_rd, 1.0,
+                           1.0 / jnp.maximum(e_rd * e_rd, 1e-6))
+        wfac_rd = jnp.where(ok_rd, g2_rds / jnp.maximum(g1s, 1e-6) * rad_rd,
+                            0.0)
+        d_rds = ggx_ndf(hgx, hgy, hgz)
+        dv_rds = g1s * d_rds * jnp.maximum(doh_s, 0.0) / gz
+        wih_rds = wrd_lx * hgx + wrd_ly * hgy + wrd_lz * hgz
+        den2_s = jnp.maximum((doh_s + e_rd * wih_rds) ** 2, 1e-8)
+        pdf_rds = jnp.maximum(jnp.where(
+            refl_rd,
+            f_rd_s * dv_rds / jnp.maximum(4.0 * doh_s, 1e-8),
+            (1.0 - f_rd_s) * dv_rds * e_rd * e_rd * jnp.abs(wih_rds)
+            / den2_s), 1e-12)
+        wrdl = jax.lax.rsqrt(wrd_lx * wrd_lx + wrd_ly * wrd_ly
+                             + wrd_lz * wrd_lz + 1e-20)
+        nrdx, nrdy, nrdz = wrd_lx * wrdl, wrd_ly * wrdl, wrd_lz * wrdl
+        wrdx = nrdx * t1x + nrdy * t2x + nrdz * nlx
+        wrdy = nrdx * t1y + nrdy * t2y + nrdz * nly
+        wrdz = nrdx * t1z + nrdy * t2z + nrdz * nlz
+
         # plastic lobe choice (bsdf/eval.py:333-367): Fresnel-weighted
         # specular coat vs absorbing diffuse substrate
         take_spec_p = u_lobe < p_spec_p
@@ -1075,8 +1156,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         wix = jnp.where(is_ggx, wgx, wix)
         wiy = jnp.where(is_ggx, wgy, wiy)
         wiz = jnp.where(is_ggx, wgz, wiz)
+        wix = jnp.where(is_rd, wrdx, wix)
+        wiy = jnp.where(is_rd, wrdy, wiy)
+        wiz = jnp.where(is_rd, wrdz, wiz)
         bs_pdf = jnp.where(is_ggx, pdf_ggx_s, bs_pdf)
         bs_pdf = jnp.where(is_pla, (1.0 - p_spec_p) * bs_pdf, bs_pdf)
+        bs_pdf = jnp.where(is_rd, pdf_rds, bs_pdf)
 
         w_r = jnp.where(is_lam | is_spec, kdr,
                         jnp.where(is_ggx, wg_r,
@@ -1090,6 +1175,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         w_r = jnp.where(is_pla, jnp.where(take_spec_p, wp_sr, wp_dr), w_r)
         w_g = jnp.where(is_pla, jnp.where(take_spec_p, wp_sg, wp_dg), w_g)
         w_b = jnp.where(is_pla, jnp.where(take_spec_p, wp_sb, wp_db), w_b)
+        w_r = jnp.where(is_rd, ksr * wfac_rd, w_r)
+        w_g = jnp.where(is_rd, ksg * wfac_rd, w_g)
+        w_b = jnp.where(is_rd, ksb * wfac_rd, w_b)
         tr2 = tr * w_r
         tg2 = tg * w_g
         tb2 = tb * w_b
@@ -1104,8 +1192,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
         # per-lobe caps (path_tracer.py:365-372)
         lobe_diff = is_lam | (is_pla & ~take_spec_p)
-        lobe_spec = is_spec | is_ggx | (is_tr & refl_t) | (is_pla & take_spec_p)
-        lobe_trans = is_tr & ~refl_t
+        lobe_spec = (is_spec | is_ggx | (is_tr & refl_t)
+                     | (is_pla & take_spec_p) | (is_rd & refl_rd))
+        lobe_trans = (is_tr & ~refl_t) | (is_rd & ~refl_rd)
         n_diff2 = n_diff + jnp.where(hit_ok & lobe_diff, 1.0, 0.0)
         n_spec2 = n_spec + jnp.where(hit_ok & lobe_spec, 1.0, 0.0)
         n_trans2 = n_trans + jnp.where(hit_ok & lobe_trans, 1.0, 0.0)

@@ -153,3 +153,24 @@ def test_megakernel_plastic():
     match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
     assert match > 0.95, match
     assert abs(img_k.mean() - img_x.mean()) < 6e-3
+
+
+def test_megakernel_rough_dielectric():
+    """GGX rough glass (Walter 2007): reflect/refract through the sampled
+    microfacet, smooth-lobe MIS on both surface sides."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec
+
+    scene, cam, _ = testscenes.cornell_box(
+        width=16, height=16,
+        tall_box_bsdf=BSDFSpec(btype=T.BSDF_GGX_DIELECTRIC,
+                               k_s=(0.95, 0.95, 0.95), ior=1.5,
+                               roughness_x=0.25, roughness_y=0.25))
+    assert mk.megakernel_ok(scene)
+    md = MaxDepthParams(max_depth=5)
+    img_k = np.asarray(mk.render_megakernel(scene, cam, md, spp=4, seed=13,
+                                            interpret=True))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=13, use_bvh=True))
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.94, match
+    assert abs(img_k.mean() - img_x.mean()) < 8e-3
