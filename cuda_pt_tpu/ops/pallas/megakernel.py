@@ -81,7 +81,8 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
             return False
     if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR,
                                    T.BSDF_TRANSLUCENT, T.BSDF_GGX_CONDUCTOR,
-                                   T.BSDF_PLASTIC, T.BSDF_GGX_DIELECTRIC}:
+                                   T.BSDF_PLASTIC, T.BSDF_GGX_DIELECTRIC,
+                                   T.BSDF_OREN_NAYAR, T.BSDF_FORWARD}:
         return False
     if int(np.asarray(scene.bsdfs.btype).shape[0]) > MAX_BSDFS:
         return False
@@ -794,6 +795,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         is_ggx = btypev == float(T.BSDF_GGX_CONDUCTOR)
         is_pla = btypev == float(T.BSDF_PLASTIC)
         is_rd = btypev == float(T.BSDF_GGX_DIELECTRIC)
+        is_on = btypev == float(T.BSDF_OREN_NAYAR)
+        is_fwd = btypev == float(T.BSDF_FORWARD)
 
         # nl = shading normal flipped toward wo (bsdf/eval.py:_flip_to)
         wo_dot_n = -(d_x * nsx + d_y * nsy + d_z * nsz)  # = cos_signed
@@ -859,6 +862,22 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             tq4 = tq2 * s2
             rp = rs * (tq3 - tq4) / jnp.maximum(tq3 + tq4, 1e-8)
             return jnp.clip(0.5 * (rp + rs), 0.0, 1.0)
+
+        def oren_nayar(wo_lz_, wi_lz_, dot_xy):
+            # bsdf/eval.py:76-97 fast A/B form; sigma rides axv
+            s2_ = axv * axv
+            A_ = 1.0 - 0.5 * s2_ / (s2_ + 0.33)
+            Bc = 0.45 * s2_ / (s2_ + 0.09)
+            cto = jnp.clip(wo_lz_, 1e-6, 1.0)
+            cti = jnp.clip(wi_lz_, 1e-6, 1.0)
+            sto = jnp.sqrt(jnp.maximum(1.0 - cto * cto, 0.0))
+            sti = jnp.sqrt(jnp.maximum(1.0 - cti * cti, 0.0))
+            cdphi = jnp.clip(dot_xy / jnp.maximum(sto * sti, 1e-6),
+                             -1.0, 1.0)
+            sin_a = jnp.maximum(sto, sti)
+            tan_b = jnp.minimum(sto, sti) / jnp.maximum(
+                jnp.maximum(cto, cti), 1e-6)
+            return A_ + Bc * jnp.maximum(cdphi, 0.0) * sin_a * tan_b
 
         def vndf_pdf(doh_abs, hx, hy, hz):
             d_ = ggx_ndf(hx, hy, hz)
@@ -942,14 +961,18 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         frd_fac = jnp.where(ok_r_e, frd_refl, jnp.where(ok_t_e, frd_tr, 0.0))
         prd_e = jnp.where(ok_r_e, prd_refl, jnp.where(ok_t_e, prd_tr, 0.0))
 
+        on_e = oren_nayar(wo_lz, wi_lz,
+                          wo_lx * wi_lx + wo_ly * wi_ly)
+        onf = jnp.where(is_on, 1.0, 0.0)
+
         lamf = jnp.where(is_lam, 1.0, 0.0)
         ggxf = jnp.where(is_ggx & same_side, 1.0, 0.0)
         plaf = jnp.where(is_pla, 1.0, 0.0)
         rdf = jnp.where(is_rd, 1.0, 0.0)
-        f_r = kdr * ffac * lamf + fg_r * ggxf + fp_r * plaf
-        f_g = kdg * ffac * lamf + fg_g * ggxf + fp_g * plaf
-        f_b = kdb * ffac * lamf + fg_b * ggxf + fp_b * plaf
-        bpdf = ((cos_ic * _INV_PI) * lamf + pdf_ggx_e * ggxf
+        f_r = kdr * ffac * (lamf + on_e * onf) + fg_r * ggxf + fp_r * plaf
+        f_g = kdg * ffac * (lamf + on_e * onf) + fg_g * ggxf + fp_g * plaf
+        f_b = kdb * ffac * (lamf + on_e * onf) + fg_b * ggxf + fp_b * plaf
+        bpdf = ((cos_ic * _INV_PI) * (lamf + onf) + pdf_ggx_e * ggxf
                 + pdf_pla_e * plaf)
         # same-side gate (eval.py:193-194) — does NOT apply to the rough
         # dielectric, whose transmission crosses the surface by design
@@ -1144,6 +1167,10 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         wp_dg = kdg * dfac / (jnp.maximum(1.0 - kdg * fdr_p, 0.05) * ior2)
         wp_db = kdb * dfac / (jnp.maximum(1.0 - kdb * fdr_p, 0.05) * ior2)
 
+        # Oren-Nayar sample weight at the cosine-sampled direction, whose
+        # local frame coords are (loc_x, loc_y, cth) by construction
+        on_s = oren_nayar(wo_lz, cth, wo_lx * loc_x + wo_ly * loc_y)
+
         # ---- family selects: wi, weight, pdf, delta, lobe ----------------
         use_mirror = is_spec | (is_tr & refl_t) | (is_pla & take_spec_p)
         wix = jnp.where(use_mirror, wmx, wix)
@@ -1159,6 +1186,10 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         wix = jnp.where(is_rd, wrdx, wix)
         wiy = jnp.where(is_rd, wrdy, wiy)
         wiz = jnp.where(is_rd, wrdz, wiz)
+        # null interface: straight through (bsdf/eval.py:482-487)
+        wix = jnp.where(is_fwd, d_x, wix)
+        wiy = jnp.where(is_fwd, d_y, wiy)
+        wiz = jnp.where(is_fwd, d_z, wiz)
         bs_pdf = jnp.where(is_ggx, pdf_ggx_s, bs_pdf)
         bs_pdf = jnp.where(is_pla, (1.0 - p_spec_p) * bs_pdf, bs_pdf)
         bs_pdf = jnp.where(is_rd, pdf_rds, bs_pdf)
@@ -1178,10 +1209,16 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         w_r = jnp.where(is_rd, ksr * wfac_rd, w_r)
         w_g = jnp.where(is_rd, ksg * wfac_rd, w_g)
         w_b = jnp.where(is_rd, ksb * wfac_rd, w_b)
+        w_r = jnp.where(is_on, kdr * on_s, w_r)
+        w_g = jnp.where(is_on, kdg * on_s, w_g)
+        w_b = jnp.where(is_on, kdb * on_s, w_b)
+        w_r = jnp.where(is_fwd, 1.0, w_r)
+        w_g = jnp.where(is_fwd, 1.0, w_g)
+        w_b = jnp.where(is_fwd, 1.0, w_b)
         tr2 = tr * w_r
         tg2 = tg * w_g
         tb2 = tb * w_b
-        is_delta = is_spec | is_tr | (is_pla & take_spec_p)
+        is_delta = is_spec | is_tr | (is_pla & take_spec_p) | is_fwd
 
         # new origin offset along ng toward wi
         gdir2 = ngx * wix + ngy * wiy + ngz * wiz
@@ -1191,10 +1228,10 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         o_z2 = pz_ + ngz * osign2 * 1e-3
 
         # per-lobe caps (path_tracer.py:365-372)
-        lobe_diff = is_lam | (is_pla & ~take_spec_p)
+        lobe_diff = is_lam | is_on | (is_pla & ~take_spec_p)
         lobe_spec = (is_spec | is_ggx | (is_tr & refl_t)
                      | (is_pla & take_spec_p) | (is_rd & refl_rd))
-        lobe_trans = (is_tr & ~refl_t) | (is_rd & ~refl_rd)
+        lobe_trans = (is_tr & ~refl_t) | (is_rd & ~refl_rd) | is_fwd
         n_diff2 = n_diff + jnp.where(hit_ok & lobe_diff, 1.0, 0.0)
         n_spec2 = n_spec + jnp.where(hit_ok & lobe_spec, 1.0, 0.0)
         n_trans2 = n_trans + jnp.where(hit_ok & lobe_trans, 1.0, 0.0)

@@ -174,3 +174,39 @@ def test_megakernel_rough_dielectric():
     match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
     assert match > 0.94, match
     assert abs(img_k.mean() - img_x.mean()) < 8e-3
+
+
+def test_megakernel_oren_nayar_and_forward():
+    """Oren-Nayar rough diffuse + null-interface forward BSDFs."""
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import BSDFSpec, SceneBuilder, EmitterSpec
+    from cuda_pt_tpu.core import camera as cam_mod
+
+    b = SceneBuilder()
+    on = b.add_bsdf(BSDFSpec(btype=T.BSDF_OREN_NAYAR, k_d=(0.6, 0.5, 0.4),
+                             roughness_x=0.5))
+    fwd = b.add_bsdf(BSDFSpec(btype=T.BSDF_FORWARD))
+    white = b.add_bsdf(BSDFSpec(k_d=(0.73, 0.73, 0.73)))
+    em = b.add_emitter(EmitterSpec(etype=T.EMITTER_AREA,
+                                   emission=(1, 1, 1), scaler=10.0))
+    b.add_mesh(testscenes.quad([0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]), on)
+    b.add_mesh(testscenes.quad([0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]),
+               white)
+    # a forward "window" pane in front of the floor
+    b.add_mesh(testscenes.quad([0.2, 0.3, 0.2], [0.8, 0.3, 0.2],
+                               [0.8, 0.3, 0.8], [0.2, 0.3, 0.8]), fwd)
+    b.add_mesh(
+        testscenes.quad([0.35, 0.95, 0.35], [0.65, 0.95, 0.35],
+                        [0.65, 0.95, 0.65], [0.35, 0.95, 0.65]),
+        white, emitter_id=em)
+    scene = b.compile()
+    cam = cam_mod.make_camera(origin=(0.5, 0.6, -1.2), target=(0.5, 0.2, 0.5),
+                              fov=45.0, width=14, height=14)
+    assert mk.megakernel_ok(scene)
+    md = MaxDepthParams(max_depth=4)
+    img_k = np.asarray(mk.render_megakernel(scene, cam, md, spp=4, seed=17,
+                                            interpret=True))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=17, use_bvh=True))
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.95, match
+    assert abs(img_k.mean() - img_x.mean()) < 6e-3
