@@ -98,6 +98,27 @@ elif name == "cornell_wf_nosort":
     fn = jax.jit(lambda s, i: wavefront.render(
         s, cam, md, spp=spp, seed=i, use_bvh=True, sort_rays=False, compact=False))
     counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+elif name in ("bunny_fused", "whiskey_fused"):
+    # mesh scenes through the fused in-kernel megakernel. whiskey_fused is
+    # EXPERIMENTAL: ~10.7 MB resident pack faults the worker in ~half of
+    # sessions (docs/TUNNEL.md §5) — a timeout/crash row is expected data.
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+    if backend == "cpu" or jax.default_backend() == "cpu":
+        print(json.dumps({"name": name, "backend": "skipped_cpu",
+                          "mrays_per_s": 0.0}))
+        raise SystemExit(0)
+    base = name.removesuffix("_fused")
+    res = min(res_big, 256)
+    scene, cam = from_xml(base + ".xml", res)
+    if not mk.megakernel_ok(scene, md):
+        print(json.dumps({"name": name, "backend": "outside_envelope",
+                          "mrays_per_s": 0.0}))
+        raise SystemExit(0)
+    pack = mk.make_pack(scene)
+    ml = int(scene.bvh.max_leaf)
+    fn = jax.jit(lambda s, i, pack=pack: mk.render_pack(
+        pack, cam, md, spp=spp, seed=i, max_leaf=ml))
+    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name in ("bunny", "whiskey", "vader", "bunny_wide", "whiskey_wide"):
     base = name.removesuffix("_wide")
     res = min(res_big, 256) if base != "bunny" else res_big
