@@ -1129,7 +1129,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         wrd_lx = jnp.where(refl_rd, wg_lx, wt_rx)
         wrd_ly = jnp.where(refl_rd, wg_ly, wt_ry)
         wrd_lz = jnp.where(refl_rd, wg_lz, wt_rz)
-        ok_rd = jnp.where(refl_rd, wrd_lz > 1e-5, wrd_lz < -1e-5)
+        # logical blend, not jnp.where: Mosaic cannot legalize selects on
+        # i1 vectors (arith.trunci i8->i1 reject, caught on bunny on-chip)
+        ok_rd = (refl_rd & (wrd_lz > 1e-5)) | (~refl_rd & (wrd_lz < -1e-5))
         g2_rds = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, gz)
                         + ggx_lambda(wrd_lx, wrd_ly, wrd_lz))
         rad_rd = jnp.where(refl_rd, 1.0,
