@@ -117,9 +117,8 @@ class Renderer:
             if self.rtype != RendererType.MEGAKERNEL_PT:
                 raise ValueError("traversal='fused' requires the megakernel "
                                  f"PT renderer, got {self.rtype}")
-            if self.sampler != "pcg" or self.nee_candidates != 1:
-                raise ValueError("traversal='fused' supports sampler='pcg', "
-                                 "nee_candidates=1")
+            if self.sampler != "pcg":
+                raise ValueError("traversal='fused' supports sampler='pcg'")
             if not mk.megakernel_ok(self.scene, self.md):
                 raise ValueError(
                     "scene outside the fused-megakernel envelope "
@@ -181,7 +180,8 @@ class Renderer:
                 lane = jnp.arange(B, dtype=jnp.int32)
                 rng = qmc.make_state("pcg", seed, lane, idx)
                 o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-                L = mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml)
+                L = mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
+                                        nee_candidates=nee_m)
                 return L.reshape(cam.height, cam.width, 3)
         else:
             def f(scene, cam, seed, idx):
@@ -203,12 +203,15 @@ class Renderer:
             pack = self._mk_pack
             ml = int(self.scene.bvh.max_leaf)
 
+            nee_m = self.nee_candidates
+
             def f(scene, cam, seed, idx, start):
                 lane = jnp.asarray(start, jnp.int32) + jnp.arange(
                     count, dtype=jnp.int32)
                 rng = qmc.make_state("pcg", seed, lane, idx)
                 o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-                return mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml)
+                return mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
+                                           nee_candidates=nee_m)
             return f
         if self.rtype == RendererType.VOLUME_PT:
             def f(scene, cam, seed, idx, start):

@@ -290,7 +290,7 @@ def _u01(x):
 
 
 def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
-            max_leaf, rn, n_eslots, n_bsdfs,
+            max_leaf, rn, n_eslots, n_bsdfs, nee_m,
             nodes, prims, attrs, erow, eprims, brows,
             ox, oy, oz, dx, dy, dz, r0, r1,
             out_r, out_g, out_b):
@@ -656,101 +656,6 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         Lg = Lg + tg * hem_g * emw
         Lb = Lb + tb * hem_b * emw
 
-        # ---- NEE draws (same order as pt_bounce) -----------------------
-        sx, sy = _pcg2d(sx, sy)
-        u_sel = _u01(sx)
-        sx, sy = _pcg2d(sx, sy)
-        u_prim = _u01(sx)
-        sx, sy = _pcg2d(sx, sy)
-        u_pos0, u_pos1 = _u01(sx), _u01(sy)
-
-        # emitter choice by sel_cdf (emitters.py:108-111)
-        eid_sel = f0
-        for ef in efields:
-            eid_sel = eid_sel + jnp.where(ef["cdf"] < u_sel, 1.0, 0.0)
-        eid_sel = jnp.clip(eid_sel, 1.0, float(n_eslots - 1))
-        (sem_r, sem_g, sem_b, spmf, setype, spx_, spy_, spz_,
-         skmax) = emitter_lookup(eid_sel)
-        sel_pdf = jnp.maximum(spmf, 1e-12)
-
-        # area prim pick: count slots of this emitter with cdf < u_prim
-        cnt_k = f0
-        for si in range(n_eprim_rows * SLOTS):
-            row = eprims[pl.ds(si // SLOTS, 1), :]
-            sb = (si % SLOTS) * SLOT_F
-            s_cdf = _f(row, sb + 9)
-            s_eid = _f(row, sb + 10)
-            cnt_k = cnt_k + jnp.where(
-                (s_eid == eid_sel) & (s_cdf < u_prim), 1.0, 0.0)
-        kidx = jnp.minimum(cnt_k, skmax)
-
-        # fetch the selected slot's triangle, sample a point
-        su = jnp.sqrt(jnp.maximum(u_pos0, 0.0))
-        bb1 = 1.0 - su
-        bb2 = u_pos1 * su
-        lx = ly = lz = lnx = lny = lnz = f0
-        linva = f0
-        for si in range(n_eprim_rows * SLOTS):
-            row = eprims[pl.ds(si // SLOTS, 1), :]
-            sb = (si % SLOTS) * SLOT_F
-            s_eid = _f(row, sb + 10)
-            s_k = _f(row, sb + 11)
-            take = (s_eid == eid_sel) & (s_k == kidx)
-            p0x = _f(row, sb + 0)
-            p0y = _f(row, sb + 1)
-            p0z = _f(row, sb + 2)
-            e1x = _f(row, sb + 3)
-            e1y = _f(row, sb + 4)
-            e1z = _f(row, sb + 5)
-            e2x = _f(row, sb + 6)
-            e2y = _f(row, sb + 7)
-            e2z = _f(row, sb + 8)
-            s_ia = _f(row, sb + 12)
-            cxn = e1y * e2z - e1z * e2y
-            cyn = e1z * e2x - e1x * e2z
-            czn = e1x * e2y - e1y * e2x
-            cl = jax.lax.rsqrt(cxn * cxn + cyn * cyn + czn * czn + 1e-20)
-            lx = jnp.where(take, p0x + bb1 * e1x + bb2 * e2x, lx)
-            ly = jnp.where(take, p0y + bb1 * e1y + bb2 * e2y, ly)
-            lz = jnp.where(take, p0z + bb1 * e1z + bb2 * e2z, lz)
-            lnx = jnp.where(take, cxn * cl, lnx)
-            lny = jnp.where(take, cyn * cl, lny)
-            lnz = jnp.where(take, czn * cl, lnz)
-            linva = jnp.where(take, s_ia, linva)
-
-        tlx = lx - px_
-        tly = ly - py_
-        tlz = lz - pz_
-        ldist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
-        inv_ld = 1.0 / jnp.maximum(ldist, 1e-8)
-        ldx = tlx * inv_ld
-        ldy = tly * inv_ld
-        ldz = tlz * inv_ld
-        lcos = -(ldx * lnx + ldy * lny + ldz * lnz)
-        front = lcos > 1e-6
-        pdf_area = sel_pdf * linva * (ldist * ldist) / jnp.maximum(lcos, 1e-6)
-
-        # point source branch
-        tpx = spx_ - px_
-        tpy = spy_ - py_
-        tpz = spz_ - pz_
-        pdist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
-        inv_pd = 1.0 / jnp.maximum(pdist, 1e-8)
-        inv_r2 = 1.0 / jnp.maximum(pdist * pdist, 1e-8)
-
-        is_point = setype == float(T.EMITTER_POINT)
-        es_dx = jnp.where(is_point, tpx * inv_pd, ldx)
-        es_dy = jnp.where(is_point, tpy * inv_pd, ldy)
-        es_dz = jnp.where(is_point, tpz * inv_pd, ldz)
-        es_dist = jnp.where(is_point, pdist, ldist)
-        le_r = jnp.where(is_point, sem_r * inv_r2, sem_r)
-        le_g = jnp.where(is_point, sem_g * inv_r2, sem_g)
-        le_b = jnp.where(is_point, sem_b * inv_r2, sem_b)
-        es_pdf = jnp.where(is_point, sel_pdf, pdf_area)
-        le_max = jnp.maximum(le_r, jnp.maximum(le_g, le_b))
-        es_valid = ((is_point | front) & (setype != float(T.EMITTER_NULL))
-                    & (le_max > 0.0) & (es_pdf > 1e-12))
-
         # ---- material lookup (in-kernel make_ctx, bsdf/eval.py:43-74) ---
         bidv = hit["bid"]
         kdr = kdg = kdb = f0
@@ -885,102 +790,254 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             return (g1_ * d_ * doh_abs / jnp.maximum(jnp.abs(wo_lz), 1e-6)
                     / jnp.maximum(4.0 * doh_abs, 1e-8))
 
-        # ---- NEE f·cos and pdf (bsdf/eval.py:eval_bsdf) -----------------
-        cos_i = es_dx * nlx + es_dy * nly + es_dz * nlz
-        same_side = cos_i > 0.0
-        cos_ic = jnp.maximum(cos_i, 0.0)
-        ffac = _INV_PI * cos_ic
-        # GGX eval toward the light
-        wi_lx = es_dx * t1x + es_dy * t1y + es_dz * t1z
-        wi_ly = es_dx * t2x + es_dy * t2y + es_dz * t2z
-        wi_lz = cos_i
-        hsx = wo_lx + wi_lx
-        hsy = wo_ly + wi_ly
-        hsz = wo_lz + wi_lz
-        hsl = jax.lax.rsqrt(hsx * hsx + hsy * hsy + hsz * hsz + 1e-20)
-        hsx, hsy, hsz = hsx * hsl, hsy * hsl, hsz * hsl
-        d_ndf = ggx_ndf(hsx, hsy, hsz)
-        g2v = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, wo_lz)
-                     + ggx_lambda(wi_lx, wi_ly, wi_lz))
-        doh_e = jnp.abs(wo_lx * hsx + wo_ly * hsy + wo_lz * hsz)
-        spec_fac = d_ndf * g2v / jnp.maximum(4.0 * jnp.abs(wo_lz), 1e-6)
-        fg_r = fresnel_cond(doh_e, etr, kkr) * kgr * spec_fac
-        fg_g = fresnel_cond(doh_e, etg, kkg) * kgg * spec_fac
-        fg_b = fresnel_cond(doh_e, etb, kkb) * kgb * spec_fac
-        pdf_ggx_e = vndf_pdf(doh_e, hsx, hsy, hsz)
-        # plastic diffuse substrate toward the light (bsdf/eval.py:145-171)
+
+        # candidate-independent shading constants (hoisted out of the NEE
+        # candidate loop; also used by the BSDF-sample stage below)
         cos_o_p = jnp.abs(wo_dot_n)
         f_o_p = fres_diel(cos_o_p, iorv)
-        f_i_e = fres_diel(cos_ic, iorv)
         fdr_p = jnp.clip(
             -1.4399 / jnp.maximum(iorv * iorv, 1.0)
             + 0.7099 / jnp.maximum(iorv, 1.0 + 1e-4)
             + 0.6681 + 0.0636 * iorv, 0.0, 0.999)
         klen = jnp.sqrt(kkr * kkr + kkg * kkg + kkb * kkb)
-        absorb_e = jnp.exp(-klen * thv * (1.0 / jnp.maximum(cos_ic, 1e-4)
-                                          + 1.0 / jnp.maximum(cos_o_p, 1e-4)))
-        pfac = (1.0 - f_o_p) * (1.0 - f_i_e) * _INV_PI * cos_ic * absorb_e
         ior2 = iorv * iorv
-        fp_r = kdr * pfac / (jnp.maximum(1.0 - kdr * fdr_p, 0.05) * ior2)
-        fp_g = kdg * pfac / (jnp.maximum(1.0 - kdg * fdr_p, 0.05) * ior2)
-        fp_b = kdb * pfac / (jnp.maximum(1.0 - kdb * fdr_p, 0.05) * ior2)
         p_spec_p = jnp.clip(f_o_p, 0.1, 0.9)
-        pdf_pla_e = (1.0 - p_spec_p) * jnp.maximum(cos_i, 0.0) * _INV_PI
-
-        # rough dielectric toward the light (bsdf/eval.py:208-249) — the
-        # transmission lobe is smooth, so it joins NEE on BOTH sides
         e_rd = jnp.where(entering, iorv, 1.0 / jnp.maximum(iorv, 1e-4))
         coso_c = jnp.maximum(wo_lz, 1e-5)
-        refl_e = wi_lz > 0.0
-        hrx, hry, hrz = wo_lx + wi_lx, wo_ly + wi_ly, coso_c + wi_lz
-        hrl = jax.lax.rsqrt(hrx * hrx + hry * hry + hrz * hrz + 1e-20)
-        htx = -(wo_lx + e_rd * wi_lx)
-        hty = -(wo_ly + e_rd * wi_ly)
-        htz = -(coso_c + e_rd * wi_lz)
-        htl = jax.lax.rsqrt(htx * htx + hty * hty + htz * htz + 1e-20)
-        hts = jnp.where(htz * htl < 0.0, -1.0, 1.0)
-        hex_ = jnp.where(refl_e, hrx * hrl, htx * htl * hts)
-        hey = jnp.where(refl_e, hry * hrl, hty * htl * hts)
-        hez = jnp.where(refl_e, hrz * hrl, htz * htl * hts)
-        coh_e = wo_lx * hex_ + wo_ly * hey + coso_c * hez
-        wih_e = wi_lx * hex_ + wi_ly * hey + wi_lz * hez
-        d_rd = ggx_ndf(hex_, hey, hez)
-        g1_rd = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, coso_c))
-        g2_rd = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, coso_c)
-                       + ggx_lambda(wi_lx, wi_ly, wi_lz))
-        F_rd = fres_diel(jnp.maximum(coh_e, 0.0), e_rd)
-        dv_rd = g1_rd * d_rd * jnp.maximum(coh_e, 0.0) / coso_c
-        frd_refl = F_rd * d_rd * g2_rd / jnp.maximum(4.0 * coso_c, 1e-6)
-        prd_refl = F_rd * dv_rd / jnp.maximum(4.0 * coh_e, 1e-8)
-        den2_e = jnp.maximum((coh_e + e_rd * wih_e) ** 2, 1e-8)
-        frd_tr = ((1.0 - F_rd) * d_rd * g2_rd * jnp.abs(coh_e * wih_e)
-                  / (coso_c * den2_e))
-        prd_tr = (1.0 - F_rd) * dv_rd * e_rd * e_rd * jnp.abs(wih_e) / den2_e
-        ok_r_e = refl_e & (coh_e > 1e-6) & (wih_e > 1e-6)
-        ok_t_e = (~refl_e) & (coh_e > 1e-6) & (wih_e < -1e-6)
-        frd_fac = jnp.where(ok_r_e, frd_refl, jnp.where(ok_t_e, frd_tr, 0.0))
-        prd_e = jnp.where(ok_r_e, prd_refl, jnp.where(ok_t_e, prd_tr, 0.0))
-
-        on_e = oren_nayar(wo_lz, wi_lz,
-                          wo_lx * wi_lx + wo_ly * wi_ly)
-        onf = jnp.where(is_on, 1.0, 0.0)
-
         lamf = jnp.where(is_lam, 1.0, 0.0)
-        ggxf = jnp.where(is_ggx & same_side, 1.0, 0.0)
+        onf = jnp.where(is_on, 1.0, 0.0)
         plaf = jnp.where(is_pla, 1.0, 0.0)
         rdf = jnp.where(is_rd, 1.0, 0.0)
-        f_r = kdr * ffac * (lamf + on_e * onf) + fg_r * ggxf + fp_r * plaf
-        f_g = kdg * ffac * (lamf + on_e * onf) + fg_g * ggxf + fp_g * plaf
-        f_b = kdb * ffac * (lamf + on_e * onf) + fg_b * ggxf + fp_b * plaf
-        bpdf = ((cos_ic * _INV_PI) * (lamf + onf) + pdf_ggx_e * ggxf
-                + pdf_pla_e * plaf)
-        # same-side gate (eval.py:193-194) — does NOT apply to the rough
-        # dielectric, whose transmission crosses the surface by design
-        ssf = jnp.where(same_side, 1.0, 0.0)
-        f_r = f_r * ssf + ksr * frd_fac * rdf
-        f_g = f_g * ssf + ksg * frd_fac * rdf
-        f_b = f_b * ssf + ksb * frd_fac * rdf
-        bpdf = bpdf * ssf + prd_e * rdf
+
+        def nee_one(sx, sy):
+            """One NEE candidate: draws (3 pcg advances), emitter/prim
+            selection, light point, and the per-candidate BSDF eval toward
+            it — the in-kernel sample_emitter + eval_bsdf pair. Returns
+            (sx, sy, cand) with all cand fields f32 so the RIS reservoir
+            blends stay Mosaic-legal."""
+            # ---- NEE draws (same order as pt_bounce) -----------------------
+            sx, sy = _pcg2d(sx, sy)
+            u_sel = _u01(sx)
+            sx, sy = _pcg2d(sx, sy)
+            u_prim = _u01(sx)
+            sx, sy = _pcg2d(sx, sy)
+            u_pos0, u_pos1 = _u01(sx), _u01(sy)
+
+            # emitter choice by sel_cdf (emitters.py:108-111)
+            eid_sel = f0
+            for ef in efields:
+                eid_sel = eid_sel + jnp.where(ef["cdf"] < u_sel, 1.0, 0.0)
+            eid_sel = jnp.clip(eid_sel, 1.0, float(n_eslots - 1))
+            (sem_r, sem_g, sem_b, spmf, setype, spx_, spy_, spz_,
+             skmax) = emitter_lookup(eid_sel)
+            sel_pdf = jnp.maximum(spmf, 1e-12)
+
+            # area prim pick: count slots of this emitter with cdf < u_prim
+            cnt_k = f0
+            for si in range(n_eprim_rows * SLOTS):
+                row = eprims[pl.ds(si // SLOTS, 1), :]
+                sb = (si % SLOTS) * SLOT_F
+                s_cdf = _f(row, sb + 9)
+                s_eid = _f(row, sb + 10)
+                cnt_k = cnt_k + jnp.where(
+                    (s_eid == eid_sel) & (s_cdf < u_prim), 1.0, 0.0)
+            kidx = jnp.minimum(cnt_k, skmax)
+
+            # fetch the selected slot's triangle, sample a point
+            su = jnp.sqrt(jnp.maximum(u_pos0, 0.0))
+            bb1 = 1.0 - su
+            bb2 = u_pos1 * su
+            lx = ly = lz = lnx = lny = lnz = f0
+            linva = f0
+            for si in range(n_eprim_rows * SLOTS):
+                row = eprims[pl.ds(si // SLOTS, 1), :]
+                sb = (si % SLOTS) * SLOT_F
+                s_eid = _f(row, sb + 10)
+                s_k = _f(row, sb + 11)
+                take = (s_eid == eid_sel) & (s_k == kidx)
+                p0x = _f(row, sb + 0)
+                p0y = _f(row, sb + 1)
+                p0z = _f(row, sb + 2)
+                e1x = _f(row, sb + 3)
+                e1y = _f(row, sb + 4)
+                e1z = _f(row, sb + 5)
+                e2x = _f(row, sb + 6)
+                e2y = _f(row, sb + 7)
+                e2z = _f(row, sb + 8)
+                s_ia = _f(row, sb + 12)
+                cxn = e1y * e2z - e1z * e2y
+                cyn = e1z * e2x - e1x * e2z
+                czn = e1x * e2y - e1y * e2x
+                cl = jax.lax.rsqrt(cxn * cxn + cyn * cyn + czn * czn + 1e-20)
+                lx = jnp.where(take, p0x + bb1 * e1x + bb2 * e2x, lx)
+                ly = jnp.where(take, p0y + bb1 * e1y + bb2 * e2y, ly)
+                lz = jnp.where(take, p0z + bb1 * e1z + bb2 * e2z, lz)
+                lnx = jnp.where(take, cxn * cl, lnx)
+                lny = jnp.where(take, cyn * cl, lny)
+                lnz = jnp.where(take, czn * cl, lnz)
+                linva = jnp.where(take, s_ia, linva)
+
+            tlx = lx - px_
+            tly = ly - py_
+            tlz = lz - pz_
+            ldist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+            inv_ld = 1.0 / jnp.maximum(ldist, 1e-8)
+            ldx = tlx * inv_ld
+            ldy = tly * inv_ld
+            ldz = tlz * inv_ld
+            lcos = -(ldx * lnx + ldy * lny + ldz * lnz)
+            front = lcos > 1e-6
+            pdf_area = sel_pdf * linva * (ldist * ldist) / jnp.maximum(lcos, 1e-6)
+
+            # point source branch
+            tpx = spx_ - px_
+            tpy = spy_ - py_
+            tpz = spz_ - pz_
+            pdist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
+            inv_pd = 1.0 / jnp.maximum(pdist, 1e-8)
+            inv_r2 = 1.0 / jnp.maximum(pdist * pdist, 1e-8)
+
+            is_point = setype == float(T.EMITTER_POINT)
+            es_dx = jnp.where(is_point, tpx * inv_pd, ldx)
+            es_dy = jnp.where(is_point, tpy * inv_pd, ldy)
+            es_dz = jnp.where(is_point, tpz * inv_pd, ldz)
+            es_dist = jnp.where(is_point, pdist, ldist)
+            le_r = jnp.where(is_point, sem_r * inv_r2, sem_r)
+            le_g = jnp.where(is_point, sem_g * inv_r2, sem_g)
+            le_b = jnp.where(is_point, sem_b * inv_r2, sem_b)
+            es_pdf = jnp.where(is_point, sel_pdf, pdf_area)
+            le_max = jnp.maximum(le_r, jnp.maximum(le_g, le_b))
+            es_valid = ((is_point | front) & (setype != float(T.EMITTER_NULL))
+                        & (le_max > 0.0) & (es_pdf > 1e-12))
+
+
+            # ---- NEE f·cos and pdf (bsdf/eval.py:eval_bsdf) -----------------
+            cos_i = es_dx * nlx + es_dy * nly + es_dz * nlz
+            same_side = cos_i > 0.0
+            cos_ic = jnp.maximum(cos_i, 0.0)
+            ffac = _INV_PI * cos_ic
+            # GGX eval toward the light
+            wi_lx = es_dx * t1x + es_dy * t1y + es_dz * t1z
+            wi_ly = es_dx * t2x + es_dy * t2y + es_dz * t2z
+            wi_lz = cos_i
+            hsx = wo_lx + wi_lx
+            hsy = wo_ly + wi_ly
+            hsz = wo_lz + wi_lz
+            hsl = jax.lax.rsqrt(hsx * hsx + hsy * hsy + hsz * hsz + 1e-20)
+            hsx, hsy, hsz = hsx * hsl, hsy * hsl, hsz * hsl
+            d_ndf = ggx_ndf(hsx, hsy, hsz)
+            g2v = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, wo_lz)
+                         + ggx_lambda(wi_lx, wi_ly, wi_lz))
+            doh_e = jnp.abs(wo_lx * hsx + wo_ly * hsy + wo_lz * hsz)
+            spec_fac = d_ndf * g2v / jnp.maximum(4.0 * jnp.abs(wo_lz), 1e-6)
+            fg_r = fresnel_cond(doh_e, etr, kkr) * kgr * spec_fac
+            fg_g = fresnel_cond(doh_e, etg, kkg) * kgg * spec_fac
+            fg_b = fresnel_cond(doh_e, etb, kkb) * kgb * spec_fac
+            pdf_ggx_e = vndf_pdf(doh_e, hsx, hsy, hsz)
+            # plastic diffuse substrate toward the light (bsdf/eval.py:145-171)
+            f_i_e = fres_diel(cos_ic, iorv)
+            absorb_e = jnp.exp(-klen * thv * (1.0 / jnp.maximum(cos_ic, 1e-4)
+                                              + 1.0 / jnp.maximum(cos_o_p, 1e-4)))
+            pfac = (1.0 - f_o_p) * (1.0 - f_i_e) * _INV_PI * cos_ic * absorb_e
+            fp_r = kdr * pfac / (jnp.maximum(1.0 - kdr * fdr_p, 0.05) * ior2)
+            fp_g = kdg * pfac / (jnp.maximum(1.0 - kdg * fdr_p, 0.05) * ior2)
+            fp_b = kdb * pfac / (jnp.maximum(1.0 - kdb * fdr_p, 0.05) * ior2)
+            pdf_pla_e = (1.0 - p_spec_p) * jnp.maximum(cos_i, 0.0) * _INV_PI
+
+            # rough dielectric toward the light (bsdf/eval.py:208-249) — the
+            # transmission lobe is smooth, so it joins NEE on BOTH sides
+            refl_e = wi_lz > 0.0
+            hrx, hry, hrz = wo_lx + wi_lx, wo_ly + wi_ly, coso_c + wi_lz
+            hrl = jax.lax.rsqrt(hrx * hrx + hry * hry + hrz * hrz + 1e-20)
+            htx = -(wo_lx + e_rd * wi_lx)
+            hty = -(wo_ly + e_rd * wi_ly)
+            htz = -(coso_c + e_rd * wi_lz)
+            htl = jax.lax.rsqrt(htx * htx + hty * hty + htz * htz + 1e-20)
+            hts = jnp.where(htz * htl < 0.0, -1.0, 1.0)
+            hex_ = jnp.where(refl_e, hrx * hrl, htx * htl * hts)
+            hey = jnp.where(refl_e, hry * hrl, hty * htl * hts)
+            hez = jnp.where(refl_e, hrz * hrl, htz * htl * hts)
+            coh_e = wo_lx * hex_ + wo_ly * hey + coso_c * hez
+            wih_e = wi_lx * hex_ + wi_ly * hey + wi_lz * hez
+            d_rd = ggx_ndf(hex_, hey, hez)
+            g1_rd = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, coso_c))
+            g2_rd = 1.0 / (1.0 + ggx_lambda(wo_lx, wo_ly, coso_c)
+                           + ggx_lambda(wi_lx, wi_ly, wi_lz))
+            F_rd = fres_diel(jnp.maximum(coh_e, 0.0), e_rd)
+            dv_rd = g1_rd * d_rd * jnp.maximum(coh_e, 0.0) / coso_c
+            frd_refl = F_rd * d_rd * g2_rd / jnp.maximum(4.0 * coso_c, 1e-6)
+            prd_refl = F_rd * dv_rd / jnp.maximum(4.0 * coh_e, 1e-8)
+            den2_e = jnp.maximum((coh_e + e_rd * wih_e) ** 2, 1e-8)
+            frd_tr = ((1.0 - F_rd) * d_rd * g2_rd * jnp.abs(coh_e * wih_e)
+                      / (coso_c * den2_e))
+            prd_tr = (1.0 - F_rd) * dv_rd * e_rd * e_rd * jnp.abs(wih_e) / den2_e
+            ok_r_e = refl_e & (coh_e > 1e-6) & (wih_e > 1e-6)
+            ok_t_e = (~refl_e) & (coh_e > 1e-6) & (wih_e < -1e-6)
+            frd_fac = jnp.where(ok_r_e, frd_refl, jnp.where(ok_t_e, frd_tr, 0.0))
+            prd_e = jnp.where(ok_r_e, prd_refl, jnp.where(ok_t_e, prd_tr, 0.0))
+
+            on_e = oren_nayar(wo_lz, wi_lz,
+                              wo_lx * wi_lx + wo_ly * wi_ly)
+            ggxf = jnp.where(is_ggx & same_side, 1.0, 0.0)
+            f_r = kdr * ffac * (lamf + on_e * onf) + fg_r * ggxf + fp_r * plaf
+            f_g = kdg * ffac * (lamf + on_e * onf) + fg_g * ggxf + fp_g * plaf
+            f_b = kdb * ffac * (lamf + on_e * onf) + fg_b * ggxf + fp_b * plaf
+            bpdf = ((cos_ic * _INV_PI) * (lamf + onf) + pdf_ggx_e * ggxf
+                    + pdf_pla_e * plaf)
+            # same-side gate (eval.py:193-194) — does NOT apply to the rough
+            # dielectric, whose transmission crosses the surface by design
+            ssf = jnp.where(same_side, 1.0, 0.0)
+            f_r = f_r * ssf + ksr * frd_fac * rdf
+            f_g = f_g * ssf + ksg * frd_fac * rdf
+            f_b = f_b * ssf + ksb * frd_fac * rdf
+            bpdf = bpdf * ssf + prd_e * rdf
+
+
+            phat = (0.212671 * f_r * le_r + 0.715160 * f_g * le_g
+                    + 0.072169 * f_b * le_b)
+            return sx, sy, {
+                "dx": es_dx, "dy": es_dy, "dz": es_dz, "dist": es_dist,
+                "le_r": le_r, "le_g": le_g, "le_b": le_b, "pdf": es_pdf,
+                "valid": jnp.where(es_valid, 1.0, 0.0),
+                "point": jnp.where(is_point, 1.0, 0.0),
+                "f_r": f_r, "f_g": f_g, "f_b": f_b, "bpdf": bpdf,
+                "phat": phat,
+            }
+
+        if nee_m <= 1:
+            sx, sy, cnd = nee_one(sx, sy)
+            inv_density = 1.0 / jnp.maximum(cnd["pdf"], 1e-12)
+        else:
+            # RIS over nee_m candidates (path_tracer.py:284-316): weighted
+            # reservoir with target p-hat = lum(f*Le), ONE shadow ray for
+            # the survivor; arithmetic blends (f32) instead of selects
+            wsum = f0
+            cnd = None
+            for _k in range(nee_m):
+                sx, sy, ck = nee_one(sx, sy)
+                w_k = jnp.where((ck["valid"] > 0.5) & (ck["phat"] > 0.0),
+                                ck["phat"] / jnp.maximum(ck["pdf"], 1e-12),
+                                0.0)
+                wsum = wsum + w_k
+                sx, sy = _pcg2d(sx, sy)
+                u_r = _u01(sx)
+                if cnd is None:
+                    cnd = ck
+                else:
+                    takef = jnp.where((u_r * wsum <= w_k) & (w_k > 0.0),
+                                      1.0, 0.0)
+                    cnd = {key: takef * ck[key] + (1.0 - takef) * cnd[key]
+                           for key in cnd}
+            inv_density = wsum / (nee_m * jnp.maximum(cnd["phat"], 1e-12))
+
+        es_dx, es_dy, es_dz = cnd["dx"], cnd["dy"], cnd["dz"]
+        es_dist = cnd["dist"]
+        le_r, le_g, le_b = cnd["le_r"], cnd["le_g"], cnd["le_b"]
+        es_pdf = cnd["pdf"]
+        es_valid = cnd["valid"] > 0.5
+        is_point = cnd["point"] > 0.5
+        f_r, f_g, f_b = cnd["f_r"], cnd["f_g"], cnd["f_b"]
+        bpdf = cnd["bpdf"]
 
         # shadow walk (offsets: path_tracer.py:317-322)
         gdir = ngx * es_dx + ngy * es_dy + ngz * es_dz
@@ -999,7 +1056,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         w_nee = jnp.where(is_point | last_bounce, 1.0, w_nee_ph)
         f_max = jnp.maximum(f_r, jnp.maximum(f_g, f_b))
         nee_ok = need & ~occ & (f_max > 0.0)
-        scale = jnp.where(nee_ok, w_nee / jnp.maximum(es_pdf, 1e-12), 0.0)
+        scale = jnp.where(nee_ok, w_nee * inv_density, 0.0)
         Lr = Lr + tr * f_r * le_r * scale
         Lg = Lg + tg * f_g * le_g * scale
         Lb = Lb + tb * f_b * le_b * scale
@@ -1294,7 +1351,8 @@ def make_pack(scene: T.Scene) -> dict:
 
 
 def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
-                     interpret=None, tile: int | None = None):
+                     interpret=None, tile: int | None = None,
+                     nee_candidates: int = 1):
     """Full in-kernel trace: (B, 3) rays + (B, 2) u32 pcg states → L (B, 3).
 
     pack: make_pack(scene) (scene must pass megakernel_ok)."""
@@ -1348,7 +1406,7 @@ def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
     kern = functools.partial(
         _kernel, int(md.max_depth), int(md.max_diffuse),
         int(md.max_specular), int(md.max_transmit),
-        int(max_leaf), rn, MAX_EMITTERS, n_bsdfs,
+        int(max_leaf), rn, MAX_EMITTERS, n_bsdfs, int(nee_candidates),
     )
     lr, lg, lb = pl.pallas_call(
         kern,
@@ -1364,7 +1422,7 @@ def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
 
 
 def render_pack(pack: dict, cam, md, spp: int, seed, max_leaf: int = 4,
-                interpret=None):
+                interpret=None, nee_candidates: int = 1):
     """spp-pass fused render from a prebuilt pack → (H, W, 3). Jittable in
     (pack, seed); same per-(pixel, sample) pcg streams as
     models/path_tracer.render."""
@@ -1378,7 +1436,8 @@ def render_pack(pack: dict, cam, md, spp: int, seed, max_leaf: int = 4,
         rng = qmc.make_state("pcg", seed, lane, i)
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
         L = trace_megakernel(pack, md, o, d, rng, max_leaf=max_leaf,
-                             interpret=interpret)
+                             interpret=interpret,
+                             nee_candidates=nee_candidates)
         return acc + L
 
     acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((B, 3), jnp.float32))

@@ -210,3 +210,19 @@ def test_megakernel_oren_nayar_and_forward():
     match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
     assert match > 0.95, match
     assert abs(img_k.mean() - img_x.mean()) < 6e-3
+
+
+def test_megakernel_ris_nee():
+    """RIS NEE (M=4) in-kernel matches the composed RIS estimator."""
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=3)
+    pack = mk.make_pack(scene)
+    ml = int(scene.bvh.max_leaf)
+    img_k = np.asarray(mk.render_pack(pack, cam, md, spp=4, seed=21,
+                                      max_leaf=ml, interpret=True,
+                                      nee_candidates=4))
+    img_x = np.asarray(pt.render(scene, cam, md, spp=4, seed=21,
+                                 use_bvh=True, nee_candidates=4))
+    match = np.isclose(img_k, img_x, atol=2e-2, rtol=1e-3).mean()
+    assert match > 0.95, match
+    assert abs(img_k.mean() - img_x.mean()) < 6e-3
