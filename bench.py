@@ -150,7 +150,8 @@ for cfg in configs:
             pack = mk.make_pack(scene)
             ml = int(scene.bvh.max_leaf)
             fn = jax.jit(lambda p, seed: mk.render_pack(
-                p, cam, md, spp=SPP, seed=seed, max_leaf=ml))
+                p, cam, md, spp=SPP, seed=seed, max_leaf=ml,
+                nee_candidates=nee_m))
             dt = timing.timeit(fn, pack, 1, reps=3)
             rays = int(jax.jit(lambda s: pt.count_rays(
                 s, cam, md, spp=SPP, seed=1, use_bvh=use_bvh,
