@@ -62,6 +62,9 @@ SWEEP = [
     # the fully-fused in-kernel Pallas megakernel (trace+NEE+shade+RNG in
     # one kernel, ops/pallas/megakernel.py)
     {"name": "fused_mega", "renderer": "fused"},
+    # RIS M=4 in-kernel: measured FREE on-chip (116.4 vs 116.0 Mrays/s
+    # amortized) for 2.6x direct-light variance
+    {"name": "fused_ris4", "renderer": "fused", "nee_m": 4},
 ]
 
 _PROBE_CODE = r"""
