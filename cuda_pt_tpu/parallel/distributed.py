@@ -124,6 +124,13 @@ def render_distributed(
     indices keep advancing (required for the Sobol sampler's
     low-discrepancy prefix; harmless decorrelation for pcg).
     """
+    if renderer == "fused" and sampler != "pcg":
+        # Sobol state is (B, 4); trace_megakernel would truncate it to two
+        # columns (sample idx, dim) that are IDENTICAL across lanes and
+        # reinterpret them as pcg2d state — every lane then draws the same
+        # sequence: image-wide correlated samples that never converge
+        # (ADVICE r3, medium). api.Renderer has the same guard.
+        raise ValueError("renderer='fused' supports sampler='pcg' only")
     if use_bvh is None:
         use_bvh = scene.geom.num_prims > pt.BRUTE_FORCE_MAX_PRIMS
     sp = mesh.shape["sp"]
