@@ -155,14 +155,24 @@ for cfg in configs:
             fn = jax.jit(lambda p, seed: mk.render_pack(
                 p, cam, md, spp=SPP, seed=seed, max_leaf=ml,
                 nee_candidates=nee_m))
-            dt = timing.timeit(fn, pack, 1, reps=3)
+            # N=5 with spread: one-shot fused headlines varied 125-139
+            # Mrays/s across rounds with nothing quantifying it
+            st = timing.timeit_stats(fn, pack, 1, reps=5)
+            dt = st["median"]
             rays = int(jax.jit(lambda s: pt.count_rays(
                 s, cam, md, spp=SPP, seed=1, use_bvh=use_bvh,
                 sampler=sampler))(scene))
+            mr = rays / dt / 1e6
+            mr_lo = rays / max(st["mean"] + st["std"], 1e-9) / 1e6
+            mr_hi = rays / max(st["mean"] - st["std"], 1e-9) / 1e6
             print(json.dumps({
-                "config": cfg["name"], "mrays": rays / dt / 1e6,
+                "config": cfg["name"], "mrays": mr,
+                "mrays_mean": rays / st["mean"] / 1e6,
+                "mrays_lo": mr_lo, "mrays_hi": mr_hi,
+                "sec_std": st["std"], "reps": st["n"],
                 "backend": jax.default_backend(), "w": W, "spp": SPP,
                 "sec_per_frame": dt, "rays": rays,
+                "pack_fmt": [pack.node_fmt, pack.attr_fmt, pack.prim_fmt],
             }), flush=True)
             continue
         if cfg.get("renderer") == "wavefront":
@@ -252,14 +262,19 @@ def _probe_backend() -> str | None:
     return None
 
 
-def _emit(metric: str, mrays: float):
+def _emit(metric: str, mrays: float, row: dict | None = None):
     vs = 1.0 if BASELINE_MRAYS is None else mrays / BASELINE_MRAYS
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if row and row.get("mrays_lo") is not None:
+        rec["value_lo"] = round(row["mrays_lo"], 3)
+        rec["value_hi"] = round(row["mrays_hi"], 3)
+        rec["reps"] = row.get("reps")
+    print(json.dumps(rec))
 
 
 def _write_sweep(backend, rows):
@@ -287,7 +302,7 @@ def main():
         _write_sweep(backend, rows)
         if ok:
             best = max(ok, key=lambda r: r["mrays"])
-            _emit("cornell_pt_mrays_per_s", best["mrays"])
+            _emit("cornell_pt_mrays_per_s", best["mrays"], best)
             return
     # tunnel down or every accelerator config failed: CPU fallback — still
     # tuned (compacted wavefront beats the megakernel ~2x on CPU)

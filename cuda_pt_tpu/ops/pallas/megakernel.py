@@ -19,11 +19,19 @@ weighting, per-lobe diffuse cap, and shadow-ray offsets as the XLA
 megakernel (models/path_tracer.pt_bounce) — images agree to fp tolerance
 (tests/test_pallas_megakernel.py).
 
-Scene envelope (megakernel_ok): lambertian + specular-mirror BSDFs,
-untextured area + point emitters (≤ 7), no envmap / media / ToF / spot emitters, scene fits
-VMEM whole, ≤ 56 emitter prims. Scenes outside the envelope use the
-composed path; cornell-class scenes (the reference's bread-and-butter
-megakernel target) are squarely inside.
+Scene envelope (megakernel_ok), round 4: all 9 surface BSDF families
+(incl. wavelength-locked dispersion in-kernel), area / point / area-spot
+emitters (≤ 7, ≤ 56 emitter prims), envmaps (miss rays recorded in-kernel,
+radiance + MIS resolved by an XLA epilogue — exact, BSDF-sampling-only),
+and kd-textured lambert/Oren-Nayar via DEFERRED texturing: the kernel
+traces with base kd and records per-bounce (bid, uv) + contribution
+groups; the epilogue rebuilds the texture prefix products with batched
+XLA gathers (per-lane texel gathers never enter the kernel — TPUs have
+none). Compact pack formats (bf16 nodes with conservative rounding, bf16
+attrs, t9 9-field triangle prims) auto-engage above AUTO_COMPACT_BYTES so
+whiskey-class meshes stay VMEM-resident. Still composed-only: media / ToF,
+textured non-diffuse slots (specular/glossy/normal/roughness maps), sphere
+emitter prims, textured scenes containing spheres.
 
 Mosaic rules obeyed throughout (learned on silicon in r2, see
 traverse_kernel.py): dynamic SUBLANE slices only, masked-reduction scalar
@@ -105,11 +113,19 @@ def resident_pack_bytes(scene: T.Scene) -> int:
     return fused_pack_bytes(scene)
 
 
-def _tile_state_bytes(tile: int = None) -> int:
+def _tile_state_bytes(tile: int = None, d1: int = 6,
+                      textured: bool = False) -> int:
     """Per-tile VMEM for ray-state I/O (8 in + 3 out vectors) plus a 2×
-    pipelining/live-range allowance for the loop carries."""
+    pipelining/live-range allowance for the loop carries; textured scenes
+    add 6×(max_depth+1) per-bounce group buffers (carried AND output)."""
     t = TILE if tile is None else tile
-    return 11 * t * 4 * 2
+    base = 11 * t * 4 * 2
+    if textured:
+        # trace_megakernel caps textured tiles at 4096: the 6*(depth+1)
+        # per-bounce group buffers are carried AND output
+        t = min(t, 4096)
+        base += 6 * d1 * t * 4 * 4
+    return base
 
 
 def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
@@ -117,7 +133,12 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
     the AUTO_MAX_PACK_BYTES stability cap (see above)."""
     import numpy as np
 
-    if (resident_pack_bytes(scene) + _tile_state_bytes()
+    tids0 = np.asarray(scene.bsdfs.tex_ids)
+    is_textured = bool(tids0.size) and bool(
+        (tids0[:, T.TEX_DIFFUSE] >= 0).any())
+    d1 = (int(md.max_depth) + 1) if md is not None else 6
+    if (resident_pack_bytes(scene)
+            + _tile_state_bytes(d1=d1, textured=is_textured)
             > FUSED_VMEM_BUDGET_BYTES):
         return False
     if strict:
@@ -126,22 +147,40 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
     if set(scene.present_bsdfs) - {T.BSDF_LAMBERTIAN, T.BSDF_SPECULAR,
                                    T.BSDF_TRANSLUCENT, T.BSDF_GGX_CONDUCTOR,
                                    T.BSDF_PLASTIC, T.BSDF_GGX_DIELECTRIC,
-                                   T.BSDF_OREN_NAYAR, T.BSDF_FORWARD}:
+                                   T.BSDF_OREN_NAYAR, T.BSDF_FORWARD,
+                                   T.BSDF_DISPERSION}:
         return False
     if int(np.asarray(scene.bsdfs.btype).shape[0]) > MAX_BSDFS:
         return False
     et = np.asarray(scene.emitters.etype)
     if et.shape[0] > MAX_EMITTERS:
         return False
-    ok_types = {T.EMITTER_NULL, T.EMITTER_AREA, T.EMITTER_POINT}
+    # envmap allowed since round 4: miss rays are recorded in-kernel and
+    # resolved by an XLA epilogue (exact radiance, BSDF-sampling-only with
+    # MIS weight 1 — unbiased; env NEE stays a composed-path feature).
+    ok_types = {T.EMITTER_NULL, T.EMITTER_AREA, T.EMITTER_POINT,
+                T.EMITTER_AREA_SPOT, T.EMITTER_ENVMAP}
     if set(int(x) for x in et) - ok_types:
         return False
-    if int(np.asarray(scene.env_emitter)) > 0:
-        return False
-    if np.asarray(scene.emitters.tex_id).max(initial=-1) >= 0:
-        return False
-    if np.asarray(scene.bsdfs.tex_ids).max(initial=-1) >= 0:
-        return False
+    env_mask = et == T.EMITTER_ENVMAP
+    geo_tex = np.where(env_mask, -1, np.asarray(scene.emitters.tex_id))
+    if geo_tex.max(initial=-1) >= 0:
+        return False  # textured AREA emitters stay composed-only
+    tids = np.asarray(scene.bsdfs.tex_ids)
+    if tids.size:
+        # diffuse-textured lambert/Oren-Nayar rides the fused path via the
+        # deferred-texture epilogue (round 4); any other texture slot or
+        # family stays composed-only. uv capture is triangle-only.
+        bt = np.asarray(scene.bsdfs.btype)
+        other = np.delete(tids, T.TEX_DIFFUSE, axis=1)
+        if other.max(initial=-1) >= 0:
+            return False
+        has_dt = tids[:, T.TEX_DIFFUSE] >= 0
+        ok_fam = np.isin(bt, (T.BSDF_LAMBERTIAN, T.BSDF_OREN_NAYAR))
+        if bool((has_dt & ~ok_fam).any()):
+            return False
+        if bool(has_dt.any()) and bool(np.asarray(scene.geom.is_sphere).any()):
+            return False
     if np.asarray(scene.objects.medium_in).max(initial=-1) >= 0:
         return False
     if md is not None and (md.max_time > 0.0):
@@ -150,14 +189,16 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
     n_eprims = 0
     cdf = np.asarray(scene.emitters.prim_cdf)
     sel = np.asarray(scene.emitters.prim_sel)
+    sph = np.asarray(scene.geom.is_sphere)
     for e in range(et.shape[0]):
-        if et[e] == T.EMITTER_AREA:
+        if et[e] in (T.EMITTER_AREA, T.EMITTER_AREA_SPOT):
             k = _real_k(cdf[e], sel[e])
             n_eprims += k
+            if sph[sel[e, :k]].any():
+                # sphere emitter prims: sampling matches, but keep the
+                # envelope tight (non-emitting spheres are fine)
+                return False
     if n_eprims > MAX_EMITTER_PRIMS:
-        return False
-    if np.asarray(scene.geom.is_sphere)[np.asarray(scene.emitters.prim_sel).ravel()].any():
-        # sphere emitter prims: sampling matches, but keep v1 envelope tight
         return False
     return True
 
@@ -175,32 +216,83 @@ def _real_k(cdf_row, sel_row) -> int:
     return k
 
 
+MAX_MEDIA = 8  # slots in the single media row (fused VPT)
+
+
+def _prim_medium_null(scene: T.Scene):
+    """Per-prim (medium_in, is_null_interface) host-side: null = forward
+    BSDF or cullable object (volume_pt.transmittance_estimate's rule)."""
+    import numpy as np
+
+    obj = np.asarray(scene.geom.obj_idx)
+    med = np.asarray(scene.objects.medium_in)[obj].astype(np.float32)
+    bid = np.maximum(np.asarray(scene.objects.bsdf_id)[obj], 0)
+    bt = np.asarray(scene.bsdfs.btype)[bid]
+    cul = np.asarray(scene.objects.cullable)[obj]
+    nul = ((bt == T.BSDF_FORWARD) | cul).astype(np.float32)
+    return med, nul
+
+
 def pack_attrs(scene: T.Scene) -> jnp.ndarray:
     """Per-prim shading attributes, 1 slot x 16 fields (packed like prims):
-    n0(3) n1(3) n2(3) eid inv_area_obj bsdf_id — captured scalar-wise during
-    the leaf test (surface_interaction's gathers); material params resolve
-    from bsdf_id after the walk via pack_bsdfs."""
+    n0(3) n1(3) n2(3) eid inv_area_obj bsdf_id medium_in is_null — captured
+    scalar-wise during the leaf test (surface_interaction's gathers);
+    material params resolve from bsdf_id after the walk via pack_bsdfs."""
     g = scene.geom
     obj = g.obj_idx
     bid = jnp.maximum(scene.objects.bsdf_id[obj], 0)
     eid = scene.objects.emitter_id[obj].astype(jnp.float32)
     inv_a = scene.objects.inv_area[obj]
+    med, nul = _prim_medium_null(scene)
     return tk._pack_rows(
         [
             g.n0[:, 0], g.n0[:, 1], g.n0[:, 2],
             g.n1[:, 0], g.n1[:, 1], g.n1[:, 2],
             g.n2[:, 0], g.n2[:, 1], g.n2[:, 2],
             eid, inv_a, bid.astype(jnp.float32),
+            jnp.asarray(med), jnp.asarray(nul),
         ],
-        [0.0] * 9 + [0.0, 0.0, 0.0],
+        [0.0] * 9 + [0.0, 0.0, 0.0, -1.0, 0.0],
     )
+
+
+def pack_media(scene: T.Scene) -> jnp.ndarray:
+    """(1, 128) homogeneous-media row, 8 slots x 16 fields per medium:
+    sigma_a*scale(3) sigma_s*scale(3) sigma_t*scale(3) phase_type g1 g2 w
+    (media/homogeneous.sigma_at + media/phase.py params)."""
+    import numpy as np
+
+    m = scene.media
+    V = int(np.asarray(m.mtype).shape[0])
+    assert V <= MAX_MEDIA
+    sc = np.asarray(m.scale, np.float32)[:, None]
+    sa = np.asarray(m.sigma_a, np.float32) * sc
+    ss = np.asarray(m.sigma_s, np.float32) * sc
+    st = sa + ss
+    cols = [
+        sa[:, 0], sa[:, 1], sa[:, 2],
+        ss[:, 0], ss[:, 1], ss[:, 2],
+        st[:, 0], st[:, 1], st[:, 2],
+        np.asarray(m.phase_type, np.float32),
+        np.asarray(m.phase_g, np.float32)[:, 0],
+        np.asarray(m.phase_g, np.float32)[:, 1],
+        np.asarray(m.phase_w, np.float32),
+    ]
+    out = []
+    for c in cols:
+        out.append(np.concatenate([np.asarray(c, np.float32),
+                                   np.zeros(MAX_MEDIA - V, np.float32)]))
+    while len(out) < SLOT_F:
+        out.append(np.zeros(MAX_MEDIA, np.float32))
+    return jnp.asarray(
+        np.stack(out, axis=1).reshape(1, MAX_MEDIA * SLOT_F), jnp.float32)
 
 
 def pack_bsdfs(scene: T.Scene) -> jnp.ndarray:
     """(rows, 128) material table, TWO slots per bsdf (32 fields):
-    slot A: btype kd(3) ks(3) kg(3) ior ax ay; slot B: eta(3) k(3) thickness.
-    Resolved per-lane after the walk with a masked loop over bsdf ids
-    (the in-kernel make_ctx, bsdf/eval.py:43-74)."""
+    slot A: btype kd(3) ks(3) kg(3) ior ax ay; slot B: eta(3) k(3)
+    thickness cauchy_a cauchy_b. Resolved per-lane after the walk with a
+    masked loop over bsdf ids (the in-kernel make_ctx, bsdf/eval.py:43-74)."""
     import numpy as np
 
     b = scene.bsdfs
@@ -218,6 +310,8 @@ def pack_bsdfs(scene: T.Scene) -> jnp.ndarray:
     cols_b[:, 0:3] = np.asarray(b.eta)
     cols_b[:, 3:6] = np.asarray(b.k)
     cols_b[:, 6] = P[:, T.P_THICKNESS]
+    cols_b[:, 7] = P[:, T.P_CAUCHY_A]
+    cols_b[:, 8] = P[:, T.P_CAUCHY_B]
     inter = np.stack([cols_a, cols_b], axis=1).reshape(2 * NB, SLOT_F)
     rows = -(-inter.shape[0] // SLOTS) * SLOTS
     out = np.zeros((rows, SLOT_F), np.float32)
@@ -228,7 +322,13 @@ def pack_bsdfs(scene: T.Scene) -> jnp.ndarray:
 def pack_emitters(scene: T.Scene) -> jnp.ndarray:
     """(1, 128) row, 8 slots x 16 fields per emitter:
     etype, em_r, em_g, em_b (emission*scaler), pos(3), sel_pmf, sel_cdf,
-    kmax (real prim count - 1)."""
+    kmax (real prim count - 1).
+
+    When the scene has an envmap, the selection pmf/cdf are RENORMALIZED
+    over the geometric (area/point) emitters only: the fused kernel never
+    NEE-samples the environment (miss rays are resolved by the XLA epilogue
+    with MIS weight 1), so both the NEE pdf and the emitter-hit MIS pmf
+    must describe that restricted strategy to stay unbiased."""
     import numpy as np
 
     e = scene.emitters
@@ -239,13 +339,35 @@ def pack_emitters(scene: T.Scene) -> jnp.ndarray:
     kmax = np.array(
         [max(_real_k(cdfs[i], sels[i]) - 1, 0) for i in range(E)], np.float32
     )
+    et_np = np.asarray(e.etype)
+    pmf = np.asarray(e.sel_pmf, np.float32).copy()
+    cdf = np.asarray(e.sel_cdf, np.float32)
+    env_mask = et_np == T.EMITTER_ENVMAP
+    if env_mask.any():
+        pmf[env_mask] = 0.0
+        tot = float(pmf.sum())
+        pmf = pmf / max(tot, 1e-12)
+        cdf = np.cumsum(pmf).astype(np.float32)
+        if cdf[-1] > 0:
+            cdf /= cdf[-1]
+        else:
+            cdf[:] = 1.0
+    # env slot rides as NULL in-kernel: it has no geometry (can't be hit)
+    # and zero selection probability (can't be NEE-picked), so NULL is its
+    # exact in-kernel semantics — the epilogue owns all env radiance.
+    et_k = np.where(env_mask, T.EMITTER_NULL, et_np)
+    # field 10: spot cone cos_falloff (AREA_SPOT gate, emitter.cuh:225-311);
+    # -1 for everything else so the gate is always open
+    falloff = np.where(et_np == T.EMITTER_AREA_SPOT,
+                       np.asarray(e.extra)[:, 0], -1.0).astype(np.float32)
     cols = [
-        np.asarray(e.etype, np.float32),
+        np.asarray(et_k, np.float32),
         em[:, 0], em[:, 1], em[:, 2],
         np.asarray(e.pos)[:, 0], np.asarray(e.pos)[:, 1], np.asarray(e.pos)[:, 2],
-        np.asarray(e.sel_pmf, np.float32),
-        np.asarray(e.sel_cdf, np.float32),
+        pmf,
+        cdf,
         kmax,
+        falloff,
     ]
     out = []
     for c in cols:
@@ -278,7 +400,7 @@ def pack_emitter_prims(scene: T.Scene) -> jnp.ndarray:
     obj_of = np.asarray(g.obj_idx)
     rows = []
     for eid in range(et.shape[0]):
-        if et[eid] != T.EMITTER_AREA:
+        if et[eid] not in (T.EMITTER_AREA, T.EMITTER_AREA_SPOT):
             continue
         k_real = _real_k(cdfs[eid], sels[eid])
         for k in range(k_real):
@@ -334,11 +456,28 @@ def _u01(x):
 
 
 def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
-            max_leaf, rn, n_eslots, n_bsdfs, nee_m,
-            node_fmt, attr_fmt, prim_fmt, tri_only,
+            max_volume, max_leaf, rn, n_eslots, n_bsdfs, nee_m,
+            node_fmt, attr_fmt, prim_fmt, tri_only, has_env, has_disp,
+            textured, has_media, n_media,
             nodes, prims, attrs, erow, eprims, brows,
-            ox, oy, oz, dx, dy, dz, r0, r1,
-            out_r, out_g, out_b):
+            *refs):
+    if has_media:
+        mrow = refs[0]
+        refs = refs[1:]
+    if textured:
+        auv = refs[0]
+        refs = refs[1:]
+    (ox, oy, oz, dx, dy, dz, r0, r1,
+     out_r, out_g, out_b, *extra_outs) = refs
+    if has_env:
+        env_outs, extra_outs = extra_outs[:6], extra_outs[6:]
+    else:
+        env_outs = ()
+    if textured:
+        # per-bounce contribution groups + texture records + miss-bounce
+        # (see trace_megakernel's deferred-texture epilogue)
+        out_A, out_rec, out_mb = (extra_outs[0:3], extra_outs[3:6],
+                                  extra_outs[6] if has_env else None)
     o_x0, o_y0, o_z0 = ox[:], oy[:], oz[:]
     d_x0, d_y0, d_z0 = dx[:], dy[:], dz[:]
     sx0, sy0 = r0[:], r1[:]
@@ -411,6 +550,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         Normals quantized to bf16 (~0.4% — they are renormalized anyway);
         eid/bid are small ints, exact in bf16; inv_area stays f32 (MIS
         weight consistency with the NEE prim table)."""
+        med_s = nul_s = None
         if attr_fmt == "bf16":
             arow = attrs[pl.ds(pid // (2 * SLOTS), 1), :]
             ab = (pid % (2 * SLOTS)) * (SLOT_F // 2)
@@ -421,6 +561,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             n2z, _sp = tk._unpack2_field(arow, ab + 4)
             eid_s, bid_s = tk._unpack2_field(arow, ab + 5)
             ia_s = _f(arow, ab + 6)
+            if has_media:
+                med_s, nul_s = tk._unpack2_field(arow, ab + 7)
         else:
             arow = attrs[pl.ds(pid // SLOTS, 1), :]
             ab = (pid % SLOTS) * SLOT_F
@@ -436,8 +578,20 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             eid_s = _f(arow, ab + 9)
             ia_s = _f(arow, ab + 10)
             bid_s = _f(arow, ab + 11)
+            if has_media:
+                med_s = _f(arow, ab + 12)
+                nul_s = _f(arow, ab + 13)
         return (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
-                eid_s, ia_s, bid_s)
+                eid_s, ia_s, bid_s, med_s, nul_s)
+
+    def fetch_uv(pid):
+        """Per-vertex texture uvs of prim ``pid`` from the f32 uv table
+        (pack_uvs: 6 fields x 21 prims per 128-lane row)."""
+        urow = auv[pl.ds(pid // UV_PER_ROW, 1), :]
+        ub = (pid % UV_PER_ROW) * 6
+        return (_f(urow, ub + 0), _f(urow, ub + 1),
+                _f(urow, ub + 2), _f(urow, ub + 3),
+                _f(urow, ub + 4), _f(urow, ub + 5))
 
     # ---------------- BVH walks (adapted from traverse_kernel._kernel) ----
     def walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, live):
@@ -453,14 +607,16 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 f0,  # eid
                 f0,  # inv_area
                 f0,  # is_sphere
-                f0)  # bsdf id
+                f0,  # bsdf id
+                (f0, f0) if textured else (),  # interpolated texture uv
+                (f0 - 1.0, f0) if has_media else ())  # medium_in, is_null
 
         def cond(cr):
             return cr[0] < M_pad
 
         def body(cr):
             (ptr, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-             eidv, inva, sphv, bidv) = cr
+             eidv, inva, sphv, bidv, uvc, mnc) = cr
             (lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
              skip, base, cnt) = fetch_node(ptr)
 
@@ -482,7 +638,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
             def do_leaf(carry):
                 (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-                 eidv, inva, sphv, bidv) = carry
+                 eidv, inva, sphv, bidv, uvc, mnc) = carry
                 for k in range(max_leaf):
                     pid = base + k
                     (ax, ay, az, ux, uy, uz, vx, vy, vz,
@@ -530,7 +686,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
                     # scalar attrs of this prim
                     (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
-                     eid_s, ia_s, bid_s) = fetch_attrs(pid)
+                     eid_s, ia_s, bid_s, med_s, nul_s) = fetch_attrs(pid)
 
                     # interpolated shading normal (tri) / center (sphere)
                     w0 = 1.0 - u - v
@@ -563,24 +719,34 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                         sphv = jnp.where(
                             ok, jnp.where(is_sph, 1.0, 0.0), sphv)
                     bidv = jnp.where(ok, bid_s, bidv)
+                    if textured:
+                        uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = fetch_uv(pid)
+                        tu_i = w0 * uv0u + u * uv1u + v * uv2u
+                        tv_i = w0 * uv0v + u * uv1v + v * uv2v
+                        uvc = (jnp.where(ok, tu_i, uvc[0]),
+                               jnp.where(ok, tv_i, uvc[1]))
+                    if has_media:
+                        mnc = (jnp.where(ok, med_s, mnc[0]),
+                               jnp.where(ok, nul_s, mnc[1]))
                 return (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-                        eidv, inva, sphv, bidv)
+                        eidv, inva, sphv, bidv, uvc, mnc)
 
             leaf_carry = (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-                          eidv, inva, sphv, bidv)
+                          eidv, inva, sphv, bidv, uvc, mnc)
             leaf_out = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                     lambda c: c, leaf_carry)
             ptr_next = jnp.where(any_hit & ~is_leaf, ptr + 1, skip)
-            return (ptr_next,) + leaf_out
+            return (ptr_next,) + tuple(leaf_out)
 
         out = jax.lax.while_loop(cond, body, init)
         (_, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-         eidv, inva, sphv, bidv) = out
+         eidv, inva, sphv, bidv, uvc, mnc) = out
         return {
             "t": t_best, "hit": prim >= 0.0,
             "nsx": nsx, "nsy": nsy, "nsz": nsz,
             "ngx": ngx, "ngy": ngy, "ngz": ngz,
             "eid": eidv, "inva": inva, "sph": sphv, "bid": bidv,
+            "uv": uvc, "mn": mnc,
         }
 
     def walk_anyhit(o_x, o_y, o_z, d_x, d_y, d_z, t_lim, need):
@@ -684,13 +850,16 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             "pmf": _f(erow_v, sb + 7),
             "cdf": _f(erow_v, sb + 8),
             "kmax": _f(erow_v, sb + 9),
+            "falloff": _f(erow_v, sb + 10),
         }
 
     efields = [emitter_fields(i) for i in range(n_eslots)]
 
     def emitter_lookup(eid_vec):
-        """Per-lane (em_rgb, pmf, etype, pos, kmax) via masked scalar loop."""
+        """Per-lane (em_rgb, pmf, etype, pos, kmax, falloff) via masked
+        scalar loop. falloff = spot-cone cos threshold (-1 = no gate)."""
         em_r = em_g = em_b = pmf = ety = px = py = pz = kmx = f0
+        fall = f0 - 1.0
         for i, ef in enumerate(efields):
             m = eid_vec == float(i)
             em_r = jnp.where(m, ef["em"][0], em_r)
@@ -702,21 +871,140 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             py = jnp.where(m, ef["pos"][1], py)
             pz = jnp.where(m, ef["pos"][2], pz)
             kmx = jnp.where(m, ef["kmax"], kmx)
-        return em_r, em_g, em_b, pmf, ety, px, py, pz, kmx
+            fall = jnp.where(m, ef["falloff"], fall)
+        return em_r, em_g, em_b, pmf, ety, px, py, pz, kmx, fall
 
     n_eprim_rows = eprims.shape[0]
+
+    # ---------------- media helpers (fused VPT, volume_pt.py parity) ------
+    if has_media:
+        mrow_v = mrow[:]  # (1, 128): 8 media x 16 fields (pack_media)
+
+        def _mfield(i, j):
+            return _f(mrow_v, i * SLOT_F + j)
+
+        def medium_sigma_t(midv):
+            """(st_r, st_g, st_b) of per-lane medium ids (masked loop)."""
+            st_r = st_g = st_b = f0
+            for i in range(n_media):
+                m = midv == float(i)
+                st_r = jnp.where(m, _mfield(i, 6), st_r)
+                st_g = jnp.where(m, _mfield(i, 7), st_g)
+                st_b = jnp.where(m, _mfield(i, 8), st_b)
+            return st_r, st_g, st_b
+
+        def medium_fields(midv):
+            """Full per-lane medium row: sigma_s, sigma_t, phase params."""
+            ssr = ssg = ssb = st_r = st_g = st_b = f0
+            pty = pg1 = pg2 = f0
+            pwv = f1
+            for i in range(n_media):
+                m = midv == float(i)
+                ssr = jnp.where(m, _mfield(i, 3), ssr)
+                ssg = jnp.where(m, _mfield(i, 4), ssg)
+                ssb = jnp.where(m, _mfield(i, 5), ssb)
+                st_r = jnp.where(m, _mfield(i, 6), st_r)
+                st_g = jnp.where(m, _mfield(i, 7), st_g)
+                st_b = jnp.where(m, _mfield(i, 8), st_b)
+                pty = jnp.where(m, _mfield(i, 9), pty)
+                pg1 = jnp.where(m, _mfield(i, 10), pg1)
+                pg2 = jnp.where(m, _mfield(i, 11), pg2)
+                pwv = jnp.where(m, _mfield(i, 12), pwv)
+            return ssr, ssg, ssb, st_r, st_g, st_b, pty, pg1, pg2, pwv
+
+        def phase_value(pty, pg1, pg2, pwv, cos_t):
+            """Phase value (= pdf) at cos_t (media/phase.phase_eval)."""
+            inv4pi = 0.07957747154594767
+
+            def hg(g):
+                g_safe = jnp.where(jnp.abs(g) < 1e-3,
+                                   jnp.where(g < 0, -1e-3, 1e-3), g)
+                den = 1.0 + g_safe * g_safe - 2.0 * g_safe * cos_t
+                den = jnp.maximum(den, 1e-8)
+                return (inv4pi * (1.0 - g_safe * g_safe)
+                        / (den * jnp.sqrt(den)))
+
+            iso = f0 + inv4pi
+            dual = pwv * hg(pg1) + (1.0 - pwv) * hg(pg2)
+            ray = 0.75 * inv4pi * (1.0 + cos_t * cos_t)
+            out = iso
+            out = jnp.where(pty == float(T.PHASE_HG), hg(pg1), out)
+            out = jnp.where(pty == float(T.PHASE_DUAL_HG), dual, out)
+            out = jnp.where(pty == float(T.PHASE_RAYLEIGH), ray, out)
+            return out
+
+        def walk_transmittance(wox, woy, woz, wdx, wdy, wdz, dist, med0,
+                               need):
+            """NEE shadow transmittance through ≤ MAX_CROSSINGS null
+            interfaces (volume_pt.transmittance_estimate): per-segment
+            analytic homogeneous transmittance, opaque hit → 0, medium
+            toggled per crossing by object identity."""
+            trr = trg = trb = f1
+            cur = med0
+            rem = dist
+            alive = need
+            cox, coy, coz = wox, woy, woz
+            for _ in range(4):  # volume_pt.MAX_CROSSINGS
+                h = walk_closest(cox, coy, coz, wdx, wdy, wdz, alive)
+                st_r, st_g, st_b = medium_sigma_t(cur)
+                seg = jnp.minimum(jnp.where(h["hit"], h["t"], rem), rem)
+                inm = (cur >= 0.0) & alive
+                trr = trr * jnp.where(inm, jnp.exp(-st_r * seg), 1.0)
+                trg = trg * jnp.where(inm, jnp.exp(-st_g * seg), 1.0)
+                trb = trb * jnp.where(inm, jnp.exp(-st_b * seg), 1.0)
+                hit_sf = h["hit"] & (h["t"] < rem * (1.0 - 1e-3)) & alive
+                med_obj, nulf = h["mn"]
+                is_null = nulf > 0.5
+                blocked = hit_sf & ~is_null
+                zf = jnp.where(blocked, 0.0, 1.0)
+                trr, trg, trb = trr * zf, trg * zf, trb * zf
+                crossed = hit_sf & is_null
+                toggled = jnp.where(cur == med_obj, f0 - 1.0, med_obj)
+                cur = jnp.where(crossed & (med_obj >= 0.0), toggled, cur)
+                t_step = jnp.where(h["hit"], h["t"], rem)
+                adv = t_step + 1e-3
+                cox = jnp.where(crossed, cox + adv * wdx, cox)
+                coy = jnp.where(crossed, coy + adv * wdy, coy)
+                coz = jnp.where(crossed, coz + adv * wdz, coz)
+                rem = jnp.where(crossed, rem - t_step, rem)
+                alive = alive & crossed & (rem > 1e-4)
+            return trr, trg, trb
 
     # ---------------- the bounce loop --------------------------------------
     def bounce_cond(cr):
         return (cr[0] < max_depth) & jnp.any(cr[15] > 0.5)
 
+    D1 = max_depth + 1
+
     def bounce_body(cr):
         (bounce, sx, sy, o_x, o_y, o_z, d_x, d_y, d_z,
          tr, tg, tb, Lr, Lg, Lb, act, prev_pdf, prev_delta, n_diff,
-         n_spec, n_trans) = cr
+         n_spec, n_trans, mdx, mdy, mdz, mtr, mtg, mtb, wl,
+         tex_state) = cr
+        if textured:
+            A, rec, mbv = tex_state
+            A = list(A)
+            rec = list(rec)
 
         hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
         hit_ok = hit["hit"] & (act > 0.5)
+        if textured and has_env:
+            missed_t = (act > 0.5) & ~hit["hit"]
+            mbv = jnp.where(missed_t, f0 + bounce.astype(jnp.float32), mbv)
+        if has_env:
+            # environment miss record: each lane escapes at most once (it
+            # dies right after), so a plain first-write blend captures the
+            # miss direction + throughput; the XLA epilogue in
+            # trace_megakernel resolves radiance (emitters.env_radiance)
+            # with MIS weight 1 — env directions are never NEE-sampled
+            # in-kernel, so BSDF sampling is the sole strategy for them.
+            missed = (act > 0.5) & ~hit["hit"]
+            mdx = jnp.where(missed, d_x, mdx)
+            mdy = jnp.where(missed, d_y, mdy)
+            mdz = jnp.where(missed, d_z, mdz)
+            mtr = jnp.where(missed, tr, mtr)
+            mtg = jnp.where(missed, tg, mtg)
+            mtb = jnp.where(missed, tb, mtb)
         t_safe = jnp.where(hit_ok, hit["t"], 1.0)
         px_ = o_x + t_safe * d_x
         py_ = o_y + t_safe * d_y
@@ -760,17 +1048,33 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         # ---- emitter-hit MIS ------------------------------------------
         eid_hit = hit["eid"]
         cos_l = -(d_x * ngx + d_y * ngy + d_z * ngz)
-        hem_r, hem_g, hem_b, hpmf, _, _, _, _, _ = emitter_lookup(eid_hit)
+        (hem_r, hem_g, hem_b, hpmf, _, _, _, _, _,
+         hfall) = emitter_lookup(eid_hit)
         pdf_l = hpmf * hit["inva"] * (t_safe * t_safe) / jnp.maximum(cos_l, 1e-6)
         rmis = pdf_l / jnp.maximum(prev_pdf, 1e-12)
         w_hit = jnp.where(prev_delta > 0.5, 1.0,
                           jnp.where(prev_pdf > 0.0,
                                     1.0 / (1.0 + rmis * rmis), 0.0))
-        emit_m = hit_ok & (eid_hit > 0.5) & (cos_l > 1e-6)
+        # AREA_SPOT cone gate on the hit side (emitters.py:39-52): Le is
+        # zero outside the cone, matching the NEE gate so MIS stays exact
+        emit_m = (hit_ok & (eid_hit > 0.5) & (cos_l > 1e-6)
+                  & (cos_l >= hfall))
         emw = jnp.where(emit_m, w_hit, 0.0)
-        Lr = Lr + tr * hem_r * emw
-        Lg = Lg + tg * hem_g * emw
-        Lb = Lb + tb * hem_b * emw
+        if textured:
+            # deferred-texture epilogue: the emitter-hit contribution at
+            # bounce k carries the kd-texture factors of bounces < k, so
+            # it lands in group k (static blend — bounce is tile-uniform)
+            for kb in range(max_depth):
+                mkb = bounce == kb
+                A[kb] = A[kb] + jnp.where(mkb, tr * hem_r * emw, 0.0)
+                A[D1 + kb] = A[D1 + kb] + jnp.where(
+                    mkb, tg * hem_g * emw, 0.0)
+                A[2 * D1 + kb] = A[2 * D1 + kb] + jnp.where(
+                    mkb, tb * hem_b * emw, 0.0)
+        else:
+            Lr = Lr + tr * hem_r * emw
+            Lg = Lg + tg * hem_g * emw
+            Lb = Lb + tb * hem_b * emw
 
         # ---- material lookup (in-kernel make_ctx, bsdf/eval.py:43-74) ---
         bidv = hit["bid"]
@@ -783,6 +1087,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         axv = f0 + 1e-4
         ayv = f0 + 1e-4
         thv = f0
+        cav = f0 + 1.5
+        cbv = f0
         btypev = f0
         for bi in range(n_bsdfs):
             ra = brows[pl.ds((2 * bi) // SLOTS, 1), :]
@@ -810,6 +1116,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             kkg = jnp.where(m, _f(rb, sb2 + 4), kkg)
             kkb = jnp.where(m, _f(rb, sb2 + 5), kkb)
             thv = jnp.where(m, _f(rb, sb2 + 6), thv)
+            if has_disp:
+                cav = jnp.where(m, _f(rb, sb2 + 7), cav)
+                cbv = jnp.where(m, _f(rb, sb2 + 8), cbv)
         is_lam = btypev == float(T.BSDF_LAMBERTIAN)
         is_spec = btypev == float(T.BSDF_SPECULAR)
         is_tr = btypev == float(T.BSDF_TRANSLUCENT)
@@ -818,6 +1127,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         is_rd = btypev == float(T.BSDF_GGX_DIELECTRIC)
         is_on = btypev == float(T.BSDF_OREN_NAYAR)
         is_fwd = btypev == float(T.BSDF_FORWARD)
+        is_dsp = (btypev == float(T.BSDF_DISPERSION)) if has_disp else None
 
         # nl = shading normal flipped toward wo (bsdf/eval.py:_flip_to)
         wo_dot_n = -(d_x * nsx + d_y * nsy + d_z * nsz)  # = cos_signed
@@ -943,7 +1253,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 eid_sel = eid_sel + jnp.where(ef["cdf"] < u_sel, 1.0, 0.0)
             eid_sel = jnp.clip(eid_sel, 1.0, float(n_eslots - 1))
             (sem_r, sem_g, sem_b, spmf, setype, spx_, spy_, spz_,
-             skmax) = emitter_lookup(eid_sel)
+             skmax, sfall) = emitter_lookup(eid_sel)
             sel_pdf = jnp.maximum(spmf, 1e-12)
 
             # area prim pick: count slots of this emitter with cdf < u_prim
@@ -1016,9 +1326,15 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             es_dy = jnp.where(is_point, tpy * inv_pd, ldy)
             es_dz = jnp.where(is_point, tpz * inv_pd, ldz)
             es_dist = jnp.where(is_point, pdist, ldist)
-            le_r = jnp.where(is_point, sem_r * inv_r2, sem_r)
-            le_g = jnp.where(is_point, sem_g * inv_r2, sem_g)
-            le_b = jnp.where(is_point, sem_b * inv_r2, sem_b)
+            # AREA_SPOT cone gate on the NEE side (emitters.py:150-155):
+            # radiance zero outside the cone; the pdf is unchanged
+            cone_ok = is_point | (lcos >= sfall)
+            le_r = jnp.where(is_point, sem_r * inv_r2,
+                             jnp.where(cone_ok, sem_r, 0.0))
+            le_g = jnp.where(is_point, sem_g * inv_r2,
+                             jnp.where(cone_ok, sem_g, 0.0))
+            le_b = jnp.where(is_point, sem_b * inv_r2,
+                             jnp.where(cone_ok, sem_b, 0.0))
             es_pdf = jnp.where(is_point, sel_pdf, pdf_area)
             le_max = jnp.maximum(le_r, jnp.maximum(le_g, le_b))
             es_valid = ((is_point | front) & (setype != float(T.EMITTER_NULL))
@@ -1184,16 +1500,63 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         f_max = jnp.maximum(f_r, jnp.maximum(f_g, f_b))
         nee_ok = need & ~occ & (f_max > 0.0)
         scale = jnp.where(nee_ok, w_nee * inv_density, 0.0)
-        Lr = Lr + tr * f_r * le_r * scale
-        Lg = Lg + tg * f_g * le_g * scale
-        Lb = Lb + tb * f_b * le_b * scale
+        if textured:
+            # NEE at bounce k reflects off surface k, so it also carries
+            # bounce k's own kd-texture factor -> group k+1. The texture
+            # record of bounce k (bid, uv) is blended in here too.
+            for kb in range(max_depth):
+                mkb = bounce == kb
+                A[kb + 1] = A[kb + 1] + jnp.where(
+                    mkb, tr * f_r * le_r * scale, 0.0)
+                A[D1 + kb + 1] = A[D1 + kb + 1] + jnp.where(
+                    mkb, tg * f_g * le_g * scale, 0.0)
+                A[2 * D1 + kb + 1] = A[2 * D1 + kb + 1] + jnp.where(
+                    mkb, tb * f_b * le_b * scale, 0.0)
+                mrec = mkb & hit_ok
+                rec[kb] = jnp.where(mrec, bidv, rec[kb])
+                rec[D1 + kb] = jnp.where(mrec, hit["uv"][0], rec[D1 + kb])
+                rec[2 * D1 + kb] = jnp.where(mrec, hit["uv"][1],
+                                             rec[2 * D1 + kb])
+        else:
+            Lr = Lr + tr * f_r * le_r * scale
+            Lg = Lg + tg * f_g * le_g * scale
+            Lb = Lb + tb * f_b * le_b * scale
 
         # ---- BSDF sample (draw order bsdf/eval.py:276-278) ---------------
         sx, sy = _pcg2d(sx, sy)
         u_d0, u_d1 = _u01(sx), _u01(sy)
         sx, sy = _pcg2d(sx, sy)
         u_lobe = _u01(sx)
-        sx, sy = _pcg2d(sx, sy)  # u_wl (no dispersion in the envelope)
+        sx, sy = _pcg2d(sx, sy)  # u_wl (consumed only by dispersion lanes)
+        if has_disp:
+            from ...bsdf import spectral
+
+            # wavelength lock (bsdf/eval.py:456-480): first dispersive hit
+            # samples wl uniform in [WL_MIN, WL_MAX] from the in-stream
+            # draw (the composed path's golden-ratio stratum is a variance
+            # tweak with the same uniform marginal — both unbiased) and
+            # tints by the mean-one CIE weight; later hits reuse the lock.
+            u_wl = _u01(sx)
+            wl_fresh = (spectral.WL_MIN
+                        + u_wl * (spectral.WL_MAX - spectral.WL_MIN))
+            first_disp = wl <= 0.0
+            wl_use = jnp.where(first_disp, wl_fresh, wl)
+            wl_um2 = (wl_use * 1e-3) ** 2
+            ior_wl = cav + cbv / jnp.maximum(wl_um2, 1e-6)
+            xf, yf, zf = spectral.xyz_fit(wl_use)
+            import numpy as _np
+
+            M3 = _np.asarray(spectral._XYZ_TO_SRGB)
+            NRM = _np.asarray(spectral._NORM)
+            rgb_r = (float(M3[0, 0]) * xf + float(M3[0, 1]) * yf
+                     + float(M3[0, 2]) * zf) * float(NRM[0])
+            rgb_g = (float(M3[1, 0]) * xf + float(M3[1, 1]) * yf
+                     + float(M3[1, 2]) * zf) * float(NRM[1])
+            rgb_b = (float(M3[2, 0]) * xf + float(M3[2, 1]) * yf
+                     + float(M3[2, 2]) * zf) * float(NRM[2])
+            iorv_d = jnp.where(is_dsp, ior_wl, iorv)
+        else:
+            iorv_d = iorv
 
         # cosine hemisphere around nl (lambertian)
         phi = _TWO_PI * u_d0
@@ -1214,8 +1577,10 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         wml = jax.lax.rsqrt(wmx * wmx + wmy * wmy + wmz * wmz + 1e-20)
         wmx, wmy, wmz = wmx * wml, wmy * wml, wmz * wml
 
-        # smooth dielectric (bsdf/eval.py:316-331): Fresnel lobe choice
-        eta_rel = jnp.where(entering, iorv, 1.0 / jnp.maximum(iorv, 1e-4))
+        # smooth dielectric (bsdf/eval.py:316-331): Fresnel lobe choice.
+        # iorv_d carries the per-lane Cauchy ior on dispersion lanes.
+        eta_rel = jnp.where(entering, iorv_d,
+                            1.0 / jnp.maximum(iorv_d, 1e-4))
         ci_t = jnp.clip(jnp.abs(wo_dot_n), 0.0, 1.0)
         sin2_t = (1.0 - ci_t * ci_t) / jnp.maximum(eta_rel * eta_rel, 1e-8)
         tir = sin2_t >= 1.0
@@ -1358,11 +1723,14 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         on_s = oren_nayar(wo_lz, cth, wo_lx * loc_x + wo_ly * loc_y)
 
         # ---- family selects: wi, weight, pdf, delta, lobe ----------------
-        use_mirror = is_spec | (is_tr & refl_t) | (is_pla & take_spec_p)
+        # dispersion rides the smooth-dielectric geometry with its per-lane
+        # Cauchy eta (folded in via iorv_d above) + the CIE tint below
+        is_trl = (is_tr | is_dsp) if has_disp else is_tr
+        use_mirror = is_spec | (is_trl & refl_t) | (is_pla & take_spec_p)
         wix = jnp.where(use_mirror, wmx, wix)
         wiy = jnp.where(use_mirror, wmy, wiy)
         wiz = jnp.where(use_mirror, wmz, wiz)
-        tr_refr = is_tr & ~refl_t
+        tr_refr = is_trl & ~refl_t
         wix = jnp.where(tr_refr, wtx, wix)
         wiy = jnp.where(tr_refr, wty, wiy)
         wiz = jnp.where(tr_refr, wtz, wiz)
@@ -1401,6 +1769,14 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         w_r = jnp.where(is_fwd, 1.0, w_r)
         w_g = jnp.where(is_fwd, 1.0, w_g)
         w_b = jnp.where(is_fwd, 1.0, w_b)
+        if has_disp:
+            # CIE tint on the FIRST dispersive event (bsdf/eval.py:469-474);
+            # subsequent hits of the locked path carry weight ks only
+            tint = is_dsp & first_disp
+            w_r = jnp.where(tint, w_r * rgb_r, w_r)
+            w_g = jnp.where(tint, w_g * rgb_g, w_g)
+            w_b = jnp.where(tint, w_b * rgb_b, w_b)
+            wl = jnp.where(hit_ok & is_dsp, wl_use, wl)
         tr2 = tr * w_r
         tg2 = tg * w_g
         tb2 = tb * w_b
@@ -1411,7 +1787,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         tr2 = jnp.where(jnp.isfinite(tr2), tr2, 0.0)
         tg2 = jnp.where(jnp.isfinite(tg2), tg2, 0.0)
         tb2 = jnp.where(jnp.isfinite(tb2), tb2, 0.0)
-        is_delta = is_spec | is_tr | (is_pla & take_spec_p) | is_fwd
+        is_delta = is_spec | is_trl | (is_pla & take_spec_p) | is_fwd
 
         # new origin offset along ng toward wi
         gdir2 = ngx * wix + ngy * wiy + ngz * wiz
@@ -1422,9 +1798,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
         # per-lobe caps (path_tracer.py:365-372)
         lobe_diff = is_lam | is_on | (is_pla & ~take_spec_p)
-        lobe_spec = (is_spec | is_ggx | (is_tr & refl_t)
+        lobe_spec = (is_spec | is_ggx | (is_trl & refl_t)
                      | (is_pla & take_spec_p) | (is_rd & refl_rd))
-        lobe_trans = (is_tr & ~refl_t) | (is_rd & ~refl_rd) | is_fwd
+        lobe_trans = (is_trl & ~refl_t) | (is_rd & ~refl_rd) | is_fwd
         n_diff2 = n_diff + jnp.where(hit_ok & lobe_diff, 1.0, 0.0)
         n_spec2 = n_spec + jnp.where(hit_ok & lobe_spec, 1.0, 0.0)
         n_trans2 = n_trans + jnp.where(hit_ok & lobe_trans, 1.0, 0.0)
@@ -1453,16 +1829,36 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         prev_delta2 = jnp.where(act2, jnp.where(is_delta, 1.0, 0.0),
                                 prev_delta)
 
+        tex_state2 = ((tuple(A), tuple(rec), mbv) if textured else ())
         return (bounce + 1, sx, sy, o_x2, o_y2, o_z2, wix, wiy, wiz,
                 tr2, tg2, tb2, Lr, Lg, Lb, actf, prev_pdf2, prev_delta2,
-                n_diff2, n_spec2, n_trans2)
+                n_diff2, n_spec2, n_trans2, mdx, mdy, mdz, mtr, mtg, mtb,
+                wl, tex_state2)
 
+    if textured:
+        tex0 = (tuple(f0 for _ in range(3 * D1)),
+                tuple((f0 - 1.0) if i < D1 else f0 for i in range(3 * D1)),
+                f0)
+    else:
+        tex0 = ()
     init = (jnp.int32(0), sx0, sy0, o_x0, o_y0, o_z0, d_x0, d_y0, d_z0,
-            f1, f1, f1, f0, f0, f0, f1, f1, f1, f0, f0, f0)
+            f1, f1, f1, f0, f0, f0, f1, f1, f1, f0, f0, f0,
+            f0, f0, f1, f0, f0, f0, f0, tex0)
     out = jax.lax.while_loop(bounce_cond, bounce_body, init)
     out_r[:] = out[12]
     out_g[:] = out[13]
     out_b[:] = out[14]
+    if has_env:
+        for i, ref in enumerate(env_outs):
+            ref[:] = out[21 + i]
+    if textured:
+        A_f, rec_f, mb_f = out[28]
+        for c in range(3):
+            for kb in range(D1):
+                out_A[c][0, kb] = A_f[c * D1 + kb][0]
+                out_rec[c][0, kb] = rec_f[c * D1 + kb][0]
+        if has_env:
+            out_mb[:] = mb_f
 
 
 # Global interpret default (CPU tests flip it), mirroring traverse_kernel.
@@ -1475,6 +1871,30 @@ AUTO_COMPACT_BYTES = 2 * 1024 * 1024
 
 
 T9_PER_ROW = 14  # 14 prims x 9 fields = 126 of 128 lanes
+UV_PER_ROW = 21  # 21 prims x 6 uv fields = 126 of 128 lanes
+
+
+def pack_uvs(geom) -> jnp.ndarray:
+    """Per-vertex texture uvs, f32, 6 fields x 21 prims per 128-lane row
+    (textured scenes only; the leaf interpolates uv for the winning prim
+    exactly like the composed surface_interaction)."""
+    import numpy as np
+
+    uv0 = np.asarray(geom.uv0, np.float32)
+    uv1 = np.asarray(geom.uv1, np.float32)
+    uv2 = np.asarray(geom.uv2, np.float32)
+    M = uv0.shape[0]
+    Mp = -(-max(M, 1) // UV_PER_ROW) * UV_PER_ROW + 2 * UV_PER_ROW
+
+    def pad(c):
+        return np.concatenate([c, np.zeros(Mp - M, np.float32)])
+
+    cols = [pad(uv0[:, 0]), pad(uv0[:, 1]), pad(uv1[:, 0]),
+            pad(uv1[:, 1]), pad(uv2[:, 0]), pad(uv2[:, 1])]
+    arr = np.stack(cols, axis=1).reshape(Mp // UV_PER_ROW, UV_PER_ROW * 6)
+    out = np.zeros((arr.shape[0], 128), np.float32)
+    out[:, : UV_PER_ROW * 6] = arr
+    return jnp.asarray(out)
 
 
 def pack_prims_t9(geom) -> jnp.ndarray:
@@ -1528,6 +1948,7 @@ def pack_attrs_bf16(scene: T.Scene) -> jnp.ndarray:
         c = np.asarray(c, np.float32)
         return np.concatenate([c, np.full(Mp - M, pv, np.float32)])
 
+    med, nul = _prim_medium_null(scene)
     cols = [
         tk._pack2(pad(n0[:, 0]), pad(n0[:, 1])),
         tk._pack2(pad(n0[:, 2]), pad(n1[:, 0])),
@@ -1536,7 +1957,7 @@ def pack_attrs_bf16(scene: T.Scene) -> jnp.ndarray:
         tk._pack2(pad(n2[:, 2]), pad(sph)),
         tk._pack2(pad(eid), pad(bid.astype(np.float32))),
         pad(inv_a),
-        np.zeros(Mp, np.float32),
+        tk._pack2(pad(med, -1.0), pad(nul)),
     ]
     arr = np.stack(cols, axis=1)  # (Mp, 8)
     return jnp.asarray(arr.reshape(Mp // per_row, per_row * (SLOT_F // 2)))
@@ -1549,12 +1970,17 @@ class MKPack:
     aux_data so packs pass through jit/shard_map boundaries unchanged."""
 
     def __init__(self, arrays, node_fmt="f32", attr_fmt="f32",
-                 tri_only=False, prim_fmt="f32"):
+                 tri_only=False, prim_fmt="f32", has_env=False,
+                 has_disp=False, textured=False, has_media=False):
         self.arrays = dict(arrays)
         self.node_fmt = node_fmt
         self.attr_fmt = attr_fmt
         self.prim_fmt = prim_fmt
         self.tri_only = bool(tri_only)
+        self.has_env = bool(has_env)
+        self.has_disp = bool(has_disp)
+        self.textured = bool(textured)
+        self.has_media = bool(has_media)
 
     def __getitem__(self, k):
         return self.arrays[k]
@@ -1572,17 +1998,19 @@ class MKPack:
         keys = tuple(sorted(self.arrays))
         return (tuple(self.arrays[k] for k in keys),
                 (keys, self.node_fmt, self.attr_fmt, self.tri_only,
-                 self.prim_fmt))
+                 self.prim_fmt, self.has_env, self.has_disp,
+                 self.textured, self.has_media))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, nf, af, to, pf = aux
-        return cls(dict(zip(keys, children)), nf, af, to, pf)
+        keys, nf, af, to, pf, he, hd, tx, hm = aux
+        return cls(dict(zip(keys, children)), nf, af, to, pf, he, hd, tx,
+                   hm)
 
 
 def make_pack(scene: T.Scene, node_fmt: str | None = None,
               attr_fmt: str | None = None,
-              prim_fmt: str | None = None) -> MKPack:
+              prim_fmt: str | None = None, vpt: bool = False) -> MKPack:
     """Host-side scene pack for the fused kernel (concrete arrays required:
     the emitter packing inspects CDF padding with numpy). Formats default to
     f32 below AUTO_COMPACT_BYTES and compact above — bf16 node boxes are
@@ -1613,7 +2041,37 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
         "eprims": pack_emitter_prims(scene),
         "brows": pack_bsdfs(scene),
     }
-    return MKPack(arrays, node_fmt, attr_fmt, tri_only, prim_fmt)
+    env_id = int(np.asarray(scene.env_emitter))
+    has_env = env_id > 0
+    if has_env:
+        # epilogue inputs (XLA side, never enter the kernel): env emitter
+        # params + the texture atlas (referenced, not copied — same device
+        # buffers as the scene)
+        e = scene.emitters
+        arrays["env_extra"] = jnp.asarray(e.extra[env_id], jnp.float32)
+        arrays["env_base"] = jnp.asarray(
+            e.emission[env_id] * e.scaler[env_id], jnp.float32)
+        arrays["env_tid"] = jnp.asarray(e.tex_id[env_id], jnp.int32)
+        arrays["tex_texels"] = scene.textures.texels
+        arrays["tex_offset"] = scene.textures.offset
+        arrays["tex_width"] = scene.textures.width
+        arrays["tex_height"] = scene.textures.height
+    tids = np.asarray(scene.bsdfs.tex_ids)
+    textured = bool(tids.size) and bool((tids[:, T.TEX_DIFFUSE] >= 0).any())
+    if textured:
+        arrays["auv"] = pack_uvs(scene.geom)
+        arrays["tdiff"] = jnp.asarray(tids[:, T.TEX_DIFFUSE], jnp.int32)
+        arrays.setdefault("tex_texels", scene.textures.texels)
+        arrays.setdefault("tex_offset", scene.textures.offset)
+        arrays.setdefault("tex_width", scene.textures.width)
+        arrays.setdefault("tex_height", scene.textures.height)
+    has_disp = T.BSDF_DISPERSION in set(scene.present_bsdfs)
+    has_media = bool(vpt) and (
+        int(np.asarray(scene.objects.medium_in).max(initial=-1)) >= 0)
+    if has_media:
+        arrays["mrow"] = pack_media(scene)
+    return MKPack(arrays, node_fmt, attr_fmt, tri_only, prim_fmt, has_env,
+                  has_disp, textured, has_media)
 
 
 def trace_megakernel(pack, md, o, d, rng, max_leaf: int = 4,
@@ -1630,6 +2088,8 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int = 4,
         interpret = INTERPRET
     if tile is None:
         tile = TILE
+    if pack.textured:
+        tile = min(tile, 4096)  # bound the per-bounce group VMEM
     B = o.shape[0]
     # shrink to the batch (multiple of 1024 keeps R a sublane multiple of 8)
     tile = max(min(tile, -(-B // 1024) * 1024), 1024)
@@ -1661,40 +2121,142 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int = 4,
                             memory_space=pltpu.VMEM)
 
     brows = pack["brows"]
-    args = (nodes, prims, attrs, erow, eprims, brows,
-            c2(o_p, 0), c2(o_p, 1), c2(o_p, 2),
-            c2(d_p, 0), c2(d_p, 1), c2(d_p, 2),
-            c2(rng_p, 0), c2(rng_p, 1))
-    in_specs = [full_spec(nodes), full_spec(prims), full_spec(attrs),
-                full_spec(erow), full_spec(eprims),
-                full_spec(brows)] + [ray_spec] * 8
-    out_specs = (ray_spec, ray_spec, ray_spec)
-    out_shape = tuple(
-        jax.ShapeDtypeStruct((T_, R, 128), jnp.float32) for _ in range(3)
-    )
+    D1 = int(md.max_depth) + 1
+    scene_args = [nodes, prims, attrs, erow, eprims, brows]
+    scene_specs = [full_spec(nodes), full_spec(prims), full_spec(attrs),
+                   full_spec(erow), full_spec(eprims), full_spec(brows)]
+    if pack.has_media:
+        scene_args.append(pack["mrow"])
+        scene_specs.append(full_spec(pack["mrow"]))
+    if pack.textured:
+        scene_args.append(pack["auv"])
+        scene_specs.append(full_spec(pack["auv"]))
+    args = tuple(scene_args) + (
+        c2(o_p, 0), c2(o_p, 1), c2(o_p, 2),
+        c2(d_p, 0), c2(d_p, 1), c2(d_p, 2),
+        c2(rng_p, 0), c2(rng_p, 1))
+    in_specs = scene_specs + [ray_spec] * 8
+    A_spec = pl.BlockSpec((1, D1, R, 128), lambda t: (t, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    A_shape = jax.ShapeDtypeStruct((T_, D1, R, 128), jnp.float32)
+    ray_shape = jax.ShapeDtypeStruct((T_, R, 128), jnp.float32)
+    out_specs = [ray_spec] * 3
+    out_shape = [ray_shape] * 3
+    if pack.has_env:
+        out_specs += [ray_spec] * 6
+        out_shape += [ray_shape] * 6
+    if pack.textured:
+        out_specs += [A_spec] * 6
+        out_shape += [A_shape] * 6
+        if pack.has_env:
+            out_specs += [ray_spec]
+            out_shape += [ray_shape]
     n_bsdfs = pack["brows"].shape[0] * SLOTS // 2
+    if pack.has_media and int(nee_candidates) != 1:
+        raise ValueError("fused VPT supports nee_candidates=1")
     kern = functools.partial(
         _kernel, int(md.max_depth), int(md.max_diffuse),
         int(md.max_specular), int(md.max_transmit),
+        int(getattr(md, "max_volume", 64)),
         int(max_leaf), rn, MAX_EMITTERS, n_bsdfs, int(nee_candidates),
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
+        pack.has_env, pack.has_disp, pack.textured, pack.has_media,
+        MAX_MEDIA,
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:
         cparams = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_bytes))
-    lr, lg, lb = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(T_,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         **({"compiler_params": cparams} if cparams is not None else {}),
     )(*args)
-    L = jnp.stack([lr.reshape(-1)[:B], lg.reshape(-1)[:B],
-                   lb.reshape(-1)[:B]], axis=-1)
+
+    def flat(x):
+        return x.reshape(-1)[:B]
+
+    def flat_d1(x):  # (T_, D1, R, 128) -> (D1, B)
+        return x.transpose(1, 0, 2, 3).reshape(D1, -1)[:, :B]
+
+    L = jnp.stack([flat(outs[0]), flat(outs[1]), flat(outs[2])], axis=-1)
+    idx = 3
+    if pack.has_env:
+        mdir = jnp.stack([flat(outs[idx]), flat(outs[idx + 1]),
+                          flat(outs[idx + 2])], axis=-1)
+        mthp = jnp.stack([flat(outs[idx + 3]), flat(outs[idx + 4]),
+                          flat(outs[idx + 5])], axis=-1)
+        idx += 6
+    if pack.textured:
+        # deferred-texture epilogue: the kernel traced with kd_base only
+        # and recorded (bid, uv) per bounce; contribution group k carries
+        # the product of the first k texture factors. One batched bilinear
+        # gather per bounce (XLA-native) rebuilds the prefixes — per-lane
+        # texel gathers never enter the Pallas kernel.
+        from ...scene import textures as tex
+        from ...scene import types as TT
+
+        Ab = jnp.stack([flat_d1(outs[idx + c]) for c in range(3)],
+                       axis=-1)                              # (D1, B, 3)
+        bidq = flat_d1(outs[idx + 3])
+        uv = jnp.stack([flat_d1(outs[idx + 4]), flat_d1(outs[idx + 5])],
+                       axis=-1)                              # (D1, B, 2)
+        idx += 6
+        tdiff = pack["tdiff"]
+        bid_i = jnp.clip(bidq.astype(jnp.int32), 0, tdiff.shape[0] - 1)
+        tid = jnp.where(bidq >= 0.0, tdiff[bid_i], -1)
+        atlas = TT.TextureAtlas(
+            texels=pack["tex_texels"], offset=pack["tex_offset"],
+            width=pack["tex_width"], height=pack["tex_height"])
+        m = tex.sample_texture(atlas, tid.reshape(-1),
+                               uv.reshape(-1, 2))[..., :3]
+        m = m.reshape(D1, -1, 3)
+        m = jnp.where((tid >= 0)[..., None], m, 1.0)
+        pref = jnp.concatenate(
+            [jnp.ones((1,) + m.shape[1:], jnp.float32),
+             jnp.cumprod(m, axis=0)], axis=0)                # (D1+1, B, 3)
+        L = L + jnp.sum(pref[:D1] * Ab, axis=0)
+        if pack.has_env:
+            mb = flat(outs[idx])
+            g = jnp.clip(mb.astype(jnp.int32) + 1, 0, D1)
+            pref_g = jnp.take_along_axis(
+                pref, g[None, :, None].astype(jnp.int32), axis=0)[0]
+            L = L + pref_g * mthp * _env_radiance(pack, mdir)
+    elif pack.has_env:
+        # XLA epilogue: resolve recorded miss directions against the env
+        # map (exact radiance incl. bilinear texture + rotations) and add
+        # thp * Le with MIS weight 1 — see _kernel's miss-record comment.
+        L = L + mthp * _env_radiance(pack, mdir)
     return L
+
+
+def _env_radiance(pack: "MKPack", d: jnp.ndarray) -> jnp.ndarray:
+    """Environment radiance for (B, 3) directions from the pack's epilogue
+    arrays — same math as emitters.env_radiance (lat-long HDRI, runtime
+    scale/azimuth/zenith rotation, reference src/impl/emitter.cu:26-73)."""
+    from ...scene import textures as tex
+    from ...scene import types as TT
+
+    extra = pack["env_extra"]
+    scale, azimuth, zen = extra[0], extra[1], extra[2]
+    cz, sz = jnp.cos(zen), jnp.sin(zen)
+    dy = d[..., 1] * cz - d[..., 2] * sz
+    dz2 = d[..., 1] * sz + d[..., 2] * cz
+    phi = jnp.arctan2(dz2, d[..., 0]) + azimuth
+    theta = jnp.arccos(jnp.clip(dy, -1.0, 1.0))
+    u = phi / (2.0 * jnp.pi) + 0.5
+    v = theta / jnp.pi
+    uv = jnp.stack([u, v], axis=-1)
+    atlas = TT.TextureAtlas(
+        texels=pack["tex_texels"], offset=pack["tex_offset"],
+        width=pack["tex_width"], height=pack["tex_height"])
+    tid = jnp.broadcast_to(pack["env_tid"], d.shape[:-1])
+    texv = tex.sample_texture(atlas, tid, uv)[..., :3]
+    return texv * pack["env_base"] * jnp.maximum(scale, 0.0)
 
 
 def render_pack(pack: dict, cam, md, spp: int, seed, max_leaf: int = 4,

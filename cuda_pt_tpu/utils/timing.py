@@ -96,6 +96,36 @@ def timeit(fn, *args, reps: int = 3, warm: bool = True,
     return max(ts[len(ts) // 2] - baseline, 0.0)
 
 
+def timeit_stats(fn, *args, reps: int = 5, warm: bool = True,
+                 baseline: float | None = None) -> dict:
+    """Readback-fenced timing with run-to-run spread (VERDICT r3 weak #4:
+    one-shot headline numbers spread ±10% with nothing quantifying it).
+
+    Returns {"median", "mean", "std", "n", "samples"} in seconds, each
+    fence-baseline-subtracted.
+    """
+    import statistics
+
+    if warm:
+        force(fn(*args))
+    if baseline is None:
+        baseline = fence_baseline() if _is_tunnel() else 0.0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        force(out)
+        ts.append(max(time.perf_counter() - t0 - baseline, 0.0))
+    ts.sort()
+    return {
+        "median": ts[len(ts) // 2],
+        "mean": statistics.fmean(ts),
+        "std": statistics.pstdev(ts) if len(ts) > 1 else 0.0,
+        "n": reps,
+        "samples": [round(t, 5) for t in ts],
+    }
+
+
 def loop_cost(step, init, n: int, reps: int = 3):
     """Per-iteration cost of ``step`` via the T(n) - T(n//2) difference.
 

@@ -98,18 +98,22 @@ elif name == "cornell_wf_nosort":
     fn = jax.jit(lambda s, i: wavefront.render(
         s, cam, md, spp=spp, seed=i, use_bvh=True, sort_rays=False, compact=False))
     counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
-elif name in ("bunny_fused", "whiskey_fused"):
-    # mesh scenes through the fused in-kernel megakernel. whiskey_fused is
-    # EXPERIMENTAL: ~10.7 MB resident pack faults the worker in ~half of
-    # sessions (docs/TUNNEL.md §5) — a timeout/crash row is expected data.
+elif name in ("bunny_fused", "whiskey_fused", "kitchen_fused"):
+    # mesh/kitchen-class scenes through the fused in-kernel megakernel.
+    # Round 4 compact packs (bf16 nodes/attrs + t9 prims) brought whiskey
+    # from a ~10.7 MB faulting pack to ~5.3 MB; kitchen rides the deferred
+    # -texture + envmap-epilogue envelope.
     from cuda_pt_tpu.ops.pallas import megakernel as mk
     if backend == "cpu" or jax.default_backend() == "cpu":
         print(json.dumps({"name": name, "backend": "skipped_cpu",
                           "mrays_per_s": 0.0}))
         raise SystemExit(0)
-    base = name.removesuffix("_fused")
     res = min(res_big, 256)
-    scene, cam = from_xml(base + ".xml", res)
+    if name == "kitchen_fused":
+        scene, cam, _ = testscenes.kitchen_stress(width=res, height=res)
+    else:
+        base = name.removesuffix("_fused")
+        scene, cam = from_xml(base + ".xml", res)
     if not mk.megakernel_ok(scene, md):
         print(json.dumps({"name": name, "backend": "outside_envelope",
                           "mrays_per_s": 0.0}))
@@ -176,6 +180,13 @@ elif name == "cornell_grad":
     fn = jax.jit(lambda s, i: grad_fn(params, s, i)[0])
     counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1,
                                               use_bvh=True))
+elif name == "medium_cbox_vpt":
+    # BASELINE.json VPT config: the reference's medium-cbox scene
+    from cuda_pt_tpu.models import volume_pt
+    scene, cam = from_xml("medium-cbox.xml", min(res_big, 256))
+    mdv = MaxDepthParams(max_depth=maxd, max_volume=8)
+    fn = jax.jit(lambda s, i: volume_pt.render(s, cam, mdv, spp=spp, seed=i, use_bvh=True))
+    counter = jax.jit(lambda s: volume_pt.count_rays(s, cam, mdv, spp=spp, seed=1, use_bvh=True))
 elif name == "cornell_vpt":
     from cuda_pt_tpu.models import volume_pt
     scene, cam = cornell_medium(min(res_big, 256))
@@ -257,9 +268,9 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small res/spp")
     ap.add_argument("--scenes", nargs="*", default=[
         "cornell_mega", "cornell_fused", "cornell_wf", "cornell_wf_nosort",
-        "bunny", "bunny_wide", "whiskey", "whiskey_wide", "whiskey_pallas",
-        "kitchen", "kitchen_forest",
-        "cornell_vpt", "cornell_grad",
+        "bunny", "bunny_fused", "whiskey", "whiskey_fused",
+        "kitchen", "kitchen_fused", "vader",
+        "cornell_vpt", "medium_cbox_vpt", "cornell_grad",
     ])
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_DETAILS.json"))
     ap.add_argument("--update-baseline", action="store_true",
@@ -275,8 +286,11 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    import datetime
+
     with open(args.out, "w") as f:
-        json.dump({"rows": rows, "quick": args.quick}, f, indent=1)
+        json.dump({"rows": rows, "quick": args.quick,
+                   "date": datetime.date.today().isoformat()}, f, indent=1)
     print(f"wrote {args.out}")
     if args.update_baseline:
         update_baseline_md(args.out)
@@ -300,17 +314,23 @@ def update_baseline_md(details_path: str):
         " segments + NEE shadow rays, measured by the in-loop ray counter"
         " (`models/path_tracer.py:count_rays`), divided by wall time.",
         "",
-        "| Scene | Backend | Res | spp | Depth | s/frame | Mrays/s | Prims |",
-        "|---|---|---|---|---|---|---|---|",
+        "| Scene | Backend | Res | spp | Depth | s/frame | Mrays/s | Prims | Date |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
+    import datetime
+
+    stamp = data.get("date") or datetime.date.today().isoformat()
     for r in data["rows"]:
-        if r.get("backend") in ("skipped_cpu", "timeout"):
+        if r.get("backend") in ("skipped_cpu", "timeout",
+                                "outside_envelope"):
             lines.append(
-                f"| {r['name']} | {r['backend']} | — | — | — | — | — | — |")
+                f"| {r['name']} | {r['backend']} | — | — | — | — | — | — |"
+                f" {stamp} |")
             continue
         lines.append(
-            "| {name} | {backend} | {res}² | {spp} | {max_depth} | "
-            "{sec_per_frame} | {mrays_per_s} | {prims} |".format(**r))
+            ("| {name} | {backend} | {res}² | {spp} | {max_depth} | "
+             "{sec_per_frame} | {mrays_per_s} | {prims} |").format(**r)
+            + f" {r.get('date', stamp)} |")
     lines += ["", END_MARK]
     block = "\n".join(lines)
 

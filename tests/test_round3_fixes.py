@@ -155,7 +155,31 @@ def test_api_fused_renderer():
 
 
 def test_api_fused_rejects_out_of_envelope():
-    scene, cam, _ = testscenes.furnace(width=8, height=8)
+    # round 4 admitted envmaps, diffuse textures, dispersion and spots —
+    # participating media remain composed-only
+    from cuda_pt_tpu.scene.builder import (BSDFSpec, EmitterSpec,
+                                           MediumSpec, SceneBuilder)
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.core import camera as cam_mod
+
+    b = SceneBuilder()
+    med = b.add_medium(MediumSpec(sigma_a=(0.2, 0.2, 0.2),
+                                  sigma_s=(0.5, 0.5, 0.5)))
+    fog = b.add_bsdf(BSDFSpec(btype=T.BSDF_FORWARD))
+    grey = b.add_bsdf(BSDFSpec(k_d=(0.5, 0.5, 0.5)))
+    e = b.add_emitter(EmitterSpec(etype=T.EMITTER_AREA, emission=(4, 4, 4)))
+    b.add_mesh(testscenes.quad([0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]),
+               grey)
+    b.add_mesh(testscenes.quad([0.3, 0.9, 0.3], [0.7, 0.9, 0.3],
+                               [0.7, 0.9, 0.7], [0.3, 0.9, 0.7]),
+               grey, emitter_id=e)
+    b.add_mesh(testscenes.quad([0, 0.4, 0], [1, 0.4, 0],
+                               [1, 0.4, 1], [0, 0.4, 1]),
+               fog, medium_in=med)
+    scene = b.compile()
+    cam = cam_mod.make_camera(origin=(0.5, 0.5, -1.2),
+                              target=(0.5, 0.2, 0.5), fov=45.0,
+                              width=8, height=8)
     parsed = _as_parsed(scene, cam)
     with pytest.raises(ValueError, match="envelope"):
         Renderer(parsed, traversal="fused")

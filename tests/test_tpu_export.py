@@ -101,3 +101,49 @@ def test_fused_megakernel_lowers(cornell):
                                        interpret=False),
         pack, jnp.int32(0),
     )
+
+
+def test_fused_env_textured_disp_lowers():
+    """Round-4 fused variants (envmap epilogue, deferred textures,
+    dispersion, compact bf16/t9 pack) must pass AOT TPU lowering."""
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+
+    scene, cam, _ = testscenes.kitchen_stress(width=16, height=16, grid=2,
+                                              ns=6, nt=4)
+    md = MaxDepthParams(max_depth=4)
+    assert mk.megakernel_ok(scene, md)
+    pack = mk.make_pack(scene)
+    assert pack.textured and pack.has_env and pack.has_disp
+    _lowers(
+        lambda p, seed: mk.render_pack(p, cam, md, spp=1, seed=seed,
+                                       max_leaf=int(scene.bvh.max_leaf),
+                                       interpret=False),
+        pack, jnp.int32(0),
+    )
+
+
+def test_fused_compact_pack_lowers():
+    """bf16 nodes + bf16 attrs + t9 prims (the whiskey-class compact
+    format) through the fused kernel's AOT TPU lowering."""
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=3)
+    # cornell has a sphere -> t9 not allowed; use bf16 nodes+attrs there
+    pack = mk.make_pack(scene, node_fmt="bf16", attr_fmt="bf16")
+    _lowers(
+        lambda p, seed: mk.render_pack(p, cam, md, spp=1, seed=seed,
+                                       max_leaf=int(scene.bvh.max_leaf),
+                                       interpret=False),
+        pack, jnp.int32(0),
+    )
+    tscene, tcam, _ = testscenes.kitchen_stress(width=16, height=16,
+                                                grid=2, ns=6, nt=4)
+    tpack = mk.make_pack(tscene, node_fmt="bf16", attr_fmt="bf16",
+                         prim_fmt="t9")
+    _lowers(
+        lambda p, seed: mk.render_pack(p, tcam, md, spp=1, seed=seed,
+                                       max_leaf=int(tscene.bvh.max_leaf),
+                                       interpret=False),
+        tpack, jnp.int32(0),
+    )
