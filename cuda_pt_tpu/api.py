@@ -99,9 +99,12 @@ class Renderer:
             else:
                 max_lanes_per_call = 0
         self.max_lanes_per_call = int(max_lanes_per_call)
+        self._mk_vpt = self.rtype == RendererType.VOLUME_PT
         if (not self._mk_requested and traversal is None
-                and self.rtype == RendererType.MEGAKERNEL_PT
+                and self.rtype in (RendererType.MEGAKERNEL_PT,
+                                   RendererType.VOLUME_PT)
                 and self.sampler == "pcg"
+                and (self.nee_candidates == 1 or not self._mk_vpt)
                 and jax.default_backend() != "cpu"
                 and not os.environ.get("CUDA_PT_NO_FUSED")):
             # nee_candidates > 1 stays fused: RIS runs IN the kernel and is
@@ -116,22 +119,28 @@ class Renderer:
 
             # strict adds the whiskey-scale stability cap (flaky worker
             # faults at ~10 MB resident packs — megakernel.py)
-            if mk.megakernel_ok(self.scene, self.md, strict=True):
+            if mk.megakernel_ok(self.scene, self.md, strict=True,
+                                renderer="vpt" if self._mk_vpt else "pt"):
                 self._mk_requested = True
         if self._mk_requested:
             # fully-fused Pallas megakernel (ops/pallas/megakernel.py)
             from .ops.pallas import megakernel as mk
 
-            if self.rtype != RendererType.MEGAKERNEL_PT:
+            if self.rtype not in (RendererType.MEGAKERNEL_PT,
+                                  RendererType.VOLUME_PT):
                 raise ValueError("traversal='fused' requires the megakernel "
-                                 f"PT renderer, got {self.rtype}")
+                                 f"PT or volume PT renderer, got {self.rtype}")
             if self.sampler != "pcg":
                 raise ValueError("traversal='fused' supports sampler='pcg'")
-            if not mk.megakernel_ok(self.scene, self.md):
+            if self._mk_vpt and self.nee_candidates != 1:
+                raise ValueError("fused VPT supports nee_candidates=1")
+            if not mk.megakernel_ok(self.scene, self.md,
+                                    renderer="vpt" if self._mk_vpt
+                                    else "pt"):
                 raise ValueError(
                     "scene outside the fused-megakernel envelope "
                     "(see ops/pallas/megakernel.megakernel_ok)")
-            self._mk_pack = mk.make_pack(self.scene)
+            self._mk_pack = mk.make_pack(self.scene, vpt=self._mk_vpt)
         self._render_1spp = self._build()
 
     # -- compiled 1-spp pass ----------------------------------------------
@@ -142,6 +151,22 @@ class Renderer:
         sampler = self.sampler
         nee_m = self.nee_candidates
 
+        if self._mk_pack is not None:
+            from .core import qmc
+            from .ops.pallas import megakernel as mk
+
+            pack = self._mk_pack
+            ml = int(self.scene.bvh.max_leaf)
+
+            def f(scene, cam, seed, idx):
+                B = cam.width * cam.height
+                lane = jnp.arange(B, dtype=jnp.int32)
+                rng = qmc.make_state("pcg", seed, lane, idx)
+                o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+                L = mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
+                                        nee_candidates=nee_m)
+                return L.reshape(cam.height, cam.width, 3)
+            return jax.jit(f)
         if rt == RendererType.WAVEFRONT_PT:
             def f(scene, cam, seed, idx):
                 return wavefront.render_sample(
@@ -176,21 +201,6 @@ class Renderer:
             def f(scene, cam, seed, idx):
                 img, _ = debug_renderers.render_bvh_cost(scene, cam)
                 return img
-        elif self._mk_pack is not None:
-            from .core import qmc
-            from .ops.pallas import megakernel as mk
-
-            pack = self._mk_pack
-            ml = int(self.scene.bvh.max_leaf)
-
-            def f(scene, cam, seed, idx):
-                B = cam.width * cam.height
-                lane = jnp.arange(B, dtype=jnp.int32)
-                rng = qmc.make_state("pcg", seed, lane, idx)
-                o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-                L = mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
-                                        nee_candidates=nee_m)
-                return L.reshape(cam.height, cam.width, 3)
         else:
             def f(scene, cam, seed, idx):
                 return pt.render_sample(scene, cam, md, seed, idx, use_bvh,

@@ -128,9 +128,13 @@ def _tile_state_bytes(tile: int = None, d1: int = 6,
     return base
 
 
-def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
+def megakernel_ok(scene: T.Scene, md=None, strict: bool = False,
+                  renderer: str = "pt") -> bool:
     """Static envelope check (host-side, concrete arrays). strict=True adds
-    the AUTO_MAX_PACK_BYTES stability cap (see above)."""
+    the AUTO_MAX_PACK_BYTES stability cap (see above). renderer="vpt"
+    admits homogeneous participating media (fused VPT: free-flight channel
+    MIS + phase sampling + interface-walked shadow transmittance in-kernel,
+    the megakernel_vpt.cu analogue); "pt" keeps media composed-only."""
     import numpy as np
 
     tids0 = np.asarray(scene.bsdfs.tex_ids)
@@ -181,8 +185,26 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False) -> bool:
             return False
         if bool(has_dt.any()) and bool(np.asarray(scene.geom.is_sphere).any()):
             return False
-    if np.asarray(scene.objects.medium_in).max(initial=-1) >= 0:
-        return False
+    has_media = int(np.asarray(scene.objects.medium_in).max(initial=-1)) >= 0
+    if has_media or renderer == "vpt":
+        if renderer != "vpt":
+            return False
+        if int(np.asarray(scene.cam_medium)) >= 0:
+            return False  # camera-in-medium stays composed
+        mt = np.asarray(scene.media.mtype)
+        if mt.shape[0] > MAX_MEDIA:
+            return False
+        if (mt == T.MEDIUM_GRID).any():
+            return False  # grid media (NanoVDB) stay composed
+        pt_ = np.asarray(scene.media.phase_type)
+        ok_phase = {T.PHASE_ISOTROPIC, T.PHASE_HG, T.PHASE_DUAL_HG,
+                    T.PHASE_RAYLEIGH, T.PHASE_SGGX}
+        if set(int(x) for x in pt_) - ok_phase:
+            return False
+        # deferred textures and fused VPT are not combined yet
+        tids_m = np.asarray(scene.bsdfs.tex_ids)
+        if tids_m.size and tids_m.max(initial=-1) >= 0:
+            return False
     if md is not None and (md.max_time > 0.0):
         return False
     # emitter prim slots: one per (emitter, k) with k < its prim count
@@ -980,7 +1002,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         (bounce, sx, sy, o_x, o_y, o_z, d_x, d_y, d_z,
          tr, tg, tb, Lr, Lg, Lb, act, prev_pdf, prev_delta, n_diff,
          n_spec, n_trans, mdx, mdy, mdz, mtr, mtg, mtb, wl,
-         tex_state) = cr
+         tex_state, med_state) = cr
         if textured:
             A, rec, mbv = tex_state
             A = list(A)
@@ -988,8 +1010,52 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
         hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
         hit_ok = hit["hit"] & (act > 0.5)
+
+        if has_media:
+            # ---- free flight through the current medium (volume_pt.py
+            # vpt_bounce + homogeneous.sample_distance, channel-MIS) ------
+            stk0, stk1, stk2, mtop, n_vol = med_state
+            cur_med = jnp.where(mtop >= 2.0, stk2,
+                                jnp.where(mtop >= 1.0, stk1,
+                                          jnp.where(mtop >= 0.0, stk0,
+                                                    f0 - 1.0)))
+            (m_ssr, m_ssg, m_ssb, m_str, m_stg, m_stb,
+             m_pty, m_pg1, m_pg2, m_pwv) = medium_fields(cur_med)
+            in_med = (cur_med >= 0.0) & (act > 0.5)
+            sx, sy = _pcg2d(sx, sy)
+            u_ch = _u01(sx)
+            u_t = _u01(sy)
+            st_c = jnp.where(u_ch >= (2.0 / 3.0), m_stb,
+                             jnp.where(u_ch >= (1.0 / 3.0), m_stg, m_str))
+            st_c = jnp.maximum(st_c, 1e-8)
+            t_med = -jnp.log(jnp.maximum(1.0 - u_t, 1e-12)) / st_c
+            t_surf = jnp.where(hit_ok, hit["t"], 1e8)
+            med_event = in_med & (t_med < t_surf)
+            srf_event = hit_ok & ~med_event
+            t_evt = jnp.where(med_event, t_med, t_surf)
+            e_r = jnp.exp(-m_str * t_evt)
+            e_g = jnp.exp(-m_stg * t_evt)
+            e_b = jnp.exp(-m_stb * t_evt)
+            pdf_m = (m_str * e_r + m_stg * e_g + m_stb * e_b) / 3.0
+            pdf_s = (e_r + e_g + e_b) / 3.0
+            mw_r = jnp.where(med_event, m_ssr * e_r / jnp.maximum(pdf_m, 1e-12),
+                             e_r / jnp.maximum(pdf_s, 1e-12))
+            mw_g = jnp.where(med_event, m_ssg * e_g / jnp.maximum(pdf_m, 1e-12),
+                             e_g / jnp.maximum(pdf_s, 1e-12))
+            mw_b = jnp.where(med_event, m_ssb * e_b / jnp.maximum(pdf_m, 1e-12),
+                             e_b / jnp.maximum(pdf_s, 1e-12))
+            tr = jnp.where(in_med, tr * mw_r, tr)
+            tg = jnp.where(in_med, tg * mw_g, tg)
+            tb = jnp.where(in_med, tb * mw_b, tb)
+        else:
+            med_event = None
+            srf_event = hit_ok
+            t_evt = jnp.where(hit_ok, hit["t"], 1.0)
+
         if textured and has_env:
             missed_t = (act > 0.5) & ~hit["hit"]
+            if has_media:
+                missed_t = missed_t & ~med_event
             mbv = jnp.where(missed_t, f0 + bounce.astype(jnp.float32), mbv)
         if has_env:
             # environment miss record: each lane escapes at most once (it
@@ -999,13 +1065,17 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             # with MIS weight 1 — env directions are never NEE-sampled
             # in-kernel, so BSDF sampling is the sole strategy for them.
             missed = (act > 0.5) & ~hit["hit"]
+            if has_media:
+                # an in-medium miss is (almost surely) a volume event, and
+                # the medium weight above already rode into the throughput
+                missed = missed & ~med_event
             mdx = jnp.where(missed, d_x, mdx)
             mdy = jnp.where(missed, d_y, mdy)
             mdz = jnp.where(missed, d_z, mdz)
             mtr = jnp.where(missed, tr, mtr)
             mtg = jnp.where(missed, tg, mtg)
             mtb = jnp.where(missed, tb, mtb)
-        t_safe = jnp.where(hit_ok, hit["t"], 1.0)
+        t_safe = t_evt
         px_ = o_x + t_safe * d_x
         py_ = o_y + t_safe * d_y
         pz_ = o_z + t_safe * d_z
@@ -1057,7 +1127,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                                     1.0 / (1.0 + rmis * rmis), 0.0))
         # AREA_SPOT cone gate on the hit side (emitters.py:39-52): Le is
         # zero outside the cone, matching the NEE gate so MIS stays exact
-        emit_m = (hit_ok & (eid_hit > 0.5) & (cos_l > 1e-6)
+        emit_m = (srf_event & (eid_hit > 0.5) & (cos_l > 1e-6)
                   & (cos_l >= hfall))
         emw = jnp.where(emit_m, w_hit, 0.0)
         if textured:
@@ -1436,6 +1506,16 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             bpdf = bpdf * ssf + jnp.where(is_rd, prd_e, 0.0)
 
 
+            if has_media:
+                # medium events evaluate the phase function toward the
+                # light instead of a BSDF (volume_pt.vpt_bounce NEE)
+                cos_nee = d_x * es_dx + d_y * es_dy + d_z * es_dz
+                pv = phase_value(m_pty, m_pg1, m_pg2, m_pwv, cos_nee)
+                f_r = jnp.where(med_event, pv, f_r)
+                f_g = jnp.where(med_event, pv, f_g)
+                f_b = jnp.where(med_event, pv, f_b)
+                bpdf = jnp.where(med_event, pv, bpdf)
+
             phat = (0.212671 * f_r * le_r + 0.715160 * f_g * le_g
                     + 0.072169 * f_b * le_b)
             return sx, sy, {
@@ -1482,16 +1562,26 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         f_r, f_g, f_b = cnd["f_r"], cnd["f_g"], cnd["f_b"]
         bpdf = cnd["bpdf"]
 
-        # shadow walk (offsets: path_tracer.py:317-322)
+        # shadow walk (offsets: path_tracer.py:317-322); medium events
+        # shoot from the scatter point itself (no surface to offset from)
         gdir = ngx * es_dx + ngy * es_dy + ngz * es_dz
         osign = jnp.where(gdir < 0.0, -1.0, jnp.where(gdir > 0.0, 1.0, 0.0))
+        if has_media:
+            osign = jnp.where(med_event, 0.0, osign)
         sh_ox = px_ + ngx * osign * 1e-3
         sh_oy = py_ + ngy * osign * 1e-3
         sh_oz = pz_ + ngz * osign * 1e-3
-        sh_dist = es_dist - jnp.abs(gdir) * 1e-3
-        need = hit_ok & es_valid
-        occ = walk_anyhit(sh_ox, sh_oy, sh_oz, es_dx, es_dy, es_dz,
-                          sh_dist, need)
+        sh_dist = es_dist - jnp.abs(osign * gdir) * 1e-3
+        if has_media:
+            need = (med_event | srf_event) & es_valid
+            ntr_r, ntr_g, ntr_b = walk_transmittance(
+                sh_ox, sh_oy, sh_oz, es_dx, es_dy, es_dz, sh_dist,
+                cur_med, need)
+            occ = (jnp.maximum(ntr_r, jnp.maximum(ntr_g, ntr_b)) <= 0.0)
+        else:
+            need = hit_ok & es_valid
+            occ = walk_anyhit(sh_ox, sh_oy, sh_oz, es_dx, es_dy, es_dz,
+                              sh_dist, need)
 
         last_bounce = bounce >= (max_depth - 1)
         rn_ = bpdf / jnp.maximum(es_pdf, 1e-12)
@@ -1500,6 +1590,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         f_max = jnp.maximum(f_r, jnp.maximum(f_g, f_b))
         nee_ok = need & ~occ & (f_max > 0.0)
         scale = jnp.where(nee_ok, w_nee * inv_density, 0.0)
+        if has_media:
+            # per-channel shadow transmittance (interface-walked) rides the
+            # emitted radiance (volume_pt NEE: contrib *= tr_nee)
+            le_r = le_r * ntr_r
+            le_g = le_g * ntr_g
+            le_b = le_b * ntr_b
         if textured:
             # NEE at bounce k reflects off surface k, so it also carries
             # bounce k's own kd-texture factor -> group k+1. The texture
@@ -1521,6 +1617,55 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             Lr = Lr + tr * f_r * le_r * scale
             Lg = Lg + tg * f_g * le_g * scale
             Lb = Lb + tb * f_b * le_b * scale
+
+        if has_media:
+            # ---- phase sampling (media/phase.phase_sample draw order:
+            # one 2d advance for (cos, phi), one 1d for the dual-HG pick) -
+            sx, sy = _pcg2d(sx, sy)
+            up0, up1 = _u01(sx), _u01(sy)
+            sx, sy = _pcg2d(sx, sy)
+            upick = _u01(sx)
+
+            def hg_cos(g):
+                g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+                sq = (1.0 - g_safe * g_safe) / (
+                    1.0 - g_safe + 2.0 * g_safe * up0)
+                ch = (1.0 + g_safe * g_safe - sq * sq) / (2.0 * g_safe)
+                return jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * up0,
+                                 jnp.clip(ch, -1.0, 1.0))
+
+            qray = 2.0 * (2.0 * up0 - 1.0)
+            # cbrt is not a Mosaic primitive; q + sqrt(q²+1) > 0 always, so
+            # exp(log(x)/3) is exact enough (Cardano arg strictly positive)
+            cb_arg = jnp.maximum(qray + jnp.sqrt(qray * qray + 1.0), 1e-30)
+            zray = jnp.exp(jnp.log(cb_arg) * (1.0 / 3.0))
+            cos_ray = jnp.clip(zray - 1.0 / zray, -1.0, 1.0)
+            g_pick = jnp.where(upick < m_pwv, m_pg1, m_pg2)
+            cos_ph = 1.0 - 2.0 * up0
+            cos_ph = jnp.where(m_pty == float(T.PHASE_HG), hg_cos(m_pg1),
+                               cos_ph)
+            cos_ph = jnp.where(m_pty == float(T.PHASE_DUAL_HG),
+                               hg_cos(g_pick), cos_ph)
+            cos_ph = jnp.where(m_pty == float(T.PHASE_RAYLEIGH), cos_ray,
+                               cos_ph)
+            sin_ph = jnp.sqrt(jnp.maximum(1.0 - cos_ph * cos_ph, 0.0))
+            phi_ph = _TWO_PI * up1
+            plx = sin_ph * jnp.cos(phi_ph)
+            ply = sin_ph * jnp.sin(phi_ph)
+            # ONB around the CURRENT direction d (math.onb / vm.to_world)
+            dsig = jnp.where(d_z >= 0.0, 1.0, -1.0)
+            da = -1.0 / (dsig + d_z)
+            db = d_x * d_y * da
+            dt1x = 1.0 + dsig * d_x * d_x * da
+            dt1y = dsig * db
+            dt1z = -dsig * d_x
+            dt2x = db
+            dt2y = dsig + d_y * d_y * da
+            dt2z = -d_y
+            dphx = plx * dt1x + ply * dt2x + cos_ph * d_x
+            dphy = plx * dt1y + ply * dt2y + cos_ph * d_y
+            dphz = plx * dt1z + ply * dt2z + cos_ph * d_z
+            pdf_phase = phase_value(m_pty, m_pg1, m_pg2, m_pwv, cos_ph)
 
         # ---- BSDF sample (draw order bsdf/eval.py:276-278) ---------------
         sx, sy = _pcg2d(sx, sy)
@@ -1776,7 +1921,17 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             w_r = jnp.where(tint, w_r * rgb_r, w_r)
             w_g = jnp.where(tint, w_g * rgb_g, w_g)
             w_b = jnp.where(tint, w_b * rgb_b, w_b)
-            wl = jnp.where(hit_ok & is_dsp, wl_use, wl)
+            wl = jnp.where(srf_event & is_dsp, wl_use, wl)
+        if has_media:
+            # medium scatter overrides: phase direction, unit weight
+            # (f/pdf = 1 incl. the dual-HG one-sample mixture), phase pdf
+            wix = jnp.where(med_event, dphx, wix)
+            wiy = jnp.where(med_event, dphy, wiy)
+            wiz = jnp.where(med_event, dphz, wiz)
+            w_r = jnp.where(med_event, 1.0, w_r)
+            w_g = jnp.where(med_event, 1.0, w_g)
+            w_b = jnp.where(med_event, 1.0, w_b)
+            bs_pdf = jnp.where(med_event, pdf_phase, bs_pdf)
         tr2 = tr * w_r
         tg2 = tg * w_g
         tb2 = tb * w_b
@@ -1789,9 +1944,11 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         tb2 = jnp.where(jnp.isfinite(tb2), tb2, 0.0)
         is_delta = is_spec | is_trl | (is_pla & take_spec_p) | is_fwd
 
-        # new origin offset along ng toward wi
+        # new origin offset along ng toward wi (medium scatter: none)
         gdir2 = ngx * wix + ngy * wiy + ngz * wiz
         osign2 = jnp.where(gdir2 < 0.0, -1.0, jnp.where(gdir2 > 0.0, 1.0, 0.0))
+        if has_media:
+            osign2 = jnp.where(med_event, 0.0, osign2)
         o_x2 = px_ + ngx * osign2 * 1e-3
         o_y2 = py_ + ngy * osign2 * 1e-3
         o_z2 = pz_ + ngz * osign2 * 1e-3
@@ -1801,12 +1958,27 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         lobe_spec = (is_spec | is_ggx | (is_trl & refl_t)
                      | (is_pla & take_spec_p) | (is_rd & refl_rd))
         lobe_trans = (is_trl & ~refl_t) | (is_rd & ~refl_rd) | is_fwd
-        n_diff2 = n_diff + jnp.where(hit_ok & lobe_diff, 1.0, 0.0)
-        n_spec2 = n_spec + jnp.where(hit_ok & lobe_spec, 1.0, 0.0)
-        n_trans2 = n_trans + jnp.where(hit_ok & lobe_trans, 1.0, 0.0)
+        n_diff2 = n_diff + jnp.where(srf_event & lobe_diff, 1.0, 0.0)
+        n_spec2 = n_spec + jnp.where(srf_event & lobe_spec, 1.0, 0.0)
+        n_trans2 = n_trans + jnp.where(srf_event & lobe_trans, 1.0, 0.0)
         depth_ok = ((n_diff2 <= float(max_diffuse))
                     & (n_spec2 <= float(max_specular))
                     & (n_trans2 <= float(max_transmit)))
+        if has_media:
+            # medium stack: winding-robust object-identity toggle on
+            # transmission (volume_pt.vpt_bounce:297-304)
+            med_obj = hit["mn"][0]
+            transmitted = srf_event & lobe_trans & (med_obj >= 0.0)
+            do_pop = transmitted & (cur_med == med_obj)
+            do_push = transmitted & ~do_pop
+            mtop_p = jnp.where(do_push, jnp.minimum(mtop + 1.0, 2.0), mtop)
+            stk0 = jnp.where(do_push & (mtop_p == 0.0), med_obj, stk0)
+            stk1 = jnp.where(do_push & (mtop_p == 1.0), med_obj, stk1)
+            stk2 = jnp.where(do_push & (mtop_p == 2.0), med_obj, stk2)
+            mtop = jnp.where(do_pop, jnp.maximum(mtop_p - 1.0, -1.0),
+                             mtop_p)
+            n_vol = n_vol + jnp.where(med_event, 1.0, 0.0)
+            depth_ok = depth_ok & (n_vol <= float(max_volume))
 
         # RR (throughput rule, pt_bounce fixed_rr=False)
         max_thp = jnp.maximum(tr2, jnp.maximum(tg2, tb2))
@@ -1820,20 +1992,24 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         tg2 = tg2 * inv_ps
         tb2 = tb2 * inv_ps
 
-        act2 = hit_ok & depth_ok & survive & (max_thp > 0.0)
+        evt_ok = (med_event | srf_event) if has_media else hit_ok
+        act2 = evt_ok & depth_ok & survive & (max_thp > 0.0)
         actf = jnp.where(act2, 1.0, 0.0)
         tr2 = tr2 * actf
         tg2 = tg2 * actf
         tb2 = tb2 * actf
         prev_pdf2 = jnp.where(act2, bs_pdf, prev_pdf)
-        prev_delta2 = jnp.where(act2, jnp.where(is_delta, 1.0, 0.0),
-                                prev_delta)
+        dltf = jnp.where(is_delta, 1.0, 0.0)
+        if has_media:
+            dltf = jnp.where(med_event, 0.0, dltf)
+        prev_delta2 = jnp.where(act2, dltf, prev_delta)
 
         tex_state2 = ((tuple(A), tuple(rec), mbv) if textured else ())
+        med_state2 = ((stk0, stk1, stk2, mtop, n_vol) if has_media else ())
         return (bounce + 1, sx, sy, o_x2, o_y2, o_z2, wix, wiy, wiz,
                 tr2, tg2, tb2, Lr, Lg, Lb, actf, prev_pdf2, prev_delta2,
                 n_diff2, n_spec2, n_trans2, mdx, mdy, mdz, mtr, mtg, mtb,
-                wl, tex_state2)
+                wl, tex_state2, med_state2)
 
     if textured:
         tex0 = (tuple(f0 for _ in range(3 * D1)),
@@ -1841,9 +2017,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 f0)
     else:
         tex0 = ()
+    # empty medium stack, top = -1 (camera in vacuum: envelope requires it)
+    med0 = ((f0 - 1.0, f0 - 1.0, f0 - 1.0, f0 - 1.0, f0)
+            if has_media else ())
     init = (jnp.int32(0), sx0, sy0, o_x0, o_y0, o_z0, d_x0, d_y0, d_z0,
             f1, f1, f1, f0, f0, f0, f1, f1, f1, f0, f0, f0,
-            f0, f0, f1, f0, f0, f0, f0, tex0)
+            f0, f0, f1, f0, f0, f0, f0, tex0, med0)
     out = jax.lax.while_loop(bounce_cond, bounce_body, init)
     out_r[:] = out[12]
     out_g[:] = out[13]
@@ -1971,7 +2150,8 @@ class MKPack:
 
     def __init__(self, arrays, node_fmt="f32", attr_fmt="f32",
                  tri_only=False, prim_fmt="f32", has_env=False,
-                 has_disp=False, textured=False, has_media=False):
+                 has_disp=False, textured=False, has_media=False,
+                 max_leaf=4):
         self.arrays = dict(arrays)
         self.node_fmt = node_fmt
         self.attr_fmt = attr_fmt
@@ -1981,6 +2161,7 @@ class MKPack:
         self.has_disp = bool(has_disp)
         self.textured = bool(textured)
         self.has_media = bool(has_media)
+        self.max_leaf = int(max_leaf)
 
     def __getitem__(self, k):
         return self.arrays[k]
@@ -1999,13 +2180,13 @@ class MKPack:
         return (tuple(self.arrays[k] for k in keys),
                 (keys, self.node_fmt, self.attr_fmt, self.tri_only,
                  self.prim_fmt, self.has_env, self.has_disp,
-                 self.textured, self.has_media))
+                 self.textured, self.has_media, self.max_leaf))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, nf, af, to, pf, he, hd, tx, hm = aux
+        keys, nf, af, to, pf, he, hd, tx, hm, ml = aux
         return cls(dict(zip(keys, children)), nf, af, to, pf, he, hd, tx,
-                   hm)
+                   hm, ml)
 
 
 def make_pack(scene: T.Scene, node_fmt: str | None = None,
@@ -2069,21 +2250,33 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
     has_media = bool(vpt) and (
         int(np.asarray(scene.objects.medium_in).max(initial=-1)) >= 0)
     if has_media:
+        if textured:
+            raise ValueError("fused VPT + deferred textures not supported")
         arrays["mrow"] = pack_media(scene)
     return MKPack(arrays, node_fmt, attr_fmt, tri_only, prim_fmt, has_env,
-                  has_disp, textured, has_media)
+                  has_disp, textured, has_media,
+                  max_leaf=int(scene.bvh.max_leaf))
 
 
-def trace_megakernel(pack, md, o, d, rng, max_leaf: int = 4,
+def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
                      interpret=None, tile: int | None = None,
                      nee_candidates: int = 1,
                      vmem_limit_bytes: int | None = None):
     """Full in-kernel trace: (B, 3) rays + (B, 2) u32 pcg states → L (B, 3).
 
     pack: make_pack(scene) (scene must pass megakernel_ok). Plain dicts
-    (legacy callers) are treated as f32/f32 packs with spheres enabled."""
+    (legacy callers) are treated as f32/f32 packs with spheres enabled.
+    max_leaf defaults to the value recorded at pack time — passing a
+    smaller one silently drops leaf prims (caught the hard way on
+    medium-cbox, max_leaf 8)."""
     if not isinstance(pack, MKPack):
         pack = MKPack(pack)
+    if max_leaf is None:
+        max_leaf = pack.max_leaf
+    elif max_leaf < pack.max_leaf:
+        raise ValueError(
+            f"max_leaf={max_leaf} < pack max_leaf={pack.max_leaf}: "
+            "leaf prims would be silently skipped")
     if interpret is None:
         interpret = INTERPRET
     if tile is None:
@@ -2259,7 +2452,7 @@ def _env_radiance(pack: "MKPack", d: jnp.ndarray) -> jnp.ndarray:
     return texv * pack["env_base"] * jnp.maximum(scale, 0.0)
 
 
-def render_pack(pack: dict, cam, md, spp: int, seed, max_leaf: int = 4,
+def render_pack(pack, cam, md, spp: int, seed, max_leaf: int | None = None,
                 interpret=None, nee_candidates: int = 1):
     """spp-pass fused render from a prebuilt pack → (H, W, 3). Jittable in
     (pack, seed); same per-(pixel, sample) pcg streams as

@@ -180,6 +180,30 @@ elif name == "cornell_grad":
     fn = jax.jit(lambda s, i: grad_fn(params, s, i)[0])
     counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1,
                                               use_bvh=True))
+elif name in ("cornell_vpt_fused", "medium_cbox_vpt_fused"):
+    # fused in-kernel volumetric PT (round 4): free-flight channel MIS +
+    # phase sampling + interface-walked shadow transmittance in one Pallas
+    # kernel (the megakernel_vpt.cu analogue)
+    from cuda_pt_tpu.models import volume_pt
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+    if backend == "cpu" or jax.default_backend() == "cpu":
+        print(json.dumps({"name": name, "backend": "skipped_cpu",
+                          "mrays_per_s": 0.0}))
+        raise SystemExit(0)
+    mdv = MaxDepthParams(max_depth=maxd, max_volume=8)
+    if name.startswith("cornell"):
+        scene, cam = cornell_medium(min(res_big, 256))
+    else:
+        scene, cam = from_xml("medium-cbox.xml", min(res_big, 256))
+    if not mk.megakernel_ok(scene, mdv, renderer="vpt"):
+        print(json.dumps({"name": name, "backend": "outside_envelope",
+                          "mrays_per_s": 0.0}))
+        raise SystemExit(0)
+    pack = mk.make_pack(scene, vpt=True)
+    fn = jax.jit(lambda s, i, pack=pack: mk.render_pack(
+        pack, cam, mdv, spp=spp, seed=i))
+    counter = jax.jit(lambda s: volume_pt.count_rays(
+        s, cam, mdv, spp=spp, seed=1, use_bvh=True))
 elif name == "medium_cbox_vpt":
     # BASELINE.json VPT config: the reference's medium-cbox scene
     from cuda_pt_tpu.models import volume_pt
@@ -270,7 +294,8 @@ def main():
         "cornell_mega", "cornell_fused", "cornell_wf", "cornell_wf_nosort",
         "bunny", "bunny_fused", "whiskey", "whiskey_fused",
         "kitchen", "kitchen_fused", "vader",
-        "cornell_vpt", "medium_cbox_vpt", "cornell_grad",
+        "cornell_vpt", "medium_cbox_vpt", "medium_cbox_vpt_fused",
+        "cornell_grad",
     ])
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_DETAILS.json"))
     ap.add_argument("--update-baseline", action="store_true",

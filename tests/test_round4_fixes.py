@@ -430,3 +430,93 @@ def test_fused_kitchen_class_smoke():
     assert np.isfinite(img_k).all()
     rel = abs(img_k.mean() - img_x.mean()) / img_x.mean()
     assert rel < 0.12, (img_k.mean(), img_x.mean())
+
+
+def _medium_box_scene(w=10):
+    """Cornell-style box with a homogeneous scattering slab behind a
+    forward (null) interface — the fused-VPT envelope."""
+    from cuda_pt_tpu.core import camera as cam_mod
+    from cuda_pt_tpu.scene import types as T
+    from cuda_pt_tpu.scene.builder import (BSDFSpec, EmitterSpec,
+                                           MediumSpec, SceneBuilder)
+    from cuda_pt_tpu.scene.testscenes import quad
+
+    b = SceneBuilder()
+    med = b.add_medium(MediumSpec(sigma_a=(0.05, 0.08, 0.05),
+                                  sigma_s=(0.6, 0.5, 0.4), scale=1.5,
+                                  phase_type=T.PHASE_HG,
+                                  phase_g=(0.3, 0.0)))
+    fog = b.add_bsdf(BSDFSpec(btype=T.BSDF_FORWARD))
+    grey = b.add_bsdf(BSDFSpec(k_d=(0.6, 0.55, 0.5)))
+    dark = b.add_bsdf(BSDFSpec(k_d=(0.0, 0.0, 0.0)))
+    panel = b.add_emitter(EmitterSpec(etype=T.EMITTER_AREA,
+                                      emission=(1, 1, 1), scaler=25.0))
+    b.add_mesh(quad([-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]), grey)
+    b.add_mesh(quad([-2, 0, 2], [2, 0, 2], [2, 2, 2], [-2, 2, 2]), grey)
+    # medium box: all six faces, forward interface, medium inside
+    lo, hi = (-0.8, 0.15, -0.8), (0.8, 1.1, 0.8)
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    faces = [
+        ([x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0]),
+        ([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]),
+        ([x0, y0, z0], [x0, y1, z0], [x0, y1, z1], [x0, y0, z1]),
+        ([x1, y0, z0], [x1, y1, z0], [x1, y1, z1], [x1, y0, z1]),
+        ([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1]),
+        ([x0, y1, z0], [x1, y1, z0], [x1, y1, z1], [x0, y1, z1]),
+    ]
+    for f4 in faces:
+        b.add_mesh(quad(*f4), fog, medium_in=med)
+    b.add_mesh(quad([-0.4, 1.9, -0.4], [0.4, 1.9, -0.4],
+                    [0.4, 1.9, 0.4], [-0.4, 1.9, 0.4]), dark,
+               emitter_id=panel)
+    scene = b.compile()
+    cam = cam_mod.make_camera(origin=(0, 1.1, -2.8), target=(0, 0.5, 0),
+                              fov=50.0, width=w, height=w)
+    return scene, cam
+
+
+def test_fused_vpt_matches_composed():
+    """Fused homogeneous-media VPT (free-flight channel MIS + HG phase +
+    interface-walked shadow transmittance in-kernel) must agree with the
+    composed volumetric path tracer in the mean."""
+    from cuda_pt_tpu.models import volume_pt
+
+    scene, cam = _medium_box_scene(8)
+    md = MaxDepthParams(max_depth=6, max_volume=8)
+    assert not mk.megakernel_ok(scene, md)  # media: pt-renderer excluded
+    assert mk.megakernel_ok(scene, md, renderer="vpt")
+    pack = mk.make_pack(scene, vpt=True)
+    assert pack.has_media
+    mk_m, pt_m = [], []
+    for seed in range(3):
+        img_k = np.asarray(mk.render_pack(pack, cam, md, spp=24, seed=seed,
+                                          interpret=True))
+        assert np.isfinite(img_k).all()
+        mk_m.append(img_k.mean())
+        pt_m.append(np.asarray(volume_pt.render(
+            scene, cam, md, spp=24, seed=seed, use_bvh=True)).mean())
+    rel = abs(np.mean(mk_m) - np.mean(pt_m)) / max(np.mean(pt_m), 1e-6)
+    assert rel < 0.08, (np.mean(mk_m), np.mean(pt_m))
+
+
+def test_fused_vpt_medium_cbox_smoke():
+    """The reference's medium-cbox (nested media: HG box + iso glass bunny)
+    enters the fused-VPT envelope and renders finite, mean-consistent with
+    the composed VPT."""
+    from cuda_pt_tpu.models import volume_pt
+    from cuda_pt_tpu.scene.xml_parser import load_xml
+
+    ps = load_xml("/root/reference/scene/xml/medium-cbox.xml",
+                  override_res=(8, 8))
+    scene = ps.scene
+    md = MaxDepthParams(max_depth=5, max_volume=6)
+    assert mk.megakernel_ok(scene, md, renderer="vpt")
+    pack = mk.make_pack(scene, vpt=True)
+    img_k = np.asarray(mk.render_pack(pack, ps.camera, md, spp=12, seed=2,
+                                      interpret=True))
+    assert np.isfinite(img_k).all()
+    img_x = np.asarray(volume_pt.render(scene, ps.camera, md, spp=12,
+                                        seed=2, use_bvh=True))
+    rel = abs(img_k.mean() - img_x.mean()) / img_x.mean()
+    assert rel < 0.15, (img_k.mean(), img_x.mean())

@@ -147,3 +147,23 @@ def test_fused_compact_pack_lowers():
                                        interpret=False),
         tpack, jnp.int32(0),
     )
+
+
+def test_fused_vpt_lowers():
+    """Fused homogeneous-media VPT (free-flight + phase + interface-walked
+    shadow transmittance in-kernel) through AOT TPU lowering on the
+    reference's medium-cbox."""
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+    from cuda_pt_tpu.scene.xml_parser import load_xml
+
+    ps = load_xml("/root/reference/scene/xml/medium-cbox.xml",
+                  override_res=(16, 16))
+    md = MaxDepthParams(max_depth=5, max_volume=6)
+    assert mk.megakernel_ok(ps.scene, md, renderer="vpt")
+    pack = mk.make_pack(ps.scene, vpt=True)
+    cam = ps.camera
+    _lowers(
+        lambda p, seed: mk.render_pack(p, cam, md, spp=1, seed=seed,
+                                       interpret=False),
+        pack, jnp.int32(0),
+    )
