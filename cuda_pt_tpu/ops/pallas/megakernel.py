@@ -185,12 +185,12 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False,
             return False
         if bool(has_dt.any()) and bool(np.asarray(scene.geom.is_sphere).any()):
             return False
-    has_media = int(np.asarray(scene.objects.medium_in).max(initial=-1)) >= 0
+    has_media = (
+        int(np.asarray(scene.objects.medium_in).max(initial=-1)) >= 0
+        or int(np.asarray(scene.cam_medium)) >= 0)
     if has_media or renderer == "vpt":
         if renderer != "vpt":
             return False
-        if int(np.asarray(scene.cam_medium)) >= 0:
-            return False  # camera-in-medium stays composed
         mt = np.asarray(scene.media.mtype)
         if mt.shape[0] > MAX_MEDIA:
             return False
@@ -480,7 +480,7 @@ def _u01(x):
 def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             max_volume, max_leaf, rn, n_eslots, n_bsdfs, nee_m,
             node_fmt, attr_fmt, prim_fmt, tri_only, has_env, has_disp,
-            textured, has_media, n_media,
+            textured, has_media, n_media, ambient_med, count_stats,
             nodes, prims, attrs, erow, eprims, brows,
             *refs):
     if has_media:
@@ -495,6 +495,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         env_outs, extra_outs = extra_outs[:6], extra_outs[6:]
     else:
         env_outs = ()
+    if count_stats:
+        out_cn, out_cl = extra_outs[-2], extra_outs[-1]
+        extra_outs = extra_outs[:-2]
     if textured:
         # per-bounce contribution groups + texture records + miss-bounce
         # (see trace_megakernel's deferred-texture epilogue)
@@ -621,7 +624,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         Dead lanes register no box hits, so a tile whose lanes have all
         died skips every leaf body (the packet-level compaction analogue).
         Returns a dict of (R, 128) vectors; ng is UNNORMALIZED (the caller
-        normalizes once post-walk instead of per prim candidate)."""
+        normalizes once post-walk instead of per prim candidate).
+        count_stats: also returns (node_iters, leaf_entries) scalars
+        broadcast per lane — the roofline model's exact visit counts."""
         ix, iy, iz = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
         init = (jnp.int32(0), jnp.full(shape, jnp.inf), f0 - 1.0,  # t, prim
                 f0, f0, f0,  # ns (or sphere center)
@@ -631,14 +636,15 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 f0,  # is_sphere
                 f0,  # bsdf id
                 (f0, f0) if textured else (),  # interpolated texture uv
-                (f0 - 1.0, f0) if has_media else ())  # medium_in, is_null
+                (f0 - 1.0, f0) if has_media else (),  # medium_in, is_null
+                (f0, f0) if count_stats else ())  # node iters, leaf entries
 
         def cond(cr):
             return cr[0] < M_pad
 
         def body(cr):
             (ptr, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-             eidv, inva, sphv, bidv, uvc, mnc) = cr
+             eidv, inva, sphv, bidv, uvc, mnc, cstat) = cr
             (lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
              skip, base, cnt) = fetch_node(ptr)
 
@@ -757,18 +763,21 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                           eidv, inva, sphv, bidv, uvc, mnc)
             leaf_out = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                     lambda c: c, leaf_carry)
+            if count_stats:
+                take_leaf = jnp.where(any_hit & is_leaf, 1.0, 0.0)
+                cstat = (cstat[0] + 1.0, cstat[1] + take_leaf)
             ptr_next = jnp.where(any_hit & ~is_leaf, ptr + 1, skip)
-            return (ptr_next,) + tuple(leaf_out)
+            return (ptr_next,) + tuple(leaf_out) + (cstat,)
 
         out = jax.lax.while_loop(cond, body, init)
         (_, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-         eidv, inva, sphv, bidv, uvc, mnc) = out
+         eidv, inva, sphv, bidv, uvc, mnc, cstat) = out
         return {
             "t": t_best, "hit": prim >= 0.0,
             "nsx": nsx, "nsy": nsy, "nsz": nsz,
             "ngx": ngx, "ngy": ngy, "ngz": ngz,
             "eid": eidv, "inva": inva, "sph": sphv, "bid": bidv,
-            "uv": uvc, "mn": mnc,
+            "uv": uvc, "mn": mnc, "cstat": cstat,
         }
 
     def walk_anyhit(o_x, o_y, o_z, d_x, d_y, d_z, t_lim, need):
@@ -778,14 +787,14 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         t_gate = jnp.where(need, t_lim * (1.0 - 1e-3), -1.0)
         # occluded carried as f32 0/1: bool vectors in while-carries are the
         # Mosaic-risky pattern (traverse_kernel history)
-        init = (jnp.int32(0), f0)
+        init = (jnp.int32(0), f0, (f0, f0) if count_stats else ())
 
         def cond(cr):
-            ptr, occf = cr
+            ptr, occf = cr[0], cr[1]
             return (ptr < M_pad) & jnp.any((occf < 0.5) & need)
 
         def body(cr):
-            ptr, occf = cr
+            ptr, occf, cstat = cr
             occ = occf > 0.5
             (lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
              skip, base, cnt) = fetch_node(ptr)
@@ -854,10 +863,14 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
             occf2 = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                  lambda o: o, occf)
+            if count_stats:
+                take_leaf = jnp.where(any_hit & is_leaf, 1.0, 0.0)
+                cstat = (cstat[0] + 1.0, cstat[1] + take_leaf)
             ptr_next = jnp.where(any_hit & ~is_leaf, ptr + 1, skip)
-            return ptr_next, occf2
+            return ptr_next, occf2, cstat
 
-        return jax.lax.while_loop(cond, body, init)[1] > 0.5
+        outw = jax.lax.while_loop(cond, body, init)
+        return outw[1] > 0.5, outw[2]
 
     # ---------------- emitter table helpers -------------------------------
     erow_v = erow[:]  # (1, 128)
@@ -966,8 +979,11 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             rem = dist
             alive = need
             cox, coy, coz = wox, woy, woz
+            tcs = (f0, f0) if count_stats else ()
             for _ in range(4):  # volume_pt.MAX_CROSSINGS
                 h = walk_closest(cox, coy, coz, wdx, wdy, wdz, alive)
+                if count_stats:
+                    tcs = (tcs[0] + h["cstat"][0], tcs[1] + h["cstat"][1])
                 st_r, st_g, st_b = medium_sigma_t(cur)
                 seg = jnp.minimum(jnp.where(h["hit"], h["t"], rem), rem)
                 inm = (cur >= 0.0) & alive
@@ -990,7 +1006,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 coz = jnp.where(crossed, coz + adv * wdz, coz)
                 rem = jnp.where(crossed, rem - t_step, rem)
                 alive = alive & crossed & (rem > 1e-4)
-            return trr, trg, trb
+            return trr, trg, trb, tcs
 
     # ---------------- the bounce loop --------------------------------------
     def bounce_cond(cr):
@@ -1002,7 +1018,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         (bounce, sx, sy, o_x, o_y, o_z, d_x, d_y, d_z,
          tr, tg, tb, Lr, Lg, Lb, act, prev_pdf, prev_delta, n_diff,
          n_spec, n_trans, mdx, mdy, mdz, mtr, mtg, mtb, wl,
-         tex_state, med_state) = cr
+         tex_state, med_state, stats) = cr
         if textured:
             A, rec, mbv = tex_state
             A = list(A)
@@ -1010,15 +1026,20 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
         hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
         hit_ok = hit["hit"] & (act > 0.5)
+        if count_stats:
+            stats = (stats[0] + hit["cstat"][0],
+                     stats[1] + hit["cstat"][1])
 
         if has_media:
             # ---- free flight through the current medium (volume_pt.py
             # vpt_bounce + homogeneous.sample_distance, channel-MIS) ------
             stk0, stk1, stk2, mtop, n_vol = med_state
+            # empty stack -> ambient medium (scene.cam_medium; volume_pt
+            # _peek's fallback — supports camera-in-medium scenes)
             cur_med = jnp.where(mtop >= 2.0, stk2,
                                 jnp.where(mtop >= 1.0, stk1,
                                           jnp.where(mtop >= 0.0, stk0,
-                                                    f0 - 1.0)))
+                                                    f0 + ambient_med)))
             (m_ssr, m_ssg, m_ssb, m_str, m_stg, m_stb,
              m_pty, m_pg1, m_pg2, m_pwv) = medium_fields(cur_med)
             in_med = (cur_med >= 0.0) & (act > 0.5)
@@ -1574,14 +1595,16 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         sh_dist = es_dist - jnp.abs(osign * gdir) * 1e-3
         if has_media:
             need = (med_event | srf_event) & es_valid
-            ntr_r, ntr_g, ntr_b = walk_transmittance(
+            ntr_r, ntr_g, ntr_b, shcs = walk_transmittance(
                 sh_ox, sh_oy, sh_oz, es_dx, es_dy, es_dz, sh_dist,
                 cur_med, need)
             occ = (jnp.maximum(ntr_r, jnp.maximum(ntr_g, ntr_b)) <= 0.0)
         else:
             need = hit_ok & es_valid
-            occ = walk_anyhit(sh_ox, sh_oy, sh_oz, es_dx, es_dy, es_dz,
-                              sh_dist, need)
+            occ, shcs = walk_anyhit(sh_ox, sh_oy, sh_oz, es_dx, es_dy,
+                                    es_dz, sh_dist, need)
+        if count_stats:
+            stats = (stats[0] + shcs[0], stats[1] + shcs[1])
 
         last_bounce = bounce >= (max_depth - 1)
         rn_ = bpdf / jnp.maximum(es_pdf, 1e-12)
@@ -2009,7 +2032,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         return (bounce + 1, sx, sy, o_x2, o_y2, o_z2, wix, wiy, wiz,
                 tr2, tg2, tb2, Lr, Lg, Lb, actf, prev_pdf2, prev_delta2,
                 n_diff2, n_spec2, n_trans2, mdx, mdy, mdz, mtr, mtg, mtb,
-                wl, tex_state2, med_state2)
+                wl, tex_state2, med_state2, stats)
 
     if textured:
         tex0 = (tuple(f0 for _ in range(3 * D1)),
@@ -2017,12 +2040,13 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 f0)
     else:
         tex0 = ()
-    # empty medium stack, top = -1 (camera in vacuum: envelope requires it)
+    # empty medium stack resolves to the ambient (cam_medium) in-kernel
     med0 = ((f0 - 1.0, f0 - 1.0, f0 - 1.0, f0 - 1.0, f0)
             if has_media else ())
+    stats0 = (f0, f0) if count_stats else ()
     init = (jnp.int32(0), sx0, sy0, o_x0, o_y0, o_z0, d_x0, d_y0, d_z0,
             f1, f1, f1, f0, f0, f0, f1, f1, f1, f0, f0, f0,
-            f0, f0, f1, f0, f0, f0, f0, tex0, med0)
+            f0, f0, f1, f0, f0, f0, f0, tex0, med0, stats0)
     out = jax.lax.while_loop(bounce_cond, bounce_body, init)
     out_r[:] = out[12]
     out_g[:] = out[13]
@@ -2038,6 +2062,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 out_rec[c][0, kb] = rec_f[c * D1 + kb][0]
         if has_env:
             out_mb[:] = mb_f
+    if count_stats:
+        out_cn[:] = out[30][0]
+        out_cl[:] = out[30][1]
 
 
 # Global interpret default (CPU tests flip it), mirroring traverse_kernel.
@@ -2151,7 +2178,7 @@ class MKPack:
     def __init__(self, arrays, node_fmt="f32", attr_fmt="f32",
                  tri_only=False, prim_fmt="f32", has_env=False,
                  has_disp=False, textured=False, has_media=False,
-                 max_leaf=4):
+                 max_leaf=4, ambient_med=-1.0):
         self.arrays = dict(arrays)
         self.node_fmt = node_fmt
         self.attr_fmt = attr_fmt
@@ -2162,6 +2189,7 @@ class MKPack:
         self.textured = bool(textured)
         self.has_media = bool(has_media)
         self.max_leaf = int(max_leaf)
+        self.ambient_med = float(ambient_med)
 
     def __getitem__(self, k):
         return self.arrays[k]
@@ -2180,13 +2208,14 @@ class MKPack:
         return (tuple(self.arrays[k] for k in keys),
                 (keys, self.node_fmt, self.attr_fmt, self.tri_only,
                  self.prim_fmt, self.has_env, self.has_disp,
-                 self.textured, self.has_media, self.max_leaf))
+                 self.textured, self.has_media, self.max_leaf,
+                 self.ambient_med))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, nf, af, to, pf, he, hd, tx, hm, ml = aux
+        keys, nf, af, to, pf, he, hd, tx, hm, ml, am = aux
         return cls(dict(zip(keys, children)), nf, af, to, pf, he, hd, tx,
-                   hm, ml)
+                   hm, ml, am)
 
 
 def make_pack(scene: T.Scene, node_fmt: str | None = None,
@@ -2248,20 +2277,23 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
         arrays.setdefault("tex_height", scene.textures.height)
     has_disp = T.BSDF_DISPERSION in set(scene.present_bsdfs)
     has_media = bool(vpt) and (
-        int(np.asarray(scene.objects.medium_in).max(initial=-1)) >= 0)
+        int(np.asarray(scene.objects.medium_in).max(initial=-1)) >= 0
+        or int(np.asarray(scene.cam_medium)) >= 0)
     if has_media:
         if textured:
             raise ValueError("fused VPT + deferred textures not supported")
         arrays["mrow"] = pack_media(scene)
+    ambient = float(int(np.asarray(scene.cam_medium))) if vpt else -1.0
     return MKPack(arrays, node_fmt, attr_fmt, tri_only, prim_fmt, has_env,
                   has_disp, textured, has_media,
-                  max_leaf=int(scene.bvh.max_leaf))
+                  max_leaf=int(scene.bvh.max_leaf), ambient_med=ambient)
 
 
 def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
                      interpret=None, tile: int | None = None,
                      nee_candidates: int = 1,
-                     vmem_limit_bytes: int | None = None):
+                     vmem_limit_bytes: int | None = None,
+                     count_stats: bool = False):
     """Full in-kernel trace: (B, 3) rays + (B, 2) u32 pcg states → L (B, 3).
 
     pack: make_pack(scene) (scene must pass megakernel_ok). Plain dicts
@@ -2344,6 +2376,9 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         if pack.has_env:
             out_specs += [ray_spec]
             out_shape += [ray_shape]
+    if count_stats:
+        out_specs += [ray_spec] * 2
+        out_shape += [ray_shape] * 2
     n_bsdfs = pack["brows"].shape[0] * SLOTS // 2
     if pack.has_media and int(nee_candidates) != 1:
         raise ValueError("fused VPT supports nee_candidates=1")
@@ -2354,7 +2389,7 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         int(max_leaf), rn, MAX_EMITTERS, n_bsdfs, int(nee_candidates),
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
         pack.has_env, pack.has_disp, pack.textured, pack.has_media,
-        MAX_MEDIA,
+        MAX_MEDIA, float(pack.ambient_med), bool(count_stats),
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:
@@ -2424,6 +2459,13 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         # map (exact radiance incl. bilinear texture + rotations) and add
         # thp * Le with MIS weight 1 — see _kernel's miss-record comment.
         L = L + mthp * _env_radiance(pack, mdir)
+    if count_stats:
+        # per-tile node-iteration / leaf-entry counts (identical across a
+        # tile's lanes by construction): one lane per tile is the count
+        cn = outs[-2][:, 0, 0]
+        cl = outs[-1][:, 0, 0]
+        return L, {"node_iters": jnp.sum(cn), "leaf_entries": jnp.sum(cl),
+                   "tiles": jnp.float32(T_)}
     return L
 
 

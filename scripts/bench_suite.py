@@ -294,8 +294,8 @@ def main():
         "cornell_mega", "cornell_fused", "cornell_wf", "cornell_wf_nosort",
         "bunny", "bunny_fused", "whiskey", "whiskey_fused",
         "kitchen", "kitchen_fused", "vader",
-        "cornell_vpt", "medium_cbox_vpt", "medium_cbox_vpt_fused",
-        "cornell_grad",
+        "cornell_vpt", "cornell_vpt_fused", "medium_cbox_vpt",
+        "medium_cbox_vpt_fused", "cornell_grad",
     ])
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_DETAILS.json"))
     ap.add_argument("--update-baseline", action="store_true",

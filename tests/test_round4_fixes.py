@@ -520,3 +520,33 @@ def test_fused_vpt_medium_cbox_smoke():
                                         seed=2, use_bvh=True))
     rel = abs(img_k.mean() - img_x.mean()) / img_x.mean()
     assert rel < 0.15, (img_k.mean(), img_x.mean())
+
+
+def test_fused_vpt_camera_in_medium():
+    """cornell_vpt config: the CAMERA sits in the scattering medium
+    (scene.cam_medium ambient). The fused VPT resolves the empty stack to
+    the ambient medium; means must match the composed VPT."""
+    import jax.numpy as jnp
+
+    from cuda_pt_tpu.models import volume_pt
+    from cuda_pt_tpu.scene.builder import MediumSpec
+
+    scene, cam, b = testscenes.cornell_box(width=8, height=8)
+    b.add_medium(MediumSpec(sigma_a=(0.05, 0.05, 0.05),
+                            sigma_s=(0.25, 0.25, 0.25)))
+    scene = b.compile()
+    scene = scene.replace(cam_medium=jnp.int32(0))
+    md = MaxDepthParams(max_depth=5, max_volume=8)
+    assert mk.megakernel_ok(scene, md, renderer="vpt")
+    pack = mk.make_pack(scene, vpt=True)
+    assert pack.has_media and pack.ambient_med == 0.0
+    mk_m, pt_m = [], []
+    for seed in range(3):
+        img_k = np.asarray(mk.render_pack(pack, cam, md, spp=16, seed=seed,
+                                          interpret=True))
+        assert np.isfinite(img_k).all()
+        mk_m.append(img_k.mean())
+        pt_m.append(np.asarray(volume_pt.render(
+            scene, cam, md, spp=16, seed=seed, use_bvh=True)).mean())
+    rel = abs(np.mean(mk_m) - np.mean(pt_m)) / max(np.mean(pt_m), 1e-6)
+    assert rel < 0.08, (np.mean(mk_m), np.mean(pt_m))
