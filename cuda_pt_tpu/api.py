@@ -103,7 +103,6 @@ class Renderer:
         if (not self._mk_requested and traversal is None
                 and self.rtype in (RendererType.MEGAKERNEL_PT,
                                    RendererType.VOLUME_PT)
-                and self.sampler == "pcg"
                 and (self.nee_candidates == 1 or not self._mk_vpt)
                 and jax.default_backend() != "cpu"
                 and not os.environ.get("CUDA_PT_NO_FUSED")):
@@ -130,8 +129,8 @@ class Renderer:
                                   RendererType.VOLUME_PT):
                 raise ValueError("traversal='fused' requires the megakernel "
                                  f"PT or volume PT renderer, got {self.rtype}")
-            if self.sampler != "pcg":
-                raise ValueError("traversal='fused' supports sampler='pcg'")
+            # sampler='sobol' on the fused path runs the HYBRID scheme
+            # (QMC camera jitter + pcg paths) — see _build
             if self._mk_vpt and self.nee_candidates != 1:
                 raise ValueError("fused VPT supports nee_candidates=1")
             if not mk.megakernel_ok(self.scene, self.md,
@@ -157,12 +156,24 @@ class Renderer:
 
             pack = self._mk_pack
             ml = int(self.scene.bvh.max_leaf)
+            hybrid = sampler == "sobol"
 
             def f(scene, cam, seed, idx):
                 B = cam.width * cam.height
                 lane = jnp.arange(B, dtype=jnp.int32)
-                rng = qmc.make_state("pcg", seed, lane, idx)
-                o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+                if hybrid:
+                    # fused+sobol = HYBRID QMC: Owen-Sobol pixel jitter
+                    # (where low-spp stratification pays most) + fresh pcg
+                    # streams for the in-kernel path decisions
+                    rs = qmc.make_state("sobol", seed, lane, idx)
+                    o, d, _ = cam_mod.generate_rays(cam, lane, rs)
+                    rng = qmc.make_state(
+                        "pcg",
+                        jnp.asarray(seed, jnp.uint32)
+                        ^ jnp.uint32(0x9E3779B9), lane, idx)
+                else:
+                    rng = qmc.make_state("pcg", seed, lane, idx)
+                    o, d, rng = cam_mod.generate_rays(cam, lane, rng)
                 L = mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
                                         nee_candidates=nee_m)
                 return L.reshape(cam.height, cam.width, 3)
@@ -222,12 +233,21 @@ class Renderer:
             ml = int(self.scene.bvh.max_leaf)
 
             nee_m = self.nee_candidates
+            hybrid = sampler == "sobol"
 
             def f(scene, cam, seed, idx, start):
                 lane = jnp.asarray(start, jnp.int32) + jnp.arange(
                     count, dtype=jnp.int32)
-                rng = qmc.make_state("pcg", seed, lane, idx)
-                o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+                if hybrid:
+                    rs = qmc.make_state("sobol", seed, lane, idx)
+                    o, d, _ = cam_mod.generate_rays(cam, lane, rs)
+                    rng = qmc.make_state(
+                        "pcg",
+                        jnp.asarray(seed, jnp.uint32)
+                        ^ jnp.uint32(0x9E3779B9), lane, idx)
+                else:
+                    rng = qmc.make_state("pcg", seed, lane, idx)
+                    o, d, rng = cam_mod.generate_rays(cam, lane, rng)
                 return mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
                                            nee_candidates=nee_m)
             return f

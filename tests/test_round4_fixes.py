@@ -550,3 +550,31 @@ def test_fused_vpt_camera_in_medium():
             scene, cam, md, spp=16, seed=seed, use_bvh=True)).mean())
     rel = abs(np.mean(mk_m) - np.mean(pt_m)) / max(np.mean(pt_m), 1e-6)
     assert rel < 0.08, (np.mean(mk_m), np.mean(pt_m))
+
+
+def test_fused_hybrid_sobol_sampler():
+    """sampler='sobol' on the fused path runs hybrid QMC (Owen-Sobol pixel
+    jitter + pcg paths): mean-consistent with pcg and lower MSE at low
+    spp (the stratification where QMC pays most)."""
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    parsed = _as_parsed(scene, cam)
+    import cuda_pt_tpu.ops.pallas.megakernel as mkm
+
+    old = mkm.INTERPRET
+    mkm.INTERPRET = True
+    try:
+        ref = Renderer(parsed, max_lanes_per_call=0, traversal="fused")
+        ref_img = ref.render(48)
+        errs = {}
+        for smp in ("pcg", "sobol"):
+            accs = []
+            for so in range(3):
+                r = Renderer(parsed, sampler=smp, traversal="fused",
+                             seed_offset=100 + so, max_lanes_per_call=0)
+                accs.append(((r.render(4) - ref_img) ** 2).mean())
+            errs[smp] = np.mean(accs)
+        assert np.isfinite(errs["sobol"])
+        # hybrid must not be worse; typically clearly better
+        assert errs["sobol"] < errs["pcg"] * 1.05, errs
+    finally:
+        mkm.INTERPRET = old
