@@ -53,6 +53,14 @@ canvas{image-rendering:pixelated;border:1px solid #444}
 <div class=row><label><input type="checkbox" style="width:auto"
  onchange="post({kind:'tonemap', value:this.checked ? 'aces' : 'gamma'})"> ACES filmic tonemap</label></div>
 <h3>Camera (WASD+RF move, drag rotate)</h3>
+<h3>Depth caps</h3><div id="depths"></div>
+<h3>ToF window</h3>
+<div class=row>min <input id="tofmin" value="0">
+ max <input id="tofmax" value="0">
+ <button onclick="post({kind:'tof',
+   min_time: parseFloat(document.getElementById('tofmin').value),
+   max_time: parseFloat(document.getElementById('tofmax').value)})">
+ apply</button></div>
 <h3>Emitters</h3><div id="emitters"></div>
 <h3>Materials</h3><div id="materials"></div>
 <h3>Media</h3><div id="media"></div>
@@ -96,6 +104,14 @@ async function buildPanel(){
     md.insertAdjacentHTML('beforeend',
       `<div class=row>#${i} scale <input value="${m.scale}"
         onchange="post({kind:'medium',id:${i},field:'scale',value:parseFloat(this.value)})"></div>`); });
+  const dp = document.getElementById('depths');
+  for (const f of ['max_depth','max_diffuse','max_specular','max_transmit',
+                   'max_volume'])
+    dp.insertAdjacentHTML('beforeend',
+      `<div class=row>${f} <input value="${j.md[f]}"
+        onchange="post({kind:'max_depth',field:'${f}',value:parseInt(this.value)})"></div>`);
+  document.getElementById('tofmin').value = j.md.min_time;
+  document.getElementById('tofmax').value = j.md.max_time;
 }
 buildPanel();
 </script></body></html>"""
@@ -114,6 +130,7 @@ class ViewerState:
         self.generation = 0
         self.denoise_on = False
         self.tonemap = "gamma"
+        self.colormap = "viridis"
         self.thread = threading.Thread(target=self._loop, daemon=True)
 
     def start(self):
@@ -189,11 +206,41 @@ class ViewerState:
                 r.scene = r.scene.replace(
                     media=mt.replace(**{field: getattr(mt, field).at[i].set(v)})
                 )
+            elif kind == "max_depth":
+                # per-renderer depth caps (reference imgui_utils.cu:604-700:
+                # max bounce / diffuse / specular / transmit / volume)
+                field, v = msg["field"], int(msg["value"])
+                assert field in ("max_depth", "max_diffuse", "max_specular",
+                                 "max_transmit", "max_volume"), field
+                import dataclasses
+
+                r.md = dataclasses.replace(r.md, **{field: v})
+                r._render_1spp = r._build()
+                r._jits = {}
+            elif kind == "tof":
+                # ToF gating window (reference imgui_utils.cu:701-760):
+                # min_time / max_time in path-length units; 0 disables
+                import dataclasses
+
+                r.md = dataclasses.replace(
+                    r.md,
+                    min_time=float(msg.get("min_time", r.md.min_time)),
+                    max_time=float(msg.get("max_time", r.md.max_time)))
+                r._render_1spp = r._build()
+                r._jits = {}
+            elif kind == "colormap":
+                # depth/BVH-cost visualizer colormap selection
+                self.colormap = str(msg["value"])
             self.dirty = True
 
     def scene_json(self) -> dict:
         s = self.renderer.scene
+        md = self.renderer.md
         return {
+            "md": {k: float(getattr(md, k)) for k in (
+                "max_depth", "max_diffuse", "max_specular", "max_transmit",
+                "max_volume", "min_time", "max_time")},
+            "colormap": self.colormap,
             "emitters": [
                 {"etype": int(t), "scaler": float(sc)}
                 for t, sc in zip(np.asarray(s.emitters.etype), np.asarray(s.emitters.scaler))

@@ -158,8 +158,6 @@ def main() -> None:
           "warm_s": round(warm, 1)})
 
     # ---- unit-cost calibration (per tile size used by the scenes) --------
-    import numpy as np
-
     W = args.res
     scene0, _, _ = testscenes.cornell_box(width=W, height=W)
     nodes0 = tk.pack_nodes(scene0.bvh)

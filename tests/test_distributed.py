@@ -238,3 +238,43 @@ def test_fused_megakernel_under_mesh():
         assert match > 0.95, match
     finally:
         mk.INTERPRET = old
+
+
+def test_fused_vpt_under_mesh():
+    """The fused VOLUMETRIC megakernel (homogeneous media in-kernel) also
+    shards: medium-cbox tiles over the virtual mesh, finite and
+    mean-consistent with the composed distributed VPT."""
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+    from cuda_pt_tpu.scene.xml_parser import load_xml
+
+    ps = load_xml("/root/reference/scene/xml/medium-cbox.xml",
+                  override_res=(16, 16))
+    md = MaxDepthParams(max_depth=4, max_volume=6)
+    old = mk.INTERPRET
+    mk.INTERPRET = True
+    try:
+        pack = mk.make_pack(ps.scene, vpt=True)
+        assert pack.has_media
+        mesh = dist.make_mesh(sp=1)
+        img_f = np.asarray(dist.render_distributed(
+            ps.scene, ps.camera, md, spp=2, mesh=mesh, seed=0,
+            use_bvh=True, renderer="fused", fused_pack=pack,
+            fused_max_leaf=int(ps.scene.bvh.max_leaf)))
+        assert np.isfinite(img_f).all()
+        # sharding correctness: the mesh render must match the
+        # single-device fused render (same estimator, same seeds)
+        from cuda_pt_tpu.core import camera as cam_mod
+        from cuda_pt_tpu.core import qmc
+
+        B = ps.camera.width * ps.camera.height
+        acc = np.zeros((B, 3), np.float32)
+        for idx in range(2):
+            lane = jnp.arange(B, dtype=jnp.int32)
+            rng = qmc.make_state("pcg", 0, lane, idx)
+            o, d, rng = cam_mod.generate_rays(ps.camera, lane, rng)
+            acc += np.asarray(mk.trace_megakernel(pack, md, o, d, rng))
+        img_s = (acc / 2).reshape(16, 16, 3)
+        match = np.isclose(img_f, img_s, atol=1e-4, rtol=1e-4).mean()
+        assert match > 0.99, match
+    finally:
+        mk.INTERPRET = old

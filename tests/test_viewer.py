@@ -125,3 +125,36 @@ def test_viewer_sampler_toggle(viewer):
     img = np.asarray(state.renderer.film.mean)
     assert np.isfinite(img).all()
     _post(port, "/update", {"kind": "sampler", "value": "pcg"})
+
+
+def test_viewer_depth_caps_and_tof(viewer):
+    """Round-4 parity with the reference GUI's per-renderer parameter
+    depth (imgui_utils.cu:604-760): depth caps, ToF window, colormap."""
+    state, port = viewer
+    _post(port, "/update", {"kind": "max_depth", "field": "max_depth",
+                            "value": 3})
+    _post(port, "/update", {"kind": "tof", "min_time": 0.5,
+                            "max_time": 6.0})
+    _post(port, "/update", {"kind": "colormap", "value": "magma"})
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        info = json.loads(_get(port, "/scene"))
+        md = info.get("md", {})
+        if (md.get("max_depth") == 3.0 and md.get("max_time") == 6.0
+                and info.get("colormap") == "magma"):
+            break
+        time.sleep(0.5)
+    else:
+        raise AssertionError(f"viewer md not applied: {info}")
+    # the renderer still produces frames after the re-jit
+    gen0 = state.generation
+    deadline = time.time() + 60
+    while state.generation == gen0 and time.time() < deadline:
+        time.sleep(0.5)
+    png = _get(port, "/frame.png")
+    assert png[:4] == b"\x89PNG"
+    # restore for other tests
+    _post(port, "/update", {"kind": "tof", "min_time": 0.0,
+                            "max_time": 0.0})
+    _post(port, "/update", {"kind": "max_depth", "field": "max_depth",
+                            "value": 16})
