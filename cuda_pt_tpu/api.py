@@ -328,6 +328,7 @@ class Renderer:
         img, n, var = adaptive.render_adaptive(
             self.scene, self.camera, self.md, spp_budget, seed=self.seed,
             use_bvh=self.use_bvh, sampler=self.sampler, return_variance=True,
+            fused_pack=(self._mk_pack if self.sampler == "pcg" else None),
             **kw)
         # count must cover the LARGEST per-pixel sample index or a later
         # render()/render_raw() accumulation would replay streams already

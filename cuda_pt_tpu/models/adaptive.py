@@ -56,12 +56,17 @@ def render_adaptive(
     sampler: str = "pcg",
     return_variance: bool = False,
     tracer: str = "pt",
+    fused_pack=None,
 ):
     """Render with a total budget of ``spp_budget × W × H`` samples.
 
     ``base_spp`` uniform warm-up passes (default: half the budget), then
     adaptive rounds that each give one extra sample to every pixel of the
     ``tile_frac`` highest-error tiles, until the budget is spent.
+
+    ``fused_pack``: a megakernel.make_pack(scene) — adaptive sampling then
+    drives the fused in-kernel megakernel per round (pcg sampler only),
+    combining the ~20× fused speedup with the adaptive budget win.
 
     Returns (image (H, W, 3), n_per_pixel (H, W)); n averages to
     ~spp_budget across the frame. return_variance=True appends the
@@ -98,11 +103,18 @@ def render_adaptive(
         + px.reshape(1, -1)
     ).astype(jnp.int32)  # (ntiles, tile²)
 
+    if fused_pack is not None:
+        assert sampler == "pcg", "fused adaptive supports sampler='pcg'"
+
     def sample_pixels(pixel_ids, n_of_pixel):
         """One fresh sample per given pixel; the sample index is the pixel's
         own count, keeping streams identical to uniform rendering."""
         rng = qmc.make_state(sampler, seed, pixel_ids, n_of_pixel)
         o, d, rng = cam_mod.generate_rays(cam, pixel_ids, rng)
+        if fused_pack is not None:
+            from ..ops.pallas import megakernel as mk
+
+            return mk.trace_megakernel(fused_pack, md, o, d, rng)
         wl_u = pt.wl_stratum_u(seed, n_of_pixel, pixel_ids)
         if tracer == "vpt":
             from . import volume_pt

@@ -99,3 +99,33 @@ def test_adaptive_vpt():
     mse_u = ((u - ref) ** 2).mean()
     mse_a = ((a - ref) ** 2).mean()
     assert mse_a < 1.05 * mse_u, (mse_a, mse_u)
+
+
+def test_adaptive_fused_pack():
+    """Adaptive sampling can drive the fused megakernel: same budget
+    accounting, matching means vs the composed adaptive render."""
+    import numpy as np
+
+    from cuda_pt_tpu.core.config import MaxDepthParams
+    from cuda_pt_tpu.models import adaptive
+    from cuda_pt_tpu.ops.pallas import megakernel as mk
+    from cuda_pt_tpu.scene import testscenes
+
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=3)
+    old = mk.INTERPRET
+    mk.INTERPRET = True
+    try:
+        pack = mk.make_pack(scene)
+        img_f, n_f = adaptive.render_adaptive(
+            scene, cam, md, spp_budget=4, seed=3, use_bvh=True,
+            fused_pack=pack)
+        img_c, n_c = adaptive.render_adaptive(
+            scene, cam, md, spp_budget=4, seed=3, use_bvh=True)
+        assert np.isfinite(np.asarray(img_f)).all()
+        np.testing.assert_allclose(np.asarray(n_f), np.asarray(n_c))
+        rel = abs(float(img_f.mean()) - float(img_c.mean())) / float(
+            img_c.mean())
+        assert rel < 0.05, (img_f.mean(), img_c.mean())
+    finally:
+        mk.INTERPRET = old
