@@ -160,7 +160,11 @@ class Renderer:
 
             def f(scene, cam, seed, idx):
                 B = cam.width * cam.height
-                lane = jnp.arange(B, dtype=jnp.int32)
+                # Z-order lane grouping: square screen blocks per kernel
+                # tile (megakernel.tile_swizzle) — bit-identical image
+                perm, inv = mk.tile_swizzle(int(cam.width),
+                                            int(cam.height))
+                lane = perm
                 if hybrid:
                     # fused+sobol = HYBRID QMC: Owen-Sobol pixel jitter
                     # (where low-spp stratification pays most) + fresh pcg
@@ -176,7 +180,7 @@ class Renderer:
                     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
                 L = mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
                                         nee_candidates=nee_m)
-                return L.reshape(cam.height, cam.width, 3)
+                return L[inv].reshape(cam.height, cam.width, 3)
             return jax.jit(f)
         if rt == RendererType.WAVEFRONT_PT:
             def f(scene, cam, seed, idx):
@@ -235,9 +239,18 @@ class Renderer:
             nee_m = self.nee_candidates
             hybrid = sampler == "sobol"
 
+            W = self.camera.width
+            rows = max(count // W, 1) if count % W == 0 else 0
+
             def f(scene, cam, seed, idx, start):
-                lane = jnp.asarray(start, jnp.int32) + jnp.arange(
-                    count, dtype=jnp.int32)
+                base = jnp.asarray(start, jnp.int32)
+                if rows:
+                    # full-width row band: Z-order within the band rect
+                    perm, inv = mk.tile_swizzle(W, rows)
+                    lane = base + perm
+                else:
+                    inv = None
+                    lane = base + jnp.arange(count, dtype=jnp.int32)
                 if hybrid:
                     rs = qmc.make_state("sobol", seed, lane, idx)
                     o, d, _ = cam_mod.generate_rays(cam, lane, rs)
@@ -248,8 +261,9 @@ class Renderer:
                 else:
                     rng = qmc.make_state("pcg", seed, lane, idx)
                     o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-                return mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
-                                           nee_candidates=nee_m)
+                L = mk.trace_megakernel(pack, md, o, d, rng, max_leaf=ml,
+                                        nee_candidates=nee_m)
+                return L[inv] if inv is not None else L
             return f
         if self.rtype == RendererType.VOLUME_PT:
             def f(scene, cam, seed, idx, start):

@@ -2070,6 +2070,42 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 # Global interpret default (CPU tests flip it), mirroring traverse_kernel.
 INTERPRET = False
 
+
+@functools.lru_cache(maxsize=16)
+def _tile_swizzle_np(width: int, height: int):
+    """Morton (Z-order) pixel permutation (perm, inv) as NUMPY int32 arrays
+    (cached; jnp values must not be cached across traces).
+
+    The kernel grid walks B lanes in TILE-sized groups; in row-major order
+    a TILE=8192 group at 256² is a 32-row STRIP — an elongated frustum
+    whose any-lane walk visits far more nodes than a compact block. Z-order
+    makes every tile a ~square screen block (tighter primary-ray frusta),
+    with bit-identical images: the pixel→RNG-stream mapping is unchanged,
+    only the lane grouping moves. Host-computed once per (W, H)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+        return v
+
+    code = (spread(x.ravel()) | (spread(y.ravel()) << np.uint64(1)))
+    perm = np.argsort(code, kind="stable").astype(np.int32)
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return perm, inv
+
+
+def tile_swizzle(width: int, height: int):
+    """(perm, inv) Z-order lane permutation as fresh jnp constants."""
+    perm, inv = _tile_swizzle_np(int(width), int(height))
+    return jnp.asarray(perm), jnp.asarray(inv)
+
 # Packs whose f32 footprint exceeds this compact automatically (bf16 nodes +
 # bf16 attrs: ~45% smaller) — the whiskey-class stability lever. Small
 # scenes stay f32 for exact estimator parity with the composed path.
@@ -2503,7 +2539,10 @@ def render_pack(pack, cam, md, spp: int, seed, max_leaf: int | None = None,
     from ...core import qmc
 
     B = cam.width * cam.height
-    lane = jnp.arange(B, dtype=jnp.int32)
+    # Z-order lanes: square screen blocks per kernel tile (tile_swizzle).
+    # Bit-identical image — the pixel→stream map is untouched.
+    perm, inv = tile_swizzle(int(cam.width), int(cam.height))
+    lane = perm
 
     def body(i, acc):
         rng = qmc.make_state("pcg", seed, lane, i)
@@ -2514,7 +2553,7 @@ def render_pack(pack, cam, md, spp: int, seed, max_leaf: int | None = None,
         return acc + L
 
     acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((B, 3), jnp.float32))
-    return (acc / spp).reshape(cam.height, cam.width, 3)
+    return (acc[inv] / spp).reshape(cam.height, cam.width, 3)
 
 
 def render_megakernel(scene: T.Scene, cam, md, spp: int, seed: int = 0,

@@ -101,6 +101,18 @@ def child(mode: str) -> None:
         for tile in (2048, 4096, 8192):
             run(f"bunny", bp.scene, bp.camera, bp.config.md, spp=1,
                 tile=tile)
+        # 3c. Z-order swizzle A/B on bunny (identity perm = r3 behavior)
+        import numpy as _np
+
+        real_swz = mk._tile_swizzle_np
+        mk._tile_swizzle_np = lambda w, h: (
+            _np.arange(w * h, dtype=_np.int32),
+            _np.arange(w * h, dtype=_np.int32))
+        try:
+            run("bunny_noswizzle", bp.scene, bp.camera, bp.config.md,
+                spp=1, tile=4096)
+        finally:
+            mk._tile_swizzle_np = real_swz
         # 4. bunny with the r3-style f32 pack for an apples-to-apples delta
         run("bunny_f32", bp.scene, bp.camera, bp.config.md, spp=1,
             tile=4096, node_fmt="f32", attr_fmt="f32", prim_fmt="f32")
