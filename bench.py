@@ -159,9 +159,9 @@ for cfg in configs:
             # Mrays/s across rounds with nothing quantifying it
             st = timing.timeit_stats(fn, pack, 1, reps=5)
             dt = st["median"]
-            rays = int(jax.jit(lambda s: pt.count_rays(
+            rays = timing.host_count(lambda s: pt.count_rays(
                 s, cam, md, spp=SPP, seed=1, use_bvh=use_bvh,
-                sampler=sampler))(scene))
+                sampler=sampler), scene)
             mr = rays / dt / 1e6
             mr_lo = rays / max(st["mean"] + st["std"], 1e-9) / 1e6
             mr_hi = rays / max(st["mean"] - st["std"], 1e-9) / 1e6
@@ -186,9 +186,11 @@ for cfg in configs:
                 s, cam, md, spp=SPP, seed=seed, use_bvh=use_bvh,
                 sampler=sampler, nee_candidates=nee_m))
         dt = timing.timeit(fn, scene, 1, reps=3)
-        rays = int(jax.jit(lambda s: pt.count_rays(
+        # host-side count: composed counting kernels on big scenes kill the
+        # TPU worker past ~60 s/call (TUNNEL.md §5, solved 2026-08-20)
+        rays = timing.host_count(lambda s: pt.count_rays(
             s, cam, md, spp=SPP, seed=1, use_bvh=use_bvh,
-            sampler=sampler))(scene))
+            sampler=sampler), scene)
         # Roofline anchor (VERDICT r2 weak #5): XLA's own flop count for the
         # compiled frame / wall time, and that rate as a % of the v5e bf16
         # MXU peak (197 TFLOP/s). A VPU-bound renderer can't reach MXU peak,

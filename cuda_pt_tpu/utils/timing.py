@@ -62,6 +62,25 @@ def force(x) -> None:
         jax.block_until_ready(x)
 
 
+def host_count(count_fn, *args) -> int:
+    """Run a scalar counting function on the HOST CPU backend.
+
+    Why this exists (docs/TUNNEL.md §5, solved 2026-08-20): through the
+    axon tunnel, a single device call whose execution runs past ~60 s kills
+    the TPU worker ("TPU worker process crashed or restarted"). The
+    composed ``count_rays`` on a big mesh (whiskey, 68k prims, depth 16,
+    256²) is exactly such a call — it was the real cause of what three
+    rounds of notes recorded as "whiskey-scale fused-kernel instability":
+    the fused render completed fine and the *ray counter after it* killed
+    the worker. Ray counts are integer-RNG-driven and backend-invariant,
+    so every bench/experiment script counts on CPU via this helper.
+    """
+    cpu = jax.devices("cpu")[0]
+    args = jax.device_put(args, cpu)
+    with jax.default_device(cpu):
+        return int(jax.device_get(jax.jit(count_fn)(*args)))
+
+
 def fence_baseline(reps: int = 5) -> float:
     """Median cost of force() on an already-materialized array."""
     x = jnp.ones((8,), jnp.float32)

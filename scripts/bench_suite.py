@@ -74,7 +74,7 @@ md = MaxDepthParams(max_depth=maxd)
 if name == "cornell_mega":
     scene, cam = cornell(res_big)
     fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name == "cornell_fused":
     # the fused in-kernel Pallas megakernel (ops/pallas/megakernel.py)
     from cuda_pt_tpu.ops.pallas import megakernel as mk
@@ -85,19 +85,19 @@ elif name == "cornell_fused":
     ml = int(scene.bvh.max_leaf)
     fn = jax.jit(lambda s, i, pack=pack: mk.render_pack(
         pack, cam, md, spp=spp, seed=i, max_leaf=ml))
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name == "cornell_wf":
     from cuda_pt_tpu.models import wavefront
     scene, cam = cornell(res_big)
     fn = jax.jit(lambda s, i: wavefront.render(
         s, cam, md, spp=spp, seed=i, use_bvh=True, compact=True))
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name == "cornell_wf_nosort":
     from cuda_pt_tpu.models import wavefront
     scene, cam = cornell(res_big)
     fn = jax.jit(lambda s, i: wavefront.render(
         s, cam, md, spp=spp, seed=i, use_bvh=True, sort_rays=False, compact=False))
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name in ("bunny_fused", "whiskey_fused", "kitchen_fused"):
     # mesh/kitchen-class scenes through the fused in-kernel megakernel.
     # Round 4 compact packs (bf16 nodes/attrs + t9 prims) brought whiskey
@@ -122,7 +122,7 @@ elif name in ("bunny_fused", "whiskey_fused", "kitchen_fused"):
     ml = int(scene.bvh.max_leaf)
     fn = jax.jit(lambda s, i, pack=pack: mk.render_pack(
         pack, cam, md, spp=spp, seed=i, max_leaf=ml))
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name in ("bunny", "whiskey", "vader", "bunny_wide", "whiskey_wide"):
     base = name.removesuffix("_wide")
     res = min(res_big, 256) if base != "bunny" else res_big
@@ -131,7 +131,7 @@ elif name in ("bunny", "whiskey", "vader", "bunny_wide", "whiskey_wide"):
         from cuda_pt_tpu.accel.wide_build import with_wide
         scene = with_wide(scene)
     fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name == "whiskey_pallas":
     # VERDICT r2 item 3: whiskey through the Pallas streaming-forest path.
     # Compiled-only (Mosaic): on the CPU backend this would be interpret
@@ -146,7 +146,7 @@ elif name == "whiskey_pallas":
         forest=tk.build_forest(scene.geom, chunk_prims=32768),
         traversal="pallas")
     fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 elif name == "cornell_grad":
     # BASELINE.json headline is "Mrays/s/chip fwd AND fwd+bwd": one
     # value_and_grad step through the differentiable estimator w.r.t. the
@@ -178,7 +178,7 @@ elif name == "cornell_grad":
     grad_fn = jax.jit(jax.value_and_grad(loss))
     params = diff_params(scene)
     fn = jax.jit(lambda s, i: grad_fn(params, s, i)[0])
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1,
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1,
                                               use_bvh=True))
 elif name in ("cornell_vpt_fused", "medium_cbox_vpt_fused"):
     # fused in-kernel volumetric PT (round 4): free-flight channel MIS +
@@ -202,7 +202,7 @@ elif name in ("cornell_vpt_fused", "medium_cbox_vpt_fused"):
     pack = mk.make_pack(scene, vpt=True)
     fn = jax.jit(lambda s, i, pack=pack: mk.render_pack(
         pack, cam, mdv, spp=spp, seed=i))
-    counter = jax.jit(lambda s: volume_pt.count_rays(
+    counter = (lambda s: volume_pt.count_rays(
         s, cam, mdv, spp=spp, seed=1, use_bvh=True))
 elif name == "medium_cbox_vpt":
     # BASELINE.json VPT config: the reference's medium-cbox scene
@@ -210,13 +210,13 @@ elif name == "medium_cbox_vpt":
     scene, cam = from_xml("medium-cbox.xml", min(res_big, 256))
     mdv = MaxDepthParams(max_depth=maxd, max_volume=8)
     fn = jax.jit(lambda s, i: volume_pt.render(s, cam, mdv, spp=spp, seed=i, use_bvh=True))
-    counter = jax.jit(lambda s: volume_pt.count_rays(s, cam, mdv, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: volume_pt.count_rays(s, cam, mdv, spp=spp, seed=1, use_bvh=True))
 elif name == "cornell_vpt":
     from cuda_pt_tpu.models import volume_pt
     scene, cam = cornell_medium(min(res_big, 256))
     mdv = MaxDepthParams(max_depth=maxd, max_volume=8)
     fn = jax.jit(lambda s, i: volume_pt.render(s, cam, mdv, spp=spp, seed=i, use_bvh=True))
-    counter = jax.jit(lambda s: volume_pt.count_rays(s, cam, mdv, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: volume_pt.count_rays(s, cam, mdv, spp=spp, seed=1, use_bvh=True))
 elif name in ("kitchen", "kitchen_wide", "kitchen_forest"):
     # VERDICT r2 item 6: synthesized kitchen-class stress scene — ~99k
     # textured prims, HDR envmap + area light, 5 BSDF families
@@ -235,7 +235,7 @@ elif name in ("kitchen", "kitchen_wide", "kitchen_forest"):
         from cuda_pt_tpu.accel.wide_build import with_wide
         scene = with_wide(scene)
     fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=spp, seed=i, use_bvh=True))
-    counter = jax.jit(lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
+    counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
 else:
     raise SystemExit(f"unknown bench {name}")
 
@@ -254,7 +254,10 @@ elif _impl == "auto":
 from cuda_pt_tpu.utils import timing
 warm_s = timing.warm_readback() if jax.default_backend() != "cpu" else 0.0
 dt = timing.timeit(fn, scene, 1, reps=3)
-rays = int(counter(scene))
+# Count on the HOST CPU backend: the composed counting kernel on a big
+# mesh runs past the tunnel's ~60 s per-call budget and kills the TPU
+# worker (this WAS the 'whiskey fused instability', TUNNEL.md §5)
+rays = timing.host_count(counter, scene)
 print(json.dumps({
     "name": name, "backend": jax.default_backend(),
     "res": int(cam.width), "spp": spp, "max_depth": maxd,

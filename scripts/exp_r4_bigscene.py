@@ -46,9 +46,13 @@ def child(mode: str) -> None:
           "warm_s": round(warm, 1)})
 
     def ray_count(scene, cam, md, spp):
-        return int(jax.device_get(jax.jit(
+        # HOST-side count (TUNNEL.md §5, solved): the composed counting
+        # kernel on whiskey-class meshes runs past the tunnel's ~60 s
+        # per-call budget and kills the TPU worker — that kill, not the
+        # fused kernel, was every round-4 "whiskey crash".
+        return timing.host_count(
             lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1,
-                                    use_bvh=True))(scene)))
+                                    use_bvh=True), scene)
 
     def run(tag, scene, cam, md, spp, tile=None, reps=3, **mkw):
         try:
@@ -81,11 +85,14 @@ def child(mode: str) -> None:
     md = MaxDepthParams(max_depth=5)
     run("cornell", scene, cam, md, spp=4)
 
-    # 2. whiskey compact pack (auto: bf16 nodes/attrs + t9 prims, ~5.3 MB)
+    # 2. whiskey compact pack (auto: bf16 nodes/attrs + t9 prims, ~5.3 MB).
+    # In full mode it runs AFTER kitchen/bunny so a fault can't eat their
+    # rows (that ordering cost round 4 its first full measurement pass).
     ps = load_xml("/root/reference/scene/xml/whiskey.xml",
                   override_res=(W, W))
     wmd = ps.config.md
-    run("whiskey_compact", ps.scene, ps.camera, wmd, spp=1, reps=3)
+    if mode != "full":
+        run("whiskey_compact", ps.scene, ps.camera, wmd, spp=1, reps=3)
 
     if mode == "full":
         # 3. kitchen-class fused (deferred textures + envmap epilogue +
@@ -116,7 +123,9 @@ def child(mode: str) -> None:
         # 4. bunny with the r3-style f32 pack for an apples-to-apples delta
         run("bunny_f32", bp.scene, bp.camera, bp.config.md, spp=1,
             tile=4096, node_fmt="f32", attr_fmt="f32", prim_fmt="f32")
-        # 5. whiskey f32 pack (the r3 fault config) — expect flaky
+        # 5. whiskey: compact pack, then the f32 pack (the r3 "fault"
+        # config — stable now that ray counting is host-side)
+        run("whiskey_compact", ps.scene, ps.camera, wmd, spp=1, reps=3)
         run("whiskey_f32", ps.scene, ps.camera, wmd, spp=1, reps=3,
             node_fmt="f32", attr_fmt="f32", prim_fmt="f32")
     emit({"event": "child_done", "total_s": round(time.time() - t0, 1)})

@@ -125,8 +125,8 @@ md = MaxDepthParams(max_depth=5)
 fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=4, seed=i, use_bvh=True))
 timing.force(fn(scene, 0))
 dt = timing.timeit(fn, scene, 1)
-rays = int(jax.device_get(jax.jit(lambda s: pt.count_rays(
-    s, cam, md, spp=4, seed=1, use_bvh=True))(scene)))
+rays = timing.host_count(lambda s: pt.count_rays(
+    s, cam, md, spp=4, seed=1, use_bvh=True), scene)
 print(json.dumps({"sec_per_frame": round(dt, 3), "rays": rays,
                   "mrays_per_s": round(rays / dt / 1e6, 2)}))
 """
@@ -141,8 +141,8 @@ md = MaxDepthParams(max_depth=5)
 fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=4, seed=i, use_bvh=True))
 timing.force(fn(scene, 0))
 dt = timing.timeit(fn, scene, 1)
-rays = int(jax.device_get(jax.jit(lambda s: pt.count_rays(
-    s, cam, md, spp=4, seed=1, use_bvh=True))(scene)))
+rays = timing.host_count(lambda s: pt.count_rays(
+    s, cam, md, spp=4, seed=1, use_bvh=True), scene)
 print(json.dumps({"sec_per_frame": round(dt, 3), "impl": "pallas_packet",
                   "rays": rays, "mrays_per_s": round(rays / dt / 1e6, 2)}))
 """
@@ -158,8 +158,8 @@ fn = jax.jit(lambda s, i: wavefront.render(s, cam, md, spp=4, seed=i,
                                            use_bvh=True, compact=True))
 timing.force(fn(scene, 0))
 dt = timing.timeit(fn, scene, 1)
-rays = int(jax.device_get(jax.jit(lambda s: pt.count_rays(
-    s, cam, md, spp=4, seed=1, use_bvh=True))(scene)))
+rays = timing.host_count(lambda s: pt.count_rays(
+    s, cam, md, spp=4, seed=1, use_bvh=True), scene)
 print(json.dumps({"sec_per_frame": round(dt, 3), "rays": rays,
                   "mrays_per_s": round(rays / dt / 1e6, 2)}))
 """
@@ -198,9 +198,9 @@ fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=1, seed=i, use_bvh=True))
 t0 = time.time(); timing.force(fn(scene, 0))
 compile_s = time.time() - t0
 dt = timing.timeit(fn, scene, 1)
-rays = int(jax.device_get(jax.jit(lambda s: pt.count_rays(
-    s, cam, md, spp=1, seed=1, use_bvh=True))(
-        scene.replace(traversal="xla"))))
+rays = timing.host_count(
+    lambda s: pt.count_rays(s, cam, md, spp=1, seed=1, use_bvh=True),
+    scene.replace(traversal="xla"))
 print(json.dumps({"scene": "whiskey", "prims": int(scene.geom.num_prims),
                   "chunks": int(scene.forest.num_chunks),
                   "compile_s": round(compile_s, 1),
@@ -220,9 +220,9 @@ fn = jax.jit(lambda s, i: pt.render(s, cam, md, spp=1, seed=i, use_bvh=True))
 t0 = time.time(); timing.force(fn(scene, 0))
 compile_s = time.time() - t0
 dt = timing.timeit(fn, scene, 1)
-rays = int(jax.device_get(jax.jit(lambda s: pt.count_rays(
-    s, cam, md, spp=1, seed=1, use_bvh=True))(
-        scene.replace(traversal="xla"))))
+rays = timing.host_count(
+    lambda s: pt.count_rays(s, cam, md, spp=1, seed=1, use_bvh=True),
+    scene.replace(traversal="xla"))
 print(json.dumps({"scene": "kitchen_stress",
                   "prims": int(scene.geom.num_prims),
                   "compile_s": round(compile_s, 1),
@@ -247,8 +247,8 @@ fn = jax.jit(jax.value_and_grad(loss))
 timing.force(fn(scene.bsdfs.k_d)[0])
 dt = timing.timeit(lambda kd: fn(kd)[0], scene.bsdfs.k_d)
 l, g = fn(scene.bsdfs.k_d)
-rays = int(jax.device_get(jax.jit(lambda s: pt.count_rays(
-    s, cam, md, spp=4, seed=0, use_bvh=True))(scene)))
+rays = timing.host_count(lambda s: pt.count_rays(
+    s, cam, md, spp=4, seed=0, use_bvh=True), scene)
 print(json.dumps({"fwd_bwd_sec": round(dt, 3),
                   "loss": float(jax.device_get(l)),
                   "grad_finite": bool(jax.device_get(

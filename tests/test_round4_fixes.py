@@ -6,6 +6,7 @@ guard, the fused-kernel throughput NaN guard, and the fused VMEM envelope
 accounting that includes the attrs/emitter/bsdf tables.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -578,3 +579,24 @@ def test_fused_hybrid_sobol_sampler():
         assert errs["sobol"] < errs["pcg"] * 1.05, errs
     finally:
         mkm.INTERPRET = old
+
+
+def test_host_count_matches_direct():
+    """timing.host_count pins counts to the CPU backend (TUNNEL.md §5: the
+    composed counting kernel on big meshes ran past the tunnel's ~60 s
+    per-call budget and killed the TPU worker — misattributed for two
+    rounds as fused-kernel instability). Counts must match the direct
+    jitted count bit-exactly on the same backend."""
+    from cuda_pt_tpu.core.config import MaxDepthParams
+    from cuda_pt_tpu.models import path_tracer as pt
+    from cuda_pt_tpu.utils import timing
+
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    md = MaxDepthParams(max_depth=4)
+
+    def counter(s):
+        return pt.count_rays(s, cam, md, spp=2, seed=1, use_bvh=True)
+
+    direct = int(jax.jit(counter)(scene))
+    hosted = timing.host_count(counter, scene)
+    assert hosted == direct, (hosted, direct)
