@@ -167,7 +167,7 @@ def _sky_hdr(h=128, w=256, sun_dir=(0.35, 0.65, 0.4), sun_lum=80.0):
 
 
 def kitchen_stress(width=128, height=128, grid=7, ns=36, nt=28,
-                   forest_chunk=None, node_fmt="f32"):
+                   forest_chunk=None, node_fmt="f32", bvh_cfg=None):
     """Kitchen-class synthesized stress scene (VERDICT r2 item 6: the
     reference's kitchen.xml — textures + envmap + WFPT config,
     /root/reference/scene/xml/kitchen.xml — has its meshes missing from the
@@ -229,7 +229,7 @@ def kitchen_stress(width=128, height=128, grid=7, ns=36, nt=28,
                                    ns=ns, nt=nt, scale_y=ry)
             b.add_mesh(p, mats[(gi * grid + gj) % len(mats)], n=n, uv=uv)
 
-    scene = b.compile(forest_chunk=forest_chunk, node_fmt=node_fmt)
+    scene = b.compile(bvh_cfg, forest_chunk=forest_chunk, node_fmt=node_fmt)
     cam = cam_mod.make_camera(
         origin=(0.0, grid * 0.85, -grid * 1.45),
         target=(0.0, 0.3, 0.0),

@@ -115,7 +115,12 @@ class ParsedScene:
         self.builder = builder
 
 
-def load_xml(path: str, override_res=None) -> ParsedScene:
+def load_xml(path: str, override_res=None, override_accel=None) -> ParsedScene:
+    """Parse a Mitsuba-v1.2 scene XML (reference scene.cu:937-1192).
+
+    override_accel: optional dict of BVHConfig field overrides (e.g.
+    {"max_prims_per_leaf": 32}) applied after XML parsing — uncapped, for
+    walk-economics experiments (the XML path caps leaves at 8)."""
     base = os.path.dirname(os.path.abspath(path))
     root = ET.parse(path).getroot()
     if root.tag != "scene":
@@ -160,6 +165,8 @@ def load_xml(path: str, override_res=None) -> ParsedScene:
     )
     if bvh_cfg.dup_budget_frac is not None and bvh_cfg.dup_budget_frac < 0:
         bvh_cfg = dataclasses.replace(bvh_cfg, dup_budget_frac=None)
+    if override_accel:
+        bvh_cfg = dataclasses.replace(bvh_cfg, **override_accel)
 
     # ---- textures --------------------------------------------------------
     tex_packs = {}  # id -> {slot: atlas_tex_id}
