@@ -481,6 +481,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             max_volume, max_leaf, rn, n_eslots, n_bsdfs, nee_m,
             node_fmt, attr_fmt, prim_fmt, tri_only, has_env, has_disp,
             textured, has_media, n_media, ambient_med, count_stats,
+            seg,
             nodes, prims, attrs, erow, eprims, brows,
             *refs):
     if has_media:
@@ -489,20 +490,33 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
     if textured:
         auv = refs[0]
         refs = refs[1:]
-    (ox, oy, oz, dx, dy, dz, r0, r1,
-     out_r, out_g, out_b, *extra_outs) = refs
-    if has_env:
-        env_outs, extra_outs = extra_outs[:6], extra_outs[6:]
+    if seg:
+        # ---- single-bounce segment mode (sorted-wavefront driver) -------
+        # refs = (bounce_smem, state_in..., state_out...); bounce_body runs
+        # exactly ONCE per call; the bounce loop + inter-bounce ray sorting
+        # live in trace_megakernel_swf. State order: _SEG_STATE below.
+        bounce_ref = refs[0]
+        n_state = 21 + (6 if has_env else 0) + (5 if has_media else 0)
+        sin = refs[1:1 + n_state]
+        souts = refs[1 + n_state:1 + 2 * n_state]
+        ox, oy, oz = sin[2], sin[3], sin[4]
+        dx, dy, dz = sin[5], sin[6], sin[7]
+        r0, r1 = sin[0], sin[1]
     else:
-        env_outs = ()
-    if count_stats:
-        out_cn, out_cl = extra_outs[-2], extra_outs[-1]
-        extra_outs = extra_outs[:-2]
-    if textured:
-        # per-bounce contribution groups + texture records + miss-bounce
-        # (see trace_megakernel's deferred-texture epilogue)
-        out_A, out_rec, out_mb = (extra_outs[0:3], extra_outs[3:6],
-                                  extra_outs[6] if has_env else None)
+        (ox, oy, oz, dx, dy, dz, r0, r1,
+         out_r, out_g, out_b, *extra_outs) = refs
+        if has_env:
+            env_outs, extra_outs = extra_outs[:6], extra_outs[6:]
+        else:
+            env_outs = ()
+        if count_stats:
+            out_cn, out_cl = extra_outs[-2], extra_outs[-1]
+            extra_outs = extra_outs[:-2]
+        if textured:
+            # per-bounce contribution groups + texture records + miss-bounce
+            # (see trace_megakernel's deferred-texture epilogue)
+            out_A, out_rec, out_mb = (extra_outs[0:3], extra_outs[3:6],
+                                      extra_outs[6] if has_env else None)
     o_x0, o_y0, o_z0 = ox[:], oy[:], oz[:]
     d_x0, d_y0, d_z0 = dx[:], dy[:], dz[:]
     sx0, sy0 = r0[:], r1[:]
@@ -2034,6 +2048,38 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 n_diff2, n_spec2, n_trans2, mdx, mdy, mdz, mtr, mtg, mtb,
                 wl, tex_state2, med_state2, stats)
 
+    if seg:
+        # One bounce on carried state; the carry layout is identical to the
+        # while loop's, so bounce_body is shared VERBATIM between modes —
+        # per-lane results are bit-identical to the megakernel regardless
+        # of how the driver regroups lanes into tiles (box culling is
+        # conservative per lane; tests/test_swf.py asserts exact parity).
+        # _SEG_STATE order (in and out):
+        #   0 sx  1 sy | 2-4 o | 5-7 d | 8-10 thp | 11-13 L | 14 act
+        #   15 prev_pdf 16 prev_delta | 17-19 n_diff/spec/trans | 20 wl
+        #   [21-26 env miss records mdx,mdy,mdz,mtr,mtg,mtb]
+        #   [last 5: medium stack stk0,stk1,stk2,mtop,n_vol]
+        b_idx = bounce_ref[0, 0]
+        med_in = (tuple(sin[len(sin) - 5 + i][:] for i in range(5))
+                  if has_media else ())
+        env_in = (tuple(sin[21 + i][:] for i in range(6))
+                  if has_env else (f0, f0, f1, f0, f0, f0))
+        carry = ((b_idx, sx0, sy0, o_x0, o_y0, o_z0, d_x0, d_y0, d_z0)
+                 + tuple(sin[i][:] for i in range(8, 20))  # thp,L,act,..,nt
+                 + env_in + (sin[20][:], (), med_in, ()))
+        res = bounce_body(carry)
+        # res carry: 0 bounce+1, 1 sx, 2 sy, 3-5 o, 6-8 d, 9-11 thp,
+        # 12-14 L, 15 act, 16 ppdf, 17 pdel, 18-20 nd/ns/nt, 21-26 env,
+        # 27 wl, 28 tex, 29 med, 30 stats
+        flat = list(res[1:21]) + [res[27]]
+        if has_env:
+            flat += list(res[21:27])
+        if has_media:
+            flat += list(res[29])
+        for ref, val in zip(souts, flat):
+            ref[:] = val
+        return
+
     if textured:
         tex0 = (tuple(f0 for _ in range(3 * D1)),
                 tuple((f0 - 1.0) if i < D1 else f0 for i in range(3 * D1)),
@@ -2426,6 +2472,7 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
         pack.has_env, pack.has_disp, pack.textured, pack.has_media,
         MAX_MEDIA, float(pack.ambient_med), bool(count_stats),
+        False,
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:
@@ -2502,6 +2549,196 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         cl = outs[-1][:, 0, 0]
         return L, {"node_iters": jnp.sum(cn), "leaf_entries": jnp.sum(cl),
                    "tiles": jnp.float32(T_)}
+    return L
+
+
+def _morton21(qx, qy, qz):
+    """Interleave three 7-bit ints into a 21-bit Morton code (i32)."""
+    def spread(v):
+        # standard 3D Morton bit spread (10-bit constants cover 7 bits)
+        v = v & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return spread(qx) | (spread(qy) << 1) | (spread(qz) << 2)
+
+
+def swf_sort_key(state, key_mode: str = "dir_pos"):
+    """Inter-bounce ray-ordering key: live lanes first, grouped for
+    traversal coherence. The TPU analogue of the reference's wavefront
+    ray sorting (src/pt_impl/wf_path_tracer.cu:133-139) — but keyed on
+    TRAVERSAL locality (direction octant + origin Morton cell), not
+    material: on a per-tile shared walk the win is shrinking each tile's
+    BVH visit union, not shading divergence (EXP_DISSECT_BIG: incoherent
+    bounce walks cost ~4x primary walks)."""
+    ox, oy, oz = state[2], state[3], state[4]
+    dx, dy, dz = state[5], state[6], state[7]
+    act = state[14]
+
+    def q7(v):
+        lo = jnp.min(v)
+        hi = jnp.max(v)
+        n = jnp.clip((v - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 0.9999)
+        return (n * 128.0).astype(jnp.int32)
+
+    oct_ = ((dx < 0).astype(jnp.int32) * 4
+            + (dy < 0).astype(jnp.int32) * 2
+            + (dz < 0).astype(jnp.int32))
+    m = _morton21(q7(ox), q7(oy), q7(oz))
+    if key_mode == "pos_dir":
+        key = (m << 3) | oct_
+    else:  # dir_pos (default)
+        key = (oct_ << 21) | m
+    return jnp.where(act > 0.5, key, jnp.int32(1 << 30))
+
+
+def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
+                         interpret=None, tile: int | None = None,
+                         nee_candidates: int = 1,
+                         vmem_limit_bytes: int | None = None,
+                         key_mode: str = "dir_pos"):
+    """Sorted-wavefront fused trace: the SAME bounce_body as
+    trace_megakernel, but run one bounce per pallas_call with the ray
+    population re-sorted between bounces by swf_sort_key.
+
+    Motivation (EXP_DISSECT_BIG, EXP_LEAF_SWEEP): the fused walk is
+    tile-shared, so its cost per tile is the UNION of the tile's rays'
+    BVH visits; incoherent bounce tiles on bunny/whiskey-class trees
+    degrade toward whole-tree sweeps (bounce walks ~4x primary). Sorting
+    restores primary-like coherence every bounce. Per-lane radiance is
+    bit-identical to trace_megakernel (per-lane walk results are
+    independent of tile grouping — box culling is conservative).
+
+    Unsupported here: textured packs (deferred-texture records are
+    per-bounce frame outputs) and count_stats."""
+    if not isinstance(pack, MKPack):
+        pack = MKPack(pack)
+    if pack.textured:
+        raise ValueError("swf does not support textured packs yet")
+    if max_leaf is None:
+        max_leaf = pack.max_leaf
+    elif max_leaf < pack.max_leaf:
+        raise ValueError(
+            f"max_leaf={max_leaf} < pack max_leaf={pack.max_leaf}")
+    if interpret is None:
+        interpret = INTERPRET
+    if tile is None:
+        tile = TILE
+    B = o.shape[0]
+    tile = max(min(tile, -(-B // 1024) * 1024), 1024)
+    pad = (-B) % tile
+    Bp = B + pad
+    R = tile // 128
+    T_ = Bp // tile
+
+    nodes = pack["nodes"]
+    rn = nodes.shape[0]
+    scene_args = [nodes, pack["prims"], pack["attrs"], pack["erow"],
+                  pack["eprims"], pack["brows"]]
+    if pack.has_media:
+        scene_args.append(pack["mrow"])
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    scene_specs = [full_spec(a) for a in scene_args]
+    ray_spec = pl.BlockSpec((1, R, 128), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM)
+
+    n_state = 21 + (6 if pack.has_env else 0) + (5 if pack.has_media else 0)
+    state_dtypes = [jnp.uint32, jnp.uint32] + [jnp.float32] * (n_state - 2)
+
+    n_bsdfs = pack["brows"].shape[0] * SLOTS // 2
+    if pack.has_media and int(nee_candidates) != 1:
+        raise ValueError("fused VPT supports nee_candidates=1")
+    kern = functools.partial(
+        _kernel, int(md.max_depth), int(md.max_diffuse),
+        int(md.max_specular), int(md.max_transmit),
+        int(getattr(md, "max_volume", 64)),
+        int(max_leaf), rn, MAX_EMITTERS, n_bsdfs, int(nee_candidates),
+        pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
+        pack.has_env, pack.has_disp, False, pack.has_media,
+        MAX_MEDIA, float(pack.ambient_med), False,
+        True,
+    )
+    cparams = None
+    if vmem_limit_bytes is not None and not interpret:
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    call = pl.pallas_call(
+        kern,
+        grid=(T_,),
+        in_specs=scene_specs + [smem_spec] + [ray_spec] * n_state,
+        out_specs=tuple([ray_spec] * n_state),
+        out_shape=tuple(jax.ShapeDtypeStruct((T_, R, 128), dt)
+                        for dt in state_dtypes),
+        interpret=interpret,
+        **({"compiler_params": cparams} if cparams is not None else {}),
+    )
+
+    def prep(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    o_p, d_p, rng_p = prep(o), prep(d), prep(rng)
+    fz = jnp.zeros(Bp, jnp.float32)
+    fo = jnp.ones(Bp, jnp.float32)
+    act0 = (jnp.arange(Bp) < B).astype(jnp.float32)
+    state = [rng_p[:, 0].astype(jnp.uint32), rng_p[:, 1].astype(jnp.uint32),
+             o_p[:, 0], o_p[:, 1], o_p[:, 2],
+             d_p[:, 0], d_p[:, 1], d_p[:, 2],
+             fo, fo, fo,            # throughput
+             fz, fz, fz,            # L
+             act0, fo, fo,          # act, prev_pdf, prev_delta(=1)
+             fz, fz, fz,            # n_diff/spec/trans
+             fz]                    # wl
+    if pack.has_env:
+        state += [fz, fz, fo, fz, fz, fz]   # mdx,mdy,mdz(=1),mtr,mtg,mtb
+    if pack.has_media:
+        state += [fz - 1.0, fz - 1.0, fz - 1.0, fz - 1.0, fz]
+    state = tuple(state)
+    pix0 = jnp.arange(Bp, dtype=jnp.int32)
+
+    def cond(cr):
+        bounce, _, st = cr
+        return (bounce < int(md.max_depth)) & jnp.any(st[14] > 0.5)
+
+    def step(cr):
+        bounce, pix, st = cr
+        if key_mode != "none":
+            perm = jnp.argsort(swf_sort_key(st, key_mode))
+            pix = pix[perm]
+            # ONE row gather moves all state: pack the n_state lanes (+pix)
+            # into a (Bp, 128-padded) matrix — 27+ separate (Bp,) gathers
+            # cost far more than one bandwidth-bound row gather on TPU
+            cols = [jax.lax.bitcast_convert_type(st[0], jnp.float32),
+                    jax.lax.bitcast_convert_type(st[1], jnp.float32)]
+            cols += [st[i] for i in range(2, n_state)]
+            mat = jnp.stack(cols, axis=-1)
+            mat = jnp.take(mat, perm, axis=0)
+            st = ((jax.lax.bitcast_convert_type(mat[:, 0], jnp.uint32),
+                   jax.lax.bitcast_convert_type(mat[:, 1], jnp.uint32))
+                  + tuple(mat[:, i] for i in range(2, n_state)))
+        outs = call(*scene_args, jnp.full((1, 1), bounce, jnp.int32),
+                    *(a.reshape(T_, R, 128) for a in st))
+        st = tuple(x.reshape(-1) for x in outs)
+        return bounce + 1, pix, st
+
+    _, pix, st = jax.lax.while_loop(cond, step, (jnp.int32(0), pix0, state))
+
+    L_s = jnp.stack([st[11], st[12], st[13]], axis=-1)
+    if pack.has_env:
+        mdir = jnp.stack([st[21], st[22], st[23]], axis=-1)
+        mthp = jnp.stack([st[24], st[25], st[26]], axis=-1)
+        L_s = L_s + mthp * _env_radiance(pack, mdir)
+    # un-permute back to caller lane order (pix carries the original slot)
+    L = jnp.zeros((B, 3), jnp.float32).at[pix].set(L_s, mode="drop")
     return L
 
 

@@ -1,0 +1,113 @@
+"""Sorted-wavefront fused path (trace_megakernel_swf) parity + keys.
+
+The swf driver re-sorts the ray population between bounces and runs the
+megakernel's bounce_body one bounce per pallas_call. Per-lane walk
+results are independent of tile grouping (the shared-walk box culling is
+conservative per lane: a subtree is skipped only when NO lane hits its
+box), and all shading/RNG state is per-lane, so swf radiance must be
+BIT-IDENTICAL to trace_megakernel — asserted exactly below. Analogue of
+the reference's per-bounce wavefront ray sorting
+(src/pt_impl/wf_path_tracer.cu:133-139), keyed on traversal locality.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cuda_pt_tpu.core import camera as cam_mod
+from cuda_pt_tpu.core import qmc
+from cuda_pt_tpu.core.config import MaxDepthParams
+from cuda_pt_tpu.ops.pallas import megakernel as mk
+from cuda_pt_tpu.scene import testscenes
+from cuda_pt_tpu.scene.xml_parser import load_xml
+
+REF = "/root/reference/scene/xml"
+
+
+def _trace_pair(scene, cam, md, key_mode="dir_pos"):
+    pack = mk.make_pack(scene)
+    B = cam.width * cam.height
+    lane = jnp.arange(B, dtype=jnp.int32)
+    rng = qmc.make_state("pcg", 0, lane, 0)
+    o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+    L0 = np.asarray(mk.trace_megakernel(pack, md, o, d, rng,
+                                        interpret=True))
+    L1 = np.asarray(mk.trace_megakernel_swf(pack, md, o, d, rng,
+                                            interpret=True,
+                                            key_mode=key_mode))
+    return L0, L1
+
+
+def test_swf_bit_identical_cornell():
+    scene, cam, _ = testscenes.cornell_box(width=16, height=16)
+    L0, L1 = _trace_pair(scene, cam, MaxDepthParams(max_depth=4))
+    assert np.array_equal(L0, L1)
+
+
+def test_swf_bit_identical_env_scene():
+    # furnace: envmap records ride the seg state (mdx..mtb)
+    scene, cam, _ = testscenes.furnace(width=8, height=8)
+    L0, L1 = _trace_pair(scene, cam, MaxDepthParams(max_depth=3))
+    assert np.array_equal(L0, L1)
+    assert L0.mean() > 0.01  # env actually contributes
+
+
+def test_swf_bit_identical_bunny_posdir_key():
+    ps = load_xml(f"{REF}/bunny.xml", override_res=(16, 16))
+    L0, L1 = _trace_pair(ps.scene, ps.camera, MaxDepthParams(max_depth=4),
+                         key_mode="pos_dir")
+    assert np.array_equal(L0, L1)
+
+
+def test_swf_bit_identical_media_scene():
+    ps = load_xml(f"{REF}/medium-cbox.xml", override_res=(12, 12))
+    if not mk.megakernel_ok(ps.scene):
+        pytest.skip("medium-cbox outside fused envelope")
+    L0, L1 = _trace_pair(ps.scene, ps.camera, ps.config.md)
+    assert np.array_equal(L0, L1)
+
+
+def test_swf_rejects_textured():
+    scene, cam, _ = testscenes.kitchen_stress(width=8, height=8, grid=2,
+                                              ns=6, nt=4)
+    pack = mk.make_pack(scene)
+    if not pack.textured:
+        pytest.skip("kitchen pack unexpectedly untextured")
+    B = cam.width * cam.height
+    lane = jnp.arange(B, dtype=jnp.int32)
+    rng = qmc.make_state("pcg", 0, lane, 0)
+    o, d, rng = cam_mod.generate_rays(cam, lane, rng)
+    with pytest.raises(ValueError, match="textured"):
+        mk.trace_megakernel_swf(pack, MaxDepthParams(max_depth=2),
+                                o, d, rng, interpret=True)
+
+
+def test_morton_key_orders_by_octant_then_cell():
+    # live lanes first; same-octant lanes contiguous under dir_pos
+    n = 64
+    rs = np.random.default_rng(0)
+    st = [None] * 21
+    st[2] = jnp.asarray(rs.uniform(-1, 1, n), jnp.float32)
+    st[3] = jnp.asarray(rs.uniform(-1, 1, n), jnp.float32)
+    st[4] = jnp.asarray(rs.uniform(-1, 1, n), jnp.float32)
+    st[5] = jnp.asarray(rs.normal(size=n), jnp.float32)
+    st[6] = jnp.asarray(rs.normal(size=n), jnp.float32)
+    st[7] = jnp.asarray(rs.normal(size=n), jnp.float32)
+    act = np.ones(n, np.float32)
+    act[::7] = 0.0
+    st[14] = jnp.asarray(act)
+    key = np.asarray(mk.swf_sort_key(tuple(st)))
+    order = np.argsort(key, kind="stable")
+    live_sorted = act[order]
+    # all dead lanes sort to the tail
+    n_live = int(act.sum())
+    assert live_sorted[:n_live].all() and not live_sorted[n_live:].any()
+    # within live prefix, octants are contiguous
+    d = np.stack([np.asarray(st[5]), np.asarray(st[6]),
+                  np.asarray(st[7])], 1)
+    oct_ = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
+            + (d[:, 2] < 0)).astype(int)
+    seq = oct_[order][:n_live]
+    changes = (np.diff(seq) != 0).sum()
+    assert changes <= 7  # at most one run per octant
