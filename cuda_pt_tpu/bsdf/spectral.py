@@ -39,20 +39,33 @@ def xyz_fit(wl: jnp.ndarray):
     return x, y, z
 
 
-_XYZ_TO_SRGB = jnp.array(
+# Kept as PLAIN numpy (not jnp): this module may be first-imported from
+# inside a jit trace (megakernel's lazy dispersion import), where a
+# module-level jnp.array would be staged into the trace as a tracer.
+_XYZ_TO_SRGB = np.array(
     [
         [3.2404542, -1.5371385, -0.4985314],
         [-0.9692660, 1.8760108, 0.0415560],
         [0.0556434, -0.2040259, 1.0572252],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 
 def _compute_norm() -> np.ndarray:
-    """Per-channel normalization: mean RGB over uniform wavelengths -> 1."""
+    """Per-channel normalization: mean RGB over uniform wavelengths -> 1.
+
+    Runs at module import. The megakernel imports this module lazily from
+    inside a jit trace, so without ensure_compile_time_eval the jnp ops in
+    xyz_fit would be staged into the enclosing trace and np.asarray would
+    raise TracerArrayConversionError (ADVICE r4 / EXP_DISSECT_BIG kitchen
+    row).
+    """
+    import jax
+
     wl = np.linspace(WL_MIN, WL_MAX, 2048)
-    x, y, z = (np.asarray(v) for v in xyz_fit(jnp.asarray(wl, jnp.float32)))
+    with jax.ensure_compile_time_eval():
+        x, y, z = (np.asarray(v) for v in xyz_fit(jnp.asarray(wl, jnp.float32)))
     xyz = np.stack([x, y, z], axis=-1).mean(axis=0)
     m = np.array(
         [
@@ -65,7 +78,7 @@ def _compute_norm() -> np.ndarray:
     return (1.0 / np.maximum(rgb_mean, 1e-6)).astype(np.float32)
 
 
-_NORM = jnp.asarray(_compute_norm())
+_NORM = _compute_norm()  # plain numpy, see _XYZ_TO_SRGB note
 
 
 def wavelength_to_rgb(wl: jnp.ndarray) -> jnp.ndarray:

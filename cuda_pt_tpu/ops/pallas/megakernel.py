@@ -2115,6 +2115,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
 # Global interpret default (CPU tests flip it), mirroring traverse_kernel.
 INTERPRET = False
+_SWF_DEBUG_STATE = False  # diagnostic: trace_megakernel_swf returns raw state
 
 
 @functools.lru_cache(maxsize=16)
@@ -2399,6 +2400,10 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         tile = min(tile, 4096)  # bound the per-bounce group VMEM
     B = o.shape[0]
     # shrink to the batch (multiple of 1024 keeps R a sublane multiple of 8)
+    # round caller tiles up to a multiple of 1024 FIRST (R=tile//128
+    # must satisfy R*128 == tile or the (T,R,128) reshape fails —
+    # ADVICE r4), then shrink to the batch
+    tile = -(-tile // 1024) * 1024
     tile = max(min(tile, -(-B // 1024) * 1024), 1024)
     pad = (-B) % tile
     Bp = B + pad
@@ -2608,9 +2613,14 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
     tile-shared, so its cost per tile is the UNION of the tile's rays'
     BVH visits; incoherent bounce tiles on bunny/whiskey-class trees
     degrade toward whole-tree sweeps (bounce walks ~4x primary). Sorting
-    restores primary-like coherence every bounce. Per-lane radiance is
-    bit-identical to trace_megakernel (per-lane walk results are
-    independent of tile grouping — box culling is conservative).
+    restores primary-like coherence every bounce. key_mode="none" (same
+    grouping as trace_megakernel) is BIT-identical per lane; sorted modes
+    are near-exact only: the per-lane (tn < t_best) box culling uses
+    rounded f32 slab arithmetic, so it is not perfectly conservative
+    w.r.t. the f32 triangle test — a lane pulled into a leaf by its
+    tilemates can find a hit whose box its solo walk rounds away
+    (observed at the 1-ulp / ~1-lane-in-150 level on medium-cbox;
+    tests/test_swf.py holds both contracts).
 
     Unsupported here: textured packs (deferred-texture records are
     per-bounce frame outputs) and count_stats."""
@@ -2628,6 +2638,10 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
     if tile is None:
         tile = TILE
     B = o.shape[0]
+    # round caller tiles up to a multiple of 1024 FIRST (R=tile//128
+    # must satisfy R*128 == tile or the (T,R,128) reshape fails —
+    # ADVICE r4), then shrink to the batch
+    tile = -(-tile // 1024) * 1024
     tile = max(min(tile, -(-B // 1024) * 1024), 1024)
     pad = (-B) % tile
     Bp = B + pad
@@ -2716,21 +2730,39 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
             pix = pix[perm]
             # ONE row gather moves all state: pack the n_state lanes (+pix)
             # into a (Bp, 128-padded) matrix — 27+ separate (Bp,) gathers
-            # cost far more than one bandwidth-bound row gather on TPU
-            cols = [jax.lax.bitcast_convert_type(st[0], jnp.float32),
-                    jax.lax.bitcast_convert_type(st[1], jnp.float32)]
-            cols += [st[i] for i in range(2, n_state)]
+            # cost far more than one bandwidth-bound row gather on TPU.
+            # The matrix is int32, not float32: uint32 RNG bit patterns
+            # aliasing float32 NaNs (~0.4% of values) must never transit a
+            # float dtype where a canonicalizing copy could rewrite them
+            # (ADVICE r4); int gathers are bit-exact by construction.
+            i32 = jnp.int32
+            cols = [jax.lax.bitcast_convert_type(st[0], i32),
+                    jax.lax.bitcast_convert_type(st[1], i32)]
+            cols += [jax.lax.bitcast_convert_type(st[i], i32)
+                     for i in range(2, n_state)]
             mat = jnp.stack(cols, axis=-1)
             mat = jnp.take(mat, perm, axis=0)
             st = ((jax.lax.bitcast_convert_type(mat[:, 0], jnp.uint32),
                    jax.lax.bitcast_convert_type(mat[:, 1], jnp.uint32))
-                  + tuple(mat[:, i] for i in range(2, n_state)))
+                  + tuple(jax.lax.bitcast_convert_type(mat[:, i],
+                                                       jnp.float32)
+                          for i in range(2, n_state)))
         outs = call(*scene_args, jnp.full((1, 1), bounce, jnp.int32),
                     *(a.reshape(T_, R, 128) for a in st))
         st = tuple(x.reshape(-1) for x in outs)
         return bounce + 1, pix, st
 
     _, pix, st = jax.lax.while_loop(cond, step, (jnp.int32(0), pix0, state))
+
+    if _SWF_DEBUG_STATE:
+        # diagnostic: full per-lane state un-permuted to caller order.
+        # Scatter as int32 — float NaN-pattern scatters may canonicalize.
+        unsorted = []
+        for x in st:
+            xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+            unsorted.append(jnp.zeros(B, jnp.int32).at[pix].set(
+                xi, mode="drop"))
+        return tuple(unsorted)
 
     L_s = jnp.stack([st[11], st[12], st[13]], axis=-1)
     if pack.has_env:

@@ -112,7 +112,10 @@ def timeit(fn, *args, reps: int = 3, warm: bool = True,
         force(out)
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return max(ts[len(ts) // 2] - baseline, 0.0)
+    # Floor at 1 ns, not 0: callers divide by this (rays/dt) and a
+    # baseline-dominated fast call must not produce ZeroDivisionError
+    # (ADVICE r4: EXP_SWF lost its cornell control row to exactly that).
+    return max(ts[len(ts) // 2] - baseline, 1e-9)
 
 
 def timeit_stats(fn, *args, reps: int = 5, warm: bool = True,

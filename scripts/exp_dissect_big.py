@@ -87,7 +87,7 @@ def main() -> None:
             st = jax.device_get(res)
             emit({"tag": name, "node_iters": float(st["node_iters"]),
                   "leaf_entries": float(st["leaf_entries"]),
-                  "num_prims": int(scene.geometry.num_prims),
+                  "num_prims": int(scene.geom.num_prims),
                   "num_nodes": int(scene.bvh.num_nodes),
                   "max_leaf": ml})
         except Exception as e:  # noqa: BLE001

@@ -25,8 +25,8 @@ from cuda_pt_tpu.scene.xml_parser import load_xml
 REF = "/root/reference/scene/xml"
 
 
-def _trace_pair(scene, cam, md, key_mode="dir_pos"):
-    pack = mk.make_pack(scene)
+def _trace_pair(scene, cam, md, key_mode="dir_pos", vpt=False):
+    pack = mk.make_pack(scene, vpt=vpt)
     B = cam.width * cam.height
     lane = jnp.arange(B, dtype=jnp.int32)
     rng = qmc.make_state("pcg", 0, lane, 0)
@@ -60,12 +60,34 @@ def test_swf_bit_identical_bunny_posdir_key():
     assert np.array_equal(L0, L1)
 
 
-def test_swf_bit_identical_media_scene():
+def test_swf_media_scene_exact_unsorted():
+    # renderer="vpt" + vpt pack: media scenes are ALWAYS outside the "pt"
+    # envelope, so the old megakernel_ok(scene) gate made this test a
+    # permanent skip and the has_media seg-state packing (media rows
+    # appended after env in the sorted-state layout) had zero coverage
+    # (ADVICE r4). key_mode="none" keeps the megakernel's tile grouping,
+    # so the seg-state round-trip must be BIT-identical.
     ps = load_xml(f"{REF}/medium-cbox.xml", override_res=(12, 12))
-    if not mk.megakernel_ok(ps.scene):
-        pytest.skip("medium-cbox outside fused envelope")
-    L0, L1 = _trace_pair(ps.scene, ps.camera, ps.config.md)
+    assert mk.megakernel_ok(ps.scene, renderer="vpt"), \
+        "medium-cbox must be inside the fused VPT envelope"
+    L0, L1 = _trace_pair(ps.scene, ps.camera, ps.config.md, vpt=True,
+                         key_mode="none")
     assert np.array_equal(L0, L1)
+    assert L0.mean() > 0.01  # media path actually contributes
+
+
+def test_swf_media_scene_sorted_near_exact():
+    # Under SORTED tile regrouping, per-lane bit-identity is ULP-fragile:
+    # the walk's per-lane (tn < t_best) box culling uses rounded f32 slab
+    # arithmetic, so a lane dragged into a leaf by its tilemates can find
+    # a hit whose box its solo walk rounds away (measured: 1 lane in 144
+    # differs by 1 ulp at depth 10 on medium-cbox). The estimator is
+    # unbiased either way; the contract here is near-exactness.
+    ps = load_xml(f"{REF}/medium-cbox.xml", override_res=(12, 12))
+    L0, L1 = _trace_pair(ps.scene, ps.camera, ps.config.md, vpt=True)
+    assert np.allclose(L0, L1, rtol=1e-4, atol=1e-5)
+    ndiff = int((L0 != L1).any(axis=-1).sum())
+    assert ndiff <= max(2, L0.shape[0] // 50), ndiff  # <=2% of lanes
 
 
 def test_swf_rejects_textured():
