@@ -484,6 +484,11 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             seg,
             nodes, prims, attrs, erow, eprims, brows,
             *refs):
+    if node_fmt == "w8":
+        # SMEM scratch for the ordered stack walk (scratch_shapes refs
+        # arrive after the outputs)
+        w8_stack, w8_spn = refs[-2], refs[-1]
+        refs = refs[:-2]
     if has_media:
         mrow = refs[0]
         refs = refs[1:]
@@ -633,6 +638,106 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 _f(urow, ub + 4), _f(urow, ub + 5))
 
     # ---------------- BVH walks (adapted from traverse_kernel._kernel) ----
+    def leaf_scan_closest(base, cnt, o_x, o_y, o_z,
+                          d_x, d_y, d_z, carry):
+        """Shared closest-hit leaf body: max_leaf prim tests with
+        candidate attribute capture. Used by BOTH the binary skip
+        walk and the 8-wide ordered stack walk (w8)."""
+        (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
+         eidv, inva, sphv, bidv, uvc, mnc) = carry
+        for k in range(max_leaf):
+            pid = base + k
+            (ax, ay, az, ux, uy, uz, vx, vy, vz,
+             is_sph, gid) = fetch_prim(pid)
+
+            hx = d_y * vz - d_z * vy
+            hy = d_z * vx - d_x * vz
+            hz = d_x * vy - d_y * vx
+            a = ux * hx + uy * hy + uz * hz
+            fdet = 1.0 / jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+            sxx = o_x - ax
+            syy = o_y - ay
+            szz = o_z - az
+            u = fdet * (sxx * hx + syy * hy + szz * hz)
+            qx = syy * uz - szz * uy
+            qy = szz * ux - sxx * uz
+            qz = sxx * uy - syy * ux
+            v = fdet * (d_x * qx + d_y * qy + d_z * qz)
+            t_tri = fdet * (vx * qx + vy * qy + vz * qz)
+            tri_ok = ((jnp.abs(a) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (t_tri > HIT_EPS))
+
+            if tri_only:
+                # all-triangle scene (the reference's TRIANGLE_ONLY
+                # flag, defines.cuh:26-27): the sphere quadratic and
+                # its blends drop out of the hot loop statically
+                t_k = t_tri
+                shape_ok = tri_ok
+            else:
+                ocx = o_x - ax
+                ocy = o_y - ay
+                ocz = o_z - az
+                bh = ocx * d_x + ocy * d_y + ocz * d_z
+                cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                      - ux * ux)
+                disc = bh * bh - cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0s = -bh - sq
+                t1s = -bh + sq
+                t_sph = jnp.where(t0s > HIT_EPS, t0s, t1s)
+                sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
+                t_k = jnp.where(is_sph, t_sph, t_tri)
+                shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
+            ok = shape_ok & (k < cnt) & (t_k < t_best)
+
+            # scalar attrs of this prim
+            (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+             eid_s, ia_s, bid_s, med_s, nul_s) = fetch_attrs(pid)
+
+            # interpolated shading normal (tri) / center (sphere)
+            w0 = 1.0 - u - v
+            nx_t = w0 * n0x + u * n1x + v * n2x
+            ny_t = w0 * n0y + u * n1y + v * n2y
+            nz_t = w0 * n0z + u * n1z + v * n2z
+            # geometric normal (tri): cross(e1, e2) — RAW; one
+            # post-walk rsqrt replaces a normalize per candidate
+            gx = uy * vz - uz * vy
+            gy = uz * vx - ux * vz
+            gz = ux * vy - uy * vx
+            if tri_only:
+                nx_i, ny_i, nz_i = nx_t, ny_t, nz_t
+            else:
+                nx_i = jnp.where(is_sph, ax, nx_t)
+                ny_i = jnp.where(is_sph, ay, ny_t)
+                nz_i = jnp.where(is_sph, az, nz_t)
+
+            t_best = jnp.where(ok, t_k, t_best)
+            prim = jnp.where(ok, gid, prim)
+            nsx = jnp.where(ok, nx_i, nsx)
+            nsy = jnp.where(ok, ny_i, nsy)
+            nsz = jnp.where(ok, nz_i, nsz)
+            ngx = jnp.where(ok, gx, ngx)
+            ngy = jnp.where(ok, gy, ngy)
+            ngz = jnp.where(ok, gz, ngz)
+            eidv = jnp.where(ok, eid_s, eidv)
+            inva = jnp.where(ok, ia_s, inva)
+            if not tri_only:
+                sphv = jnp.where(
+                    ok, jnp.where(is_sph, 1.0, 0.0), sphv)
+            bidv = jnp.where(ok, bid_s, bidv)
+            if textured:
+                uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = fetch_uv(pid)
+                tu_i = w0 * uv0u + u * uv1u + v * uv2u
+                tv_i = w0 * uv0v + u * uv1v + v * uv2v
+                uvc = (jnp.where(ok, tu_i, uvc[0]),
+                       jnp.where(ok, tv_i, uvc[1]))
+            if has_media:
+                mnc = (jnp.where(ok, med_s, mnc[0]),
+                       jnp.where(ok, nul_s, mnc[1]))
+        return (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
+                eidv, inva, sphv, bidv, uvc, mnc)
+
+
     def walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, live):
         """Closest hit + in-leaf attribute capture for lanes where ``live``.
         Dead lanes register no box hits, so a tile whose lanes have all
@@ -679,99 +784,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             is_leaf = cnt > 0
 
             def do_leaf(carry):
-                (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-                 eidv, inva, sphv, bidv, uvc, mnc) = carry
-                for k in range(max_leaf):
-                    pid = base + k
-                    (ax, ay, az, ux, uy, uz, vx, vy, vz,
-                     is_sph, gid) = fetch_prim(pid)
-
-                    hx = d_y * vz - d_z * vy
-                    hy = d_z * vx - d_x * vz
-                    hz = d_x * vy - d_y * vx
-                    a = ux * hx + uy * hy + uz * hz
-                    fdet = 1.0 / jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
-                    sxx = o_x - ax
-                    syy = o_y - ay
-                    szz = o_z - az
-                    u = fdet * (sxx * hx + syy * hy + szz * hz)
-                    qx = syy * uz - szz * uy
-                    qy = szz * ux - sxx * uz
-                    qz = sxx * uy - syy * ux
-                    v = fdet * (d_x * qx + d_y * qy + d_z * qz)
-                    t_tri = fdet * (vx * qx + vy * qy + vz * qz)
-                    tri_ok = ((jnp.abs(a) > 1e-12) & (u >= 0.0) & (v >= 0.0)
-                              & (u + v <= 1.0) & (t_tri > HIT_EPS))
-
-                    if tri_only:
-                        # all-triangle scene (the reference's TRIANGLE_ONLY
-                        # flag, defines.cuh:26-27): the sphere quadratic and
-                        # its blends drop out of the hot loop statically
-                        t_k = t_tri
-                        shape_ok = tri_ok
-                    else:
-                        ocx = o_x - ax
-                        ocy = o_y - ay
-                        ocz = o_z - az
-                        bh = ocx * d_x + ocy * d_y + ocz * d_z
-                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
-                              - ux * ux)
-                        disc = bh * bh - cc
-                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                        t0s = -bh - sq
-                        t1s = -bh + sq
-                        t_sph = jnp.where(t0s > HIT_EPS, t0s, t1s)
-                        sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
-                        t_k = jnp.where(is_sph, t_sph, t_tri)
-                        shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
-                    ok = shape_ok & (k < cnt) & (t_k < t_best)
-
-                    # scalar attrs of this prim
-                    (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
-                     eid_s, ia_s, bid_s, med_s, nul_s) = fetch_attrs(pid)
-
-                    # interpolated shading normal (tri) / center (sphere)
-                    w0 = 1.0 - u - v
-                    nx_t = w0 * n0x + u * n1x + v * n2x
-                    ny_t = w0 * n0y + u * n1y + v * n2y
-                    nz_t = w0 * n0z + u * n1z + v * n2z
-                    # geometric normal (tri): cross(e1, e2) — RAW; one
-                    # post-walk rsqrt replaces a normalize per candidate
-                    gx = uy * vz - uz * vy
-                    gy = uz * vx - ux * vz
-                    gz = ux * vy - uy * vx
-                    if tri_only:
-                        nx_i, ny_i, nz_i = nx_t, ny_t, nz_t
-                    else:
-                        nx_i = jnp.where(is_sph, ax, nx_t)
-                        ny_i = jnp.where(is_sph, ay, ny_t)
-                        nz_i = jnp.where(is_sph, az, nz_t)
-
-                    t_best = jnp.where(ok, t_k, t_best)
-                    prim = jnp.where(ok, gid, prim)
-                    nsx = jnp.where(ok, nx_i, nsx)
-                    nsy = jnp.where(ok, ny_i, nsy)
-                    nsz = jnp.where(ok, nz_i, nsz)
-                    ngx = jnp.where(ok, gx, ngx)
-                    ngy = jnp.where(ok, gy, ngy)
-                    ngz = jnp.where(ok, gz, ngz)
-                    eidv = jnp.where(ok, eid_s, eidv)
-                    inva = jnp.where(ok, ia_s, inva)
-                    if not tri_only:
-                        sphv = jnp.where(
-                            ok, jnp.where(is_sph, 1.0, 0.0), sphv)
-                    bidv = jnp.where(ok, bid_s, bidv)
-                    if textured:
-                        uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = fetch_uv(pid)
-                        tu_i = w0 * uv0u + u * uv1u + v * uv2u
-                        tv_i = w0 * uv0v + u * uv1v + v * uv2v
-                        uvc = (jnp.where(ok, tu_i, uvc[0]),
-                               jnp.where(ok, tv_i, uvc[1]))
-                    if has_media:
-                        mnc = (jnp.where(ok, med_s, mnc[0]),
-                               jnp.where(ok, nul_s, mnc[1]))
-                return (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
-                        eidv, inva, sphv, bidv, uvc, mnc)
+                return leaf_scan_closest(base, cnt, o_x, o_y, o_z,
+                                         d_x, d_y, d_z, carry)
 
             leaf_carry = (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
                           eidv, inva, sphv, bidv, uvc, mnc)
@@ -793,6 +807,57 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             "eid": eidv, "inva": inva, "sph": sphv, "bid": bidv,
             "uv": uvc, "mn": mnc, "cstat": cstat,
         }
+
+    def leaf_scan_any(base, cnt, o_x, o_y, o_z,
+                      d_x, d_y, d_z, t_gate, occf):
+        """Shared any-hit leaf body (shadow rays): occlusion flag
+        update over max_leaf prim tests. Used by the binary skip
+        walk and the 8-wide ordered stack walk (w8)."""
+        # occluded flag carried as f32 through the cond too: Mosaic
+        # cannot legalize scf.if with i1-vector operands/results
+        occ2 = occf > 0.5
+        for k in range(max_leaf):
+            pid = base + k
+            (ax, ay, az, ux, uy, uz, vx, vy, vz,
+             is_sph, _gid) = fetch_prim(pid)
+
+            hx = d_y * vz - d_z * vy
+            hy = d_z * vx - d_x * vz
+            hz = d_x * vy - d_y * vx
+            a = ux * hx + uy * hy + uz * hz
+            fdet = 1.0 / jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+            sxx = o_x - ax
+            syy = o_y - ay
+            szz = o_z - az
+            u = fdet * (sxx * hx + syy * hy + szz * hz)
+            qx = syy * uz - szz * uy
+            qy = szz * ux - sxx * uz
+            qz = sxx * uy - syy * ux
+            v = fdet * (d_x * qx + d_y * qy + d_z * qz)
+            t_tri = fdet * (vx * qx + vy * qy + vz * qz)
+            tri_ok = ((jnp.abs(a) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (t_tri > HIT_EPS))
+            if tri_only:
+                t_k = t_tri
+                shape_ok = tri_ok
+            else:
+                ocx = o_x - ax
+                ocy = o_y - ay
+                ocz = o_z - az
+                bh = ocx * d_x + ocy * d_y + ocz * d_z
+                cc = (ocx * ocx + ocy * ocy + ocz * ocz
+                      - ux * ux)
+                disc = bh * bh - cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0s = -bh - sq
+                t1s = -bh + sq
+                t_sph = jnp.where(t0s > HIT_EPS, t0s, t1s)
+                sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
+                t_k = jnp.where(is_sph, t_sph, t_tri)
+                shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
+            occ2 = occ2 | (shape_ok & (k < cnt) & (t_k < t_gate))
+        return jnp.where(occ2, 1.0, 0.0)
+
 
     def walk_anyhit(o_x, o_y, o_z, d_x, d_y, d_z, t_lim, need):
         """Shadow test: True where a hit closer than t_lim*(1-1e-3) exists.
@@ -830,50 +895,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             is_leaf = cnt > 0
 
             def do_leaf(occf):
-                # occluded flag carried as f32 through the cond too: Mosaic
-                # cannot legalize scf.if with i1-vector operands/results
-                occ2 = occf > 0.5
-                for k in range(max_leaf):
-                    pid = base + k
-                    (ax, ay, az, ux, uy, uz, vx, vy, vz,
-                     is_sph, _gid) = fetch_prim(pid)
-
-                    hx = d_y * vz - d_z * vy
-                    hy = d_z * vx - d_x * vz
-                    hz = d_x * vy - d_y * vx
-                    a = ux * hx + uy * hy + uz * hz
-                    fdet = 1.0 / jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
-                    sxx = o_x - ax
-                    syy = o_y - ay
-                    szz = o_z - az
-                    u = fdet * (sxx * hx + syy * hy + szz * hz)
-                    qx = syy * uz - szz * uy
-                    qy = szz * ux - sxx * uz
-                    qz = sxx * uy - syy * ux
-                    v = fdet * (d_x * qx + d_y * qy + d_z * qz)
-                    t_tri = fdet * (vx * qx + vy * qy + vz * qz)
-                    tri_ok = ((jnp.abs(a) > 1e-12) & (u >= 0.0) & (v >= 0.0)
-                              & (u + v <= 1.0) & (t_tri > HIT_EPS))
-                    if tri_only:
-                        t_k = t_tri
-                        shape_ok = tri_ok
-                    else:
-                        ocx = o_x - ax
-                        ocy = o_y - ay
-                        ocz = o_z - az
-                        bh = ocx * d_x + ocy * d_y + ocz * d_z
-                        cc = (ocx * ocx + ocy * ocy + ocz * ocz
-                              - ux * ux)
-                        disc = bh * bh - cc
-                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                        t0s = -bh - sq
-                        t1s = -bh + sq
-                        t_sph = jnp.where(t0s > HIT_EPS, t0s, t1s)
-                        sph_ok = (disc > 0.0) & (t_sph > HIT_EPS)
-                        t_k = jnp.where(is_sph, t_sph, t_tri)
-                        shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
-                    occ2 = occ2 | (shape_ok & (k < cnt) & (t_k < t_gate))
-                return jnp.where(occ2, 1.0, 0.0)
+                return leaf_scan_any(base, cnt, o_x, o_y, o_z,
+                                     d_x, d_y, d_z, t_gate, occf)
 
             occf2 = jax.lax.cond(any_hit & is_leaf, do_leaf,
                                  lambda o: o, occf)
@@ -885,6 +908,189 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
 
         outw = jax.lax.while_loop(cond, body, init)
         return outw[1] > 0.5, outw[2]
+
+    # ---------------- 8-wide ordered stack walks (node_fmt="w8") ----------
+    # The binary skip walk visits nodes in FIXED DFS order, so t_best stays
+    # loose while far geometry is tested first and the per-lane (tn<t_best)
+    # cull rarely fires. These walks pop a tile-shared SMEM stack and push
+    # hit children sorted far-to-near by tile-min entry distance, so close
+    # subtrees tighten t_best before far ones are tested — the vector-machine
+    # analogue of the reference's per-thread ordered descent
+    # (src/renderer/tracing_func.cuh:117-181). One wide node row tests 8
+    # child slabs per serial iteration (~8x fewer loop/decision overheads
+    # than one-box-per-iteration; EXP_EXTRACT_AB: ~115 ns loop + ~150 ns per
+    # scalar decision).
+    #
+    # Node row layout (pack_nodes_w8): child c at lane c*9 =
+    # [lo(3), hi(3), enc, base, cnt]; enc >= 0 interior wide id, -1 leaf,
+    # -2 empty. Stack entries: interior = wide id; leaf = -(base*16+cnt)-1
+    # (base exact in f32 below 2^24 prim slots; cnt <= 14).
+    _SORT8 = ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+              (5, 7), (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6),
+              (1, 4), (3, 6), (2, 4), (3, 5), (3, 4))
+
+    def _w8_expand(e, o_x, o_y, o_z, ix, iy, iz, t_gate, live, sp1):
+        """Expand interior wide node e: 8 slab tests, push hit children
+        far-to-near onto the SMEM stack at sp1..; returns nothing (writes
+        n_keep to w8_spn). Runs under @pl.when(is_interior)."""
+        row = nodes[pl.ds(e, 1), :]
+        keys = []
+        ents = []
+        nk = jnp.int32(0)
+        for c in range(8):
+            sb = c * 9
+            lo_x = _f(row, sb + 0)
+            lo_y = _f(row, sb + 1)
+            lo_z = _f(row, sb + 2)
+            hi_x = _f(row, sb + 3)
+            hi_y = _f(row, sb + 4)
+            hi_z = _f(row, sb + 5)
+            encc = _f(row, sb + 6)
+            basc = _f(row, sb + 7)
+            cntc = _f(row, sb + 8)
+            tx0 = (lo_x - o_x) * ix
+            tx1 = (hi_x - o_x) * ix
+            ty0 = (lo_y - o_y) * iy
+            ty1 = (hi_y - o_y) * iy
+            tz0 = (lo_z - o_z) * iz
+            tz1 = (hi_z - o_z) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1))
+            bh = (tn <= tf) & (tf > HIT_EPS) & (tn < t_gate) & live
+            anyc = jnp.any(bh)
+            # tile-min entry distance orders the push (ordering only —
+            # correctness never depends on it)
+            tnm = jnp.min(jnp.where(bh, tn, jnp.inf))
+            keep = anyc & (encc > -1.5)
+            key = jnp.where(keep, tnm, -jnp.inf)
+            entf = jnp.where(encc >= -0.5, encc,
+                             -(basc * 16.0 + cntc) - 1.0)
+            keys.append(key)
+            ents.append(entf.astype(jnp.int32))
+            nk = nk + jnp.where(keep, 1, 0)
+        # sort descending by key: keepers far->near first, rejects (-inf)
+        # last — they land ABOVE the new sp and are never popped
+        for (i, j) in _SORT8:
+            swap = keys[i] < keys[j]
+            ki = jnp.where(swap, keys[j], keys[i])
+            kj = jnp.where(swap, keys[i], keys[j])
+            ei = jnp.where(swap, ents[j], ents[i])
+            ej = jnp.where(swap, ents[i], ents[j])
+            keys[i], keys[j], ents[i], ents[j] = ki, kj, ei, ej
+        for i in range(8):
+            w8_stack[sp1 + i] = ents[i]
+        w8_spn[0] = nk
+
+    def walk_closest_w8(o_x, o_y, o_z, d_x, d_y, d_z, live):
+        """Closest hit via the ordered 8-wide stack walk. Same contract as
+        walk_closest (dict of (R,128) vectors, raw ng, count_stats)."""
+        ix, iy, iz = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+        w8_stack[0] = jnp.int32(0)  # root wide node
+        init = (jnp.int32(1),  # sp
+                jnp.full(shape, jnp.inf), f0 - 1.0,
+                f0, f0, f0,
+                f0, f0, f1,
+                f0, f0, f0, f0,
+                (f0, f0) if textured else (),
+                (f0 - 1.0, f0) if has_media else (),
+                (f0, f0) if count_stats else ())
+
+        def cond(cr):
+            return cr[0] > 0
+
+        def body(cr):
+            (sp, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
+             eidv, inva, sphv, bidv, uvc, mnc, cstat) = cr
+            sp1 = sp - 1
+            e = w8_stack[sp1]
+            is_int = e >= 0
+
+            @pl.when(is_int)
+            def _():
+                _w8_expand(e, o_x, o_y, o_z, ix, iy, iz, t_best, live, sp1)
+
+            v = -e - 1
+            lb = v // 16
+            lc = v - lb * 16
+
+            def do_leaf(carry):
+                return leaf_scan_closest(lb, lc, o_x, o_y, o_z,
+                                         d_x, d_y, d_z, carry)
+
+            leaf_carry = (t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
+                          eidv, inva, sphv, bidv, uvc, mnc)
+            leaf_out = jax.lax.cond(~is_int, do_leaf,
+                                    lambda c: c, leaf_carry)
+            if count_stats:
+                cstat = (cstat[0] + 1.0,
+                         cstat[1] + jnp.where(is_int, 0.0, 1.0))
+            nk = w8_spn[0]
+            sp_next = sp1 + jnp.where(is_int, nk, 0)
+            return (sp_next,) + tuple(leaf_out) + (cstat,)
+
+        out = jax.lax.while_loop(cond, body, init)
+        (_, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
+         eidv, inva, sphv, bidv, uvc, mnc, cstat) = out
+        return {
+            "t": t_best, "hit": prim >= 0.0,
+            "nsx": nsx, "nsy": nsy, "nsz": nsz,
+            "ngx": ngx, "ngy": ngy, "ngz": ngz,
+            "eid": eidv, "inva": inva, "sph": sphv, "bid": bidv,
+            "uv": uvc, "mn": mnc, "cstat": cstat,
+        }
+
+    def walk_anyhit_w8(o_x, o_y, o_z, d_x, d_y, d_z, t_lim, need):
+        """Shadow test via the 8-wide stack walk; early-exits the moment
+        every needing lane is occluded (push order irrelevant for anyhit,
+        but the shared expansion keeps one code path)."""
+        ix, iy, iz = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+        t_gate = jnp.where(need, t_lim * (1.0 - 1e-3), -1.0)
+        w8_stack[0] = jnp.int32(0)
+        init = (jnp.int32(1), f0, (f0, f0) if count_stats else ())
+
+        def cond(cr):
+            sp, occf = cr[0], cr[1]
+            return (sp > 0) & jnp.any((occf < 0.5) & need)
+
+        def body(cr):
+            sp, occf, cstat = cr
+            sp1 = sp - 1
+            e = w8_stack[sp1]
+            is_int = e >= 0
+            occ = occf > 0.5
+            gate = jnp.where(occ, -1.0, t_gate)
+
+            @pl.when(is_int)
+            def _():
+                _w8_expand(e, o_x, o_y, o_z, ix, iy, iz, gate,
+                           need & ~occ, sp1)
+
+            v = -e - 1
+            lb = v // 16
+            lc = v - lb * 16
+
+            def do_leaf(of):
+                return leaf_scan_any(lb, lc, o_x, o_y, o_z,
+                                     d_x, d_y, d_z, t_gate, of)
+
+            occf2 = jax.lax.cond(~is_int, do_leaf, lambda o: o, occf)
+            if count_stats:
+                cstat = (cstat[0] + 1.0,
+                         cstat[1] + jnp.where(is_int, 0.0, 1.0))
+            nk = w8_spn[0]
+            sp_next = sp1 + jnp.where(is_int, nk, 0)
+            return sp_next, occf2, cstat
+
+        outw = jax.lax.while_loop(cond, body, init)
+        return outw[1] > 0.5, outw[2]
+
+    if node_fmt == "w8":
+        walk_closest = walk_closest_w8
+        walk_anyhit = walk_anyhit_w8
 
     # ---------------- emitter table helpers -------------------------------
     erow_v = erow[:]  # (1, 128)
@@ -2186,6 +2392,44 @@ def pack_uvs(geom) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def pack_nodes_w8(wb) -> jnp.ndarray:
+    """(W, 128) f32 rows for the in-kernel 8-wide ordered stack walk:
+    child c of wide node w at lane c*9 = [lo(3), hi(3), enc, base, cnt].
+    enc: >= 0 interior (wide node id), -1 leaf, -2 empty slot. Leaf
+    base/cnt are prim-slot base + count inlined from WideBVHArrays
+    (accel/wide_build.collapse_wide), so fetch_prim works unchanged on any
+    prim format. Empty slots carry inverted AABBs (never hit); base is
+    exact in f32 below 2^24 prim slots (documented limit, mirrors the
+    traverse_kernel prim-id plane note)."""
+    import numpy as np
+
+    cmin = np.asarray(wb.child_min, np.float32)  # (W, 8, 3)
+    cmax = np.asarray(wb.child_max, np.float32)
+    enc = np.asarray(wb.child_node)              # (W, 8) int32
+    lbase = np.asarray(wb.leaf_base)
+    lcnt = np.asarray(wb.leaf_count)
+    W = enc.shape[0]
+    from ...accel.wide_build import EMPTY
+
+    is_leaf = (enc < 0) & (enc != EMPTY)
+    lid = np.where(is_leaf, -(enc + 1), 0)
+    enc_f = np.where(enc == EMPTY, -2.0,
+                     np.where(is_leaf, -1.0, enc.astype(np.float32)))
+    base_f = np.where(is_leaf, lbase[lid], 0).astype(np.float32)
+    cnt_f = np.where(is_leaf, lcnt[lid], 0).astype(np.float32)
+    # inverted boxes on empty slots reject in the slab test; force them
+    # here too in case the collapse left stale values
+    big = np.float32(1e30)
+    lo = np.where(is_leaf[..., None] | (enc >= 0)[..., None], cmin, big)
+    hi = np.where(is_leaf[..., None] | (enc >= 0)[..., None], cmax, -big)
+    out = np.zeros((W, 128), np.float32)
+    fields = np.concatenate(
+        [lo, hi, enc_f[..., None], base_f[..., None], cnt_f[..., None]],
+        axis=-1)                                  # (W, 8, 9)
+    out[:, : 8 * 9] = fields.reshape(W, 72)
+    return jnp.asarray(out)
+
+
 def pack_prims_t9(geom) -> jnp.ndarray:
     """Triangle-only compact prim rows: 9 f32 fields (p0, e1, e2), 14 prims
     per 128-lane row — 36.6 B/prim vs 64. The global prim id is NOT stored:
@@ -2261,7 +2505,7 @@ class MKPack:
     def __init__(self, arrays, node_fmt="f32", attr_fmt="f32",
                  tri_only=False, prim_fmt="f32", has_env=False,
                  has_disp=False, textured=False, has_media=False,
-                 max_leaf=4, ambient_med=-1.0):
+                 max_leaf=4, ambient_med=-1.0, max_stack=0):
         self.arrays = dict(arrays)
         self.node_fmt = node_fmt
         self.attr_fmt = attr_fmt
@@ -2273,6 +2517,8 @@ class MKPack:
         self.has_media = bool(has_media)
         self.max_leaf = int(max_leaf)
         self.ambient_med = float(ambient_med)
+        # w8 node format: SMEM stack bound from the wide collapse
+        self.max_stack = int(max_stack)
 
     def __getitem__(self, k):
         return self.arrays[k]
@@ -2292,13 +2538,14 @@ class MKPack:
                 (keys, self.node_fmt, self.attr_fmt, self.tri_only,
                  self.prim_fmt, self.has_env, self.has_disp,
                  self.textured, self.has_media, self.max_leaf,
-                 self.ambient_med))
+                 self.ambient_med, self.max_stack))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, nf, af, to, pf, he, hd, tx, hm, ml, am = aux
+        keys, nf, af, to, pf, he, hd, tx, hm, ml, am = aux[:11]
+        ms = aux[11] if len(aux) > 11 else 0
         return cls(dict(zip(keys, children)), nf, af, to, pf, he, hd, tx,
-                   hm, ml, am)
+                   hm, ml, am, max_stack=ms)
 
 
 def make_pack(scene: T.Scene, node_fmt: str | None = None,
@@ -2323,9 +2570,19 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
         prim_fmt = "t9" if (big and tri_only) else "f32"
     if prim_fmt == "t9" and not tri_only:
         raise ValueError("prim_fmt='t9' requires an all-triangle scene")
+    max_stack = 0
+    if node_fmt == "w8":
+        from ...accel import wide_build
+
+        wb = wide_build.from_bvharrays(scene.bvh)
+        nodes_arr = pack_nodes_w8(wb)
+        max_stack = int(wb.max_stack) + 8  # +8: unconditional 8-slot write
+    elif node_fmt == "bf16":
+        nodes_arr = tk.pack_nodes_bf16(scene.bvh)
+    else:
+        nodes_arr = tk.pack_nodes(scene.bvh)
     arrays = {
-        "nodes": (tk.pack_nodes_bf16(scene.bvh) if node_fmt == "bf16"
-                  else tk.pack_nodes(scene.bvh)),
+        "nodes": nodes_arr,
         "prims": (pack_prims_t9(scene.geom) if prim_fmt == "t9"
                   else tk.pack_prims(scene.geom)),
         "attrs": (pack_attrs_bf16(scene) if attr_fmt == "bf16"
@@ -2369,7 +2626,8 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
     ambient = float(int(np.asarray(scene.cam_medium))) if vpt else -1.0
     return MKPack(arrays, node_fmt, attr_fmt, tri_only, prim_fmt, has_env,
                   has_disp, textured, has_media,
-                  max_leaf=int(scene.bvh.max_leaf), ambient_med=ambient)
+                  max_leaf=int(scene.bvh.max_leaf), ambient_med=ambient,
+                  max_stack=max_stack)
 
 
 def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
@@ -2483,6 +2741,10 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
     if vmem_limit_bytes is not None and not interpret:
         cparams = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_bytes))
+    scratch = []
+    if pack.node_fmt == "w8":
+        scratch = [pltpu.SMEM((max(pack.max_stack, 16),), jnp.int32),
+                   pltpu.SMEM((1,), jnp.int32)]
     outs = pl.pallas_call(
         kern,
         grid=(T_,),
@@ -2490,6 +2752,7 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
+        **({"scratch_shapes": scratch} if scratch else {}),
         **({"compiler_params": cparams} if cparams is not None else {}),
     )(*args)
 
@@ -2685,6 +2948,10 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
     if vmem_limit_bytes is not None and not interpret:
         cparams = pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_bytes))
+    scratch = []
+    if pack.node_fmt == "w8":
+        scratch = [pltpu.SMEM((max(pack.max_stack, 16),), jnp.int32),
+                   pltpu.SMEM((1,), jnp.int32)]
 
     call = pl.pallas_call(
         kern,
@@ -2694,6 +2961,7 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         out_shape=tuple(jax.ShapeDtypeStruct((T_, R, 128), dt)
                         for dt in state_dtypes),
         interpret=interpret,
+        **({"scratch_shapes": scratch} if scratch else {}),
         **({"compiler_params": cparams} if cparams is not None else {}),
     )
 
