@@ -495,13 +495,21 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
     if textured:
         auv = refs[0]
         refs = refs[1:]
+    # Texturing styles: deferred (whole-path mode: per-bounce contribution
+    # groups + one epilogue cumprod, trace_megakernel) vs inline (segment
+    # mode: the driver resolves THIS bounce's kd texel between calls and
+    # multiplies it into the NEE contribution + carried throughput — exact,
+    # no D1 groups; trace_megakernel_swf).
+    deferred_tex = textured and not seg
+    inline_tex = textured and seg
     if seg:
         # ---- single-bounce segment mode (sorted-wavefront driver) -------
         # refs = (bounce_smem, state_in..., state_out...); bounce_body runs
         # exactly ONCE per call; the bounce loop + inter-bounce ray sorting
         # live in trace_megakernel_swf. State order: _SEG_STATE below.
         bounce_ref = refs[0]
-        n_state = 21 + (6 if has_env else 0) + (5 if has_media else 0)
+        n_state = (21 + (6 if has_env else 0) + (5 if has_media else 0)
+                   + (6 if textured else 0))
         sin = refs[1:1 + n_state]
         souts = refs[1 + n_state:1 + 2 * n_state]
         ox, oy, oz = sin[2], sin[3], sin[4]
@@ -1239,10 +1247,16 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
          tr, tg, tb, Lr, Lg, Lb, act, prev_pdf, prev_delta, n_diff,
          n_spec, n_trans, mdx, mdy, mdz, mtr, mtg, mtb, wl,
          tex_state, med_state, stats) = cr
-        if textured:
+        if deferred_tex:
             A, rec, mbv = tex_state
             A = list(A)
             rec = list(rec)
+        elif inline_tex:
+            # per-call records: this bounce's NEE contribution (pre-texel)
+            # + hit (bid, uv); the swf driver multiplies the texel in
+            nee_r = nee_g = nee_b = f0
+            bid_rec = f0 - 1.0
+            u_rec = v_rec = f0
 
         hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
         hit_ok = hit["hit"] & (act > 0.5)
@@ -1293,7 +1307,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             srf_event = hit_ok
             t_evt = jnp.where(hit_ok, hit["t"], 1.0)
 
-        if textured and has_env:
+        if deferred_tex and has_env:
             missed_t = (act > 0.5) & ~hit["hit"]
             if has_media:
                 missed_t = missed_t & ~med_event
@@ -1371,7 +1385,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         emit_m = (srf_event & (eid_hit > 0.5) & (cos_l > 1e-6)
                   & (cos_l >= hfall))
         emw = jnp.where(emit_m, w_hit, 0.0)
-        if textured:
+        if deferred_tex:
             # deferred-texture epilogue: the emitter-hit contribution at
             # bounce k carries the kd-texture factors of bounces < k, so
             # it lands in group k (static blend — bounce is tile-uniform)
@@ -1383,6 +1397,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 A[2 * D1 + kb] = A[2 * D1 + kb] + jnp.where(
                     mkb, tb * hem_b * emw, 0.0)
         else:
+            # inline_tex included: thp already carries all resolved texels
             Lr = Lr + tr * hem_r * emw
             Lg = Lg + tg * hem_g * emw
             Lb = Lb + tb * hem_b * emw
@@ -1839,7 +1854,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             le_r = le_r * ntr_r
             le_g = le_g * ntr_g
             le_b = le_b * ntr_b
-        if textured:
+        if deferred_tex:
             # NEE at bounce k reflects off surface k, so it also carries
             # bounce k's own kd-texture factor -> group k+1. The texture
             # record of bounce k (bid, uv) is blended in here too.
@@ -1856,6 +1871,16 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 rec[D1 + kb] = jnp.where(mrec, hit["uv"][0], rec[D1 + kb])
                 rec[2 * D1 + kb] = jnp.where(mrec, hit["uv"][1],
                                              rec[2 * D1 + kb])
+        elif inline_tex:
+            # NEE at this bounce carries the hit's own kd texel: record it
+            # pre-texel; the swf driver multiplies the texel in and adds
+            # to L (and into thp for the sampled continuation).
+            nee_r = tr * f_r * le_r * scale
+            nee_g = tg * f_g * le_g * scale
+            nee_b = tb * f_b * le_b * scale
+            bid_rec = jnp.where(hit_ok, bidv, -1.0)
+            u_rec = jnp.where(hit_ok, hit["uv"][0], 0.0)
+            v_rec = jnp.where(hit_ok, hit["uv"][1], 0.0)
         else:
             Lr = Lr + tr * f_r * le_r * scale
             Lg = Lg + tg * f_g * le_g * scale
@@ -2247,7 +2272,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             dltf = jnp.where(med_event, 0.0, dltf)
         prev_delta2 = jnp.where(act2, dltf, prev_delta)
 
-        tex_state2 = ((tuple(A), tuple(rec), mbv) if textured else ())
+        if deferred_tex:
+            tex_state2 = (tuple(A), tuple(rec), mbv)
+        elif inline_tex:
+            tex_state2 = (nee_r, nee_g, nee_b, bid_rec, u_rec, v_rec)
+        else:
+            tex_state2 = ()
         med_state2 = ((stk0, stk1, stk2, mtop, n_vol) if has_media else ())
         return (bounce + 1, sx, sy, o_x2, o_y2, o_z2, wix, wiy, wiz,
                 tr2, tg2, tb2, Lr, Lg, Lb, actf, prev_pdf2, prev_delta2,
@@ -2265,14 +2295,21 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         #   15 prev_pdf 16 prev_delta | 17-19 n_diff/spec/trans | 20 wl
         #   [21-26 env miss records mdx,mdy,mdz,mtr,mtg,mtb]
         #   [last 5: medium stack stk0,stk1,stk2,mtop,n_vol]
+        #   [last 6 (textured; exclusive with media — make_pack rejects
+        #    the combination, so the -5 arithmetic above stays valid):
+        #    per-call nee_r,nee_g,nee_b,bid_rec,u_rec,v_rec]
         b_idx = bounce_ref[0, 0]
         med_in = (tuple(sin[len(sin) - 5 + i][:] for i in range(5))
                   if has_media else ())
+        # inline-tex records are per-call OUTPUTS (the kernel overwrites
+        # them every bounce); their input lanes exist only to keep the
+        # seg state pytree symmetric, so no carry-in here
+        tex_in = ((f0, f0, f0, f0 - 1.0, f0, f0) if inline_tex else ())
         env_in = (tuple(sin[21 + i][:] for i in range(6))
                   if has_env else (f0, f0, f1, f0, f0, f0))
         carry = ((b_idx, sx0, sy0, o_x0, o_y0, o_z0, d_x0, d_y0, d_z0)
                  + tuple(sin[i][:] for i in range(8, 20))  # thp,L,act,..,nt
-                 + env_in + (sin[20][:], (), med_in, ()))
+                 + env_in + (sin[20][:], tex_in, med_in, ()))
         res = bounce_body(carry)
         # res carry: 0 bounce+1, 1 sx, 2 sy, 3-5 o, 6-8 d, 9-11 thp,
         # 12-14 L, 15 act, 16 ppdf, 17 pdel, 18-20 nd/ns/nt, 21-26 env,
@@ -2282,6 +2319,8 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             flat += list(res[21:27])
         if has_media:
             flat += list(res[29])
+        if inline_tex:
+            flat += list(res[28])
         for ref, val in zip(souts, flat):
             ref[:] = val
         return
@@ -2428,6 +2467,65 @@ def pack_nodes_w8(wb) -> jnp.ndarray:
         axis=-1)                                  # (W, 8, 9)
     out[:, : 8 * 9] = fields.reshape(W, 72)
     return jnp.asarray(out)
+
+
+def treelet_boxes_w8(wb, max_tl: int = 64) -> jnp.ndarray:
+    """(max_tl, 8) f32 treelet-root AABBs [lo3, hi3, 0, 0] for the swf
+    traversal-coherence sort key (swf_sort_key key_mode="tl*").
+
+    BFS from the wide root, repeatedly expanding the frontier entry with
+    the largest surface area (interior entries only) until expanding
+    would exceed max_tl. The frontier — a mix of wide subtree roots and
+    leaf boxes — partitions the scene geometry; a ray's nearest-entered
+    frontier box predicts where its closest hit resolves, so sorting
+    rays by that index collapses each tile's walk union to a few
+    subtrees. Padding rows are inverted boxes (never entered)."""
+    import numpy as np
+
+    cmin = np.asarray(wb.child_min, np.float32)   # (W, 8, 3)
+    cmax = np.asarray(wb.child_max, np.float32)
+    enc = np.asarray(wb.child_node)               # (W, 8)
+    from ...accel.wide_build import EMPTY
+
+    # frontier entries: (surface_area, lo, hi, wide_id or -1)
+    valid0 = enc[0] != EMPTY
+    frontier = []
+    for c in range(8):
+        if not valid0[c]:
+            continue
+        lo, hi = cmin[0, c], cmax[0, c]
+        wid = int(enc[0, c]) if enc[0, c] >= 0 else -1
+        sa = float(_np_sa(lo, hi))
+        frontier.append((sa, lo, hi, wid))
+    while True:
+        cand = [f for f in frontier if f[3] >= 0]
+        if not cand:
+            break
+        best = max(cand, key=lambda f: f[0])
+        w = best[3]
+        kids = [(float(_np_sa(cmin[w, c], cmax[w, c])),
+                 cmin[w, c], cmax[w, c],
+                 int(enc[w, c]) if enc[w, c] >= 0 else -1)
+                for c in range(8) if enc[w, c] != EMPTY]
+        if len(frontier) - 1 + len(kids) > max_tl:
+            break
+        frontier.remove(best)
+        frontier.extend(kids)
+    out = np.zeros((max_tl, 8), np.float32)
+    big = np.float32(1e30)
+    out[:, 0:3] = big
+    out[:, 3:6] = -big
+    for i, (_, lo, hi, _w) in enumerate(frontier):
+        out[i, 0:3] = lo
+        out[i, 3:6] = hi
+    return jnp.asarray(out)
+
+
+def _np_sa(lo, hi):
+    import numpy as np
+
+    d = np.maximum(hi - lo, 0.0)
+    return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
 
 
 def pack_prims_t9(geom) -> jnp.ndarray:
@@ -2577,6 +2675,7 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
         wb = wide_build.from_bvharrays(scene.bvh)
         nodes_arr = pack_nodes_w8(wb)
         max_stack = int(wb.max_stack) + 8  # +8: unconditional 8-slot write
+        tlbox_arr = treelet_boxes_w8(wb)
     elif node_fmt == "bf16":
         nodes_arr = tk.pack_nodes_bf16(scene.bvh)
     else:
@@ -2591,6 +2690,8 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
         "eprims": pack_emitter_prims(scene),
         "brows": pack_bsdfs(scene),
     }
+    if node_fmt == "w8":
+        arrays["tlbox"] = tlbox_arr
     env_id = int(np.asarray(scene.env_emitter))
     has_env = env_id > 0
     if has_env:
@@ -2834,14 +2935,23 @@ def _morton21(qx, qy, qz):
     return spread(qx) | (spread(qy) << 1) | (spread(qz) << 2)
 
 
-def swf_sort_key(state, key_mode: str = "dir_pos"):
+def swf_sort_key(state, key_mode: str = "dir_pos", tlbox=None):
     """Inter-bounce ray-ordering key: live lanes first, grouped for
     traversal coherence. The TPU analogue of the reference's wavefront
     ray sorting (src/pt_impl/wf_path_tracer.cu:133-139) — but keyed on
-    TRAVERSAL locality (direction octant + origin Morton cell), not
-    material: on a per-tile shared walk the win is shrinking each tile's
-    BVH visit union, not shading divergence (EXP_DISSECT_BIG: incoherent
-    bounce walks cost ~4x primary walks)."""
+    TRAVERSAL locality, not material: on a per-tile shared walk the win
+    is shrinking each tile's BVH visit union, not shading divergence
+    (EXP_DISSECT_BIG: incoherent bounce walks cost ~4x primary walks).
+
+    Modes: "dir_pos" (direction octant, then origin Morton cell),
+    "pos_dir" (the reverse), and the treelet family (requires tlbox,
+    make_pack node_fmt="w8"): rays keyed FIRST by the nearest-entered
+    treelet-root AABB — the subtree where the closest hit most likely
+    resolves — so each tile's walk union collapses to a few subtrees and
+    per-lane t_best culling fires early. "tl_pos" breaks ties by the
+    Morton cell of the treelet ENTRY POINT (not the origin: entry points
+    localize reflected rays converging on the same region), "tl_oct" by
+    direction octant only."""
     ox, oy, oz = state[2], state[3], state[4]
     dx, dy, dz = state[5], state[6], state[7]
     act = state[14]
@@ -2855,12 +2965,50 @@ def swf_sort_key(state, key_mode: str = "dir_pos"):
     oct_ = ((dx < 0).astype(jnp.int32) * 4
             + (dy < 0).astype(jnp.int32) * 2
             + (dz < 0).astype(jnp.int32))
-    m = _morton21(q7(ox), q7(oy), q7(oz))
-    if key_mode == "pos_dir":
-        key = (m << 3) | oct_
-    else:  # dir_pos (default)
-        key = (oct_ << 21) | m
+    if key_mode.startswith("tl"):
+        if tlbox is None:
+            raise ValueError(
+                "treelet sort keys need a w8 pack (tlbox missing)")
+        tn, tf, tl = _nearest_treelet(tlbox, ox, oy, oz, dx, dy, dz)
+        if key_mode == "tl_oct":
+            key = (tl << 3) | oct_
+        else:  # tl_pos
+            ex = ox + tn * dx
+            ey = oy + tn * dy
+            ez = oz + tn * dz
+            key = (tl << 21) | _morton21(q7(ex), q7(ey), q7(ez))
+    else:
+        m = _morton21(q7(ox), q7(oy), q7(oz))
+        if key_mode == "pos_dir":
+            key = (m << 3) | oct_
+        else:  # dir_pos (default)
+            key = (oct_ << 21) | m
     return jnp.where(act > 0.5, key, jnp.int32(1 << 30))
+
+
+def _nearest_treelet(tlbox, ox, oy, oz, dx, dy, dz):
+    """Per-lane nearest-entered treelet: (entry_t, exit_t, index). Lanes
+    entering no treelet box get index Tt (they can only hit the env) and
+    entry_t 0. Vectorized (B, Tt) slab test — pure XLA, ~15 flops per
+    lane-box."""
+    inv = lambda v: jnp.where(jnp.abs(v) < 1e-12,  # noqa: E731
+                              jnp.float32(1e12), 1.0 / v)
+    lo = tlbox[:, 0:3]
+    hi = tlbox[:, 3:6]
+    o = jnp.stack([ox, oy, oz], axis=-1)[:, None, :]    # (B, 1, 3)
+    iv = jnp.stack([inv(dx), inv(dy), inv(dz)], axis=-1)[:, None, :]
+    t0 = (lo[None] - o) * iv
+    t1 = (hi[None] - o) * iv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)          # (B, Tt)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    entered = (tn <= tf) & (tf > 1e-5)
+    tval = jnp.where(entered, jnp.maximum(tn, 0.0), jnp.inf)
+    tl = jnp.argmin(tval, axis=1).astype(jnp.int32)
+    tmin = jnp.min(tval, axis=1)
+    none = ~jnp.any(entered, axis=1)
+    tl = jnp.where(none, jnp.int32(tlbox.shape[0]), tl)
+    tmin = jnp.where(none, 0.0, tmin)
+    return tmin, tf, tl
 
 
 def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
@@ -2885,12 +3033,18 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
     (observed at the 1-ulp / ~1-lane-in-150 level on medium-cbox;
     tests/test_swf.py holds both contracts).
 
-    Unsupported here: textured packs (deferred-texture records are
-    per-bounce frame outputs) and count_stats."""
+    Textured packs ride INLINE texturing (round 5): the kernel records
+    each bounce's NEE contribution pre-texel plus the hit (bid, uv); the
+    driver resolves the kd texel between segment calls (one batched XLA
+    bilinear gather) and multiplies it into the NEE contribution and the
+    carried throughput — the exact composed estimator, no deferred
+    contribution groups. (In-kernel RR sees the throughput before this
+    bounce's texel lands — a different-variance, still-unbiased schedule
+    vs the composed path, same property the deferred mode has.)
+
+    Unsupported here: count_stats."""
     if not isinstance(pack, MKPack):
         pack = MKPack(pack)
-    if pack.textured:
-        raise ValueError("swf does not support textured packs yet")
     if max_leaf is None:
         max_leaf = pack.max_leaf
     elif max_leaf < pack.max_leaf:
@@ -2917,6 +3071,8 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
                   pack["eprims"], pack["brows"]]
     if pack.has_media:
         scene_args.append(pack["mrow"])
+    if pack.textured:
+        scene_args.append(pack["auv"])
 
     def full_spec(a):
         return pl.BlockSpec(a.shape, lambda t: (0,) * a.ndim,
@@ -2928,7 +3084,9 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
     smem_spec = pl.BlockSpec((1, 1), lambda t: (0, 0),
                              memory_space=pltpu.SMEM)
 
-    n_state = 21 + (6 if pack.has_env else 0) + (5 if pack.has_media else 0)
+    n_state = (21 + (6 if pack.has_env else 0)
+               + (5 if pack.has_media else 0)
+               + (6 if pack.textured else 0))
     state_dtypes = [jnp.uint32, jnp.uint32] + [jnp.float32] * (n_state - 2)
 
     n_bsdfs = pack["brows"].shape[0] * SLOTS // 2
@@ -2940,7 +3098,7 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         int(getattr(md, "max_volume", 64)),
         int(max_leaf), rn, MAX_EMITTERS, n_bsdfs, int(nee_candidates),
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
-        pack.has_env, pack.has_disp, False, pack.has_media,
+        pack.has_env, pack.has_disp, pack.textured, pack.has_media,
         MAX_MEDIA, float(pack.ambient_med), False,
         True,
     )
@@ -2984,6 +3142,8 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         state += [fz, fz, fo, fz, fz, fz]   # mdx,mdy,mdz(=1),mtr,mtg,mtb
     if pack.has_media:
         state += [fz - 1.0, fz - 1.0, fz - 1.0, fz - 1.0, fz]
+    if pack.textured:
+        state += [fz, fz, fz, fz - 1.0, fz, fz]  # nee rgb, bid, u, v
     state = tuple(state)
     pix0 = jnp.arange(Bp, dtype=jnp.int32)
 
@@ -2991,10 +3151,16 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         bounce, _, st = cr
         return (bounce < int(md.max_depth)) & jnp.any(st[14] > 0.5)
 
+    tlbox = pack["tlbox"] if (key_mode.startswith("tl")
+                              and "tlbox" in pack.keys()) else None
+    if key_mode.startswith("tl") and tlbox is None:
+        raise ValueError(
+            "treelet sort keys need a w8 pack (make_pack node_fmt='w8')")
+
     def step(cr):
         bounce, pix, st = cr
         if key_mode != "none":
-            perm = jnp.argsort(swf_sort_key(st, key_mode))
+            perm = jnp.argsort(swf_sort_key(st, key_mode, tlbox))
             pix = pix[perm]
             # ONE row gather moves all state: pack the n_state lanes (+pix)
             # into a (Bp, 128-padded) matrix — 27+ separate (Bp,) gathers
@@ -3018,6 +3184,33 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         outs = call(*scene_args, jnp.full((1, 1), bounce, jnp.int32),
                     *(a.reshape(T_, R, 128) for a in st))
         st = tuple(x.reshape(-1) for x in outs)
+        if pack.textured:
+            # inline texel resolution for this bounce: one batched XLA
+            # bilinear gather (per-lane texel fetches never enter the
+            # Pallas kernel — TPUs have no per-lane gather)
+            from ...scene import textures as tex
+            from ...scene import types as TT
+
+            ti = n_state - 6
+            neev = jnp.stack([st[ti], st[ti + 1], st[ti + 2]], axis=-1)
+            bidq = st[ti + 3]
+            uvq = jnp.stack([st[ti + 4], st[ti + 5]], axis=-1)
+            tdiff = pack["tdiff"]
+            bid_i = jnp.clip(bidq.astype(jnp.int32), 0, tdiff.shape[0] - 1)
+            tid = jnp.where(bidq >= 0.0, tdiff[bid_i], -1)
+            atlas = TT.TextureAtlas(
+                texels=pack["tex_texels"], offset=pack["tex_offset"],
+                width=pack["tex_width"], height=pack["tex_height"])
+            m = tex.sample_texture(atlas, tid, uvq)[..., :3]
+            m = jnp.where((tid >= 0)[:, None], m, 1.0)
+            st = list(st)
+            # NEE contribution carries this hit's texel; the sampled
+            # continuation's throughput does too (kd-linear families only
+            # ride inline texturing — megakernel_ok gates lambert/ON)
+            for c in range(3):
+                st[11 + c] = st[11 + c] + neev[:, c] * m[:, c]
+                st[8 + c] = st[8 + c] * m[:, c]
+            st = tuple(st)
         return bounce + 1, pix, st
 
     _, pix, st = jax.lax.while_loop(cond, step, (jnp.int32(0), pix0, state))
