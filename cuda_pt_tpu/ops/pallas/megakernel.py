@@ -481,7 +481,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             max_volume, max_leaf, rn, n_eslots, n_bsdfs, nee_m,
             node_fmt, attr_fmt, prim_fmt, tri_only, has_env, has_disp,
             textured, has_media, n_media, ambient_med, count_stats,
-            seg,
+            seg, ablate,
             nodes, prims, attrs, erow, eprims, brows,
             *refs):
     if node_fmt == "w8":
@@ -697,6 +697,17 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 t_k = jnp.where(is_sph, t_sph, t_tri)
                 shape_ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
             ok = shape_ok & (k < cnt) & (t_k < t_best)
+
+            if ablate == "slimleaf":
+                # headroom probe for a traverse/shade split: capture only
+                # (t, prim, u, v) per candidate — attrs would resolve via
+                # XLA gathers between phases. Image is wrong (attrs stay
+                # stale); timing bounds the split's best case.
+                t_best = jnp.where(ok, t_k, t_best)
+                prim = jnp.where(ok, gid, prim)
+                nsx = jnp.where(ok, u, nsx)
+                nsy = jnp.where(ok, v, nsy)
+                continue
 
             # scalar attrs of this prim
             (n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
@@ -1099,6 +1110,23 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
     if node_fmt == "w8":
         walk_closest = walk_closest_w8
         walk_anyhit = walk_anyhit_w8
+
+    # ---------------- walk ablations (on-chip cost decomposition) ---------
+    # ablate="noshadow": any-hit walks report unoccluded instantly (full -
+    # noshadow = shadow-walk share). ablate="nowalk": closest walks also
+    # return a fixed synthetic hit (noshadow - nowalk = closest-walk share;
+    # nowalk alone ~ shading + driver). Diagnostic only — images are wrong.
+    if ablate in ("noshadow", "nowalk"):
+        def walk_anyhit(o_x, o_y, o_z, d_x, d_y, d_z, t_lim, need):  # noqa: F811
+            return jnp.zeros(shape, bool), ((f0, f0) if count_stats else ())
+    if ablate == "nowalk":
+        def walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, live):  # noqa: F811
+            return {"t": f1, "hit": live, "nsx": f0, "nsy": f0, "nsz": f1,
+                    "ngx": f0, "ngy": f0, "ngz": f1, "eid": f0 - 1.0,
+                    "inva": f1, "sph": f0, "bid": f0,
+                    "uv": (f0 + 0.5, f0 + 0.5) if textured else (),
+                    "mn": (f0 - 1.0, f0) if has_media else (),
+                    "cstat": (f0, f0) if count_stats else ()}
 
     # ---------------- emitter table helpers -------------------------------
     erow_v = erow[:]  # (1, 128)
@@ -2735,7 +2763,7 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
                      interpret=None, tile: int | None = None,
                      nee_candidates: int = 1,
                      vmem_limit_bytes: int | None = None,
-                     count_stats: bool = False):
+                     count_stats: bool = False, ablate: str = ""):
     """Full in-kernel trace: (B, 3) rays + (B, 2) u32 pcg states → L (B, 3).
 
     pack: make_pack(scene) (scene must pass megakernel_ok). Plain dicts
@@ -2836,7 +2864,7 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
         pack.has_env, pack.has_disp, pack.textured, pack.has_media,
         MAX_MEDIA, float(pack.ambient_med), bool(count_stats),
-        False,
+        False, str(ablate),
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:
@@ -3015,7 +3043,7 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
                          interpret=None, tile: int | None = None,
                          nee_candidates: int = 1,
                          vmem_limit_bytes: int | None = None,
-                         key_mode: str = "dir_pos"):
+                         key_mode: str = "dir_pos", ablate: str = ""):
     """Sorted-wavefront fused trace: the SAME bounce_body as
     trace_megakernel, but run one bounce per pallas_call with the ray
     population re-sorted between bounces by swf_sort_key.
@@ -3100,7 +3128,7 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
         pack.has_env, pack.has_disp, pack.textured, pack.has_media,
         MAX_MEDIA, float(pack.ambient_med), False,
-        True,
+        True, str(ablate),
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:

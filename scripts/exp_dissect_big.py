@@ -15,7 +15,6 @@ Writes EXP_DISSECT_BIG.json.   Run: PYTHONPATH=. python scripts/exp_dissect_big.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import sys
 import time
@@ -30,7 +29,7 @@ def main() -> None:
 
     from cuda_pt_tpu.core import camera as cam_mod
     from cuda_pt_tpu.core import qmc
-    from cuda_pt_tpu.core.config import BVHConfig, MaxDepthParams
+    from cuda_pt_tpu.core.config import MaxDepthParams
     from cuda_pt_tpu.ops.pallas import megakernel as mk
     from cuda_pt_tpu.scene import testscenes
     from cuda_pt_tpu.scene.xml_parser import load_xml

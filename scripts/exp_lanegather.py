@@ -30,7 +30,6 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     from cuda_pt_tpu.utils import timing
 

@@ -15,7 +15,6 @@ Run: PYTHONPATH=. python scripts/exp_leaf_sweep.py
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import sys
 import time

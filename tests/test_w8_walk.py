@@ -14,7 +14,6 @@ stack is the vector-machine redesign (SURVEY.md §2.3).
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
