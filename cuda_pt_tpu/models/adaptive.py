@@ -114,7 +114,7 @@ def render_adaptive(
         if fused_pack is not None:
             from ..ops.pallas import megakernel as mk
 
-            return mk.trace_megakernel(fused_pack, md, o, d, rng)
+            return mk.auto_trace(fused_pack, md, o, d, rng)
         wl_u = pt.wl_stratum_u(seed, n_of_pixel, pixel_ids)
         if tracer == "vpt":
             from . import volume_pt

@@ -481,7 +481,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             max_volume, max_leaf, rn, n_eslots, n_bsdfs, nee_m,
             node_fmt, attr_fmt, prim_fmt, tri_only, has_env, has_disp,
             textured, has_media, n_media, ambient_med, count_stats,
-            seg, ablate,
+            seg, ablate, phase,
             nodes, prims, attrs, erow, eprims, brows,
             *refs):
     if node_fmt == "w8":
@@ -502,16 +502,34 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
     # no D1 groups; trace_megakernel_swf).
     deferred_tex = textured and not seg
     inline_tex = textured and seg
-    if seg:
+    if phase == "traverse":
+        # ---- traverse-only phase (split driver, trace_megakernel_swf
+        # split=True): walk_closest with SLIM capture -> (t, gid, u, v);
+        # attributes resolve via XLA gathers between phases (11-16 ns per
+        # point gather at 262k lanes, EXP_R5_MICRO) instead of per-leaf-
+        # candidate blends (2.2x bunny / 1.5x whiskey, EXP_R5_SLIM).
+        (ox, oy, oz, dx, dy, dz, act_in,
+         t_out, gid_out, u_out, v_out) = refs
+        r0 = r1 = ox  # unused by the walk; keeps the shared preamble alive
+    elif seg:
         # ---- single-bounce segment mode (sorted-wavefront driver) -------
-        # refs = (bounce_smem, state_in..., state_out...); bounce_body runs
-        # exactly ONCE per call; the bounce loop + inter-bounce ray sorting
-        # live in trace_megakernel_swf. State order: _SEG_STATE below.
+        # refs = (bounce_smem, state_in..., [hit_in...], state_out...);
+        # bounce_body runs exactly ONCE per call; the bounce loop +
+        # inter-bounce ray sorting live in trace_megakernel_swf. State
+        # order: _SEG_STATE below. phase=="shade": the closest hit arrives
+        # as input planes (from the traverse phase + XLA resolve) instead
+        # of an in-kernel walk.
         bounce_ref = refs[0]
         n_state = (21 + (6 if has_env else 0) + (5 if has_media else 0)
                    + (6 if textured else 0))
+        n_hit = 0
+        if phase == "shade":
+            # t, hitf, ns(3), ng(3), eid, inva, bid [, sph][, uv2][, mn2]
+            n_hit = (11 + (0 if tri_only else 1) + (2 if textured else 0)
+                     + (2 if has_media else 0))
         sin = refs[1:1 + n_state]
-        souts = refs[1 + n_state:1 + 2 * n_state]
+        hin = refs[1 + n_state:1 + n_state + n_hit]
+        souts = refs[1 + n_state + n_hit:1 + 2 * n_state + n_hit]
         ox, oy, oz = sin[2], sin[3], sin[4]
         dx, dy, dz = sin[5], sin[6], sin[7]
         r0, r1 = sin[0], sin[1]
@@ -820,7 +838,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         (_, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
          eidv, inva, sphv, bidv, uvc, mnc, cstat) = out
         return {
-            "t": t_best, "hit": prim >= 0.0,
+            "t": t_best, "hit": prim >= 0.0, "prim": prim,
             "nsx": nsx, "nsy": nsy, "nsz": nsz,
             "ngx": ngx, "ngy": ngy, "ngz": ngz,
             "eid": eidv, "inva": inva, "sph": sphv, "bid": bidv,
@@ -1055,7 +1073,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         (_, t_best, prim, nsx, nsy, nsz, ngx, ngy, ngz,
          eidv, inva, sphv, bidv, uvc, mnc, cstat) = out
         return {
-            "t": t_best, "hit": prim >= 0.0,
+            "t": t_best, "hit": prim >= 0.0, "prim": prim,
             "nsx": nsx, "nsy": nsy, "nsz": nsz,
             "ngx": ngx, "ngy": ngy, "ngz": ngz,
             "eid": eidv, "inva": inva, "sph": sphv, "bid": bidv,
@@ -1126,7 +1144,19 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                     "inva": f1, "sph": f0, "bid": f0,
                     "uv": (f0 + 0.5, f0 + 0.5) if textured else (),
                     "mn": (f0 - 1.0, f0) if has_media else (),
+                    "prim": f0,
                     "cstat": (f0, f0) if count_stats else ()}
+
+    if phase == "traverse":
+        # slim walk only: ablate=="slimleaf" (set by the split driver)
+        # routes (u, v) through the nsx/nsy carries; "prim" carries gid
+        hit = walk_closest(ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
+                           act_in[:] > 0.5)
+        t_out[:] = hit["t"]
+        gid_out[:] = hit["prim"]
+        u_out[:] = hit["nsx"]
+        v_out[:] = hit["nsy"]
+        return
 
     # ---------------- emitter table helpers -------------------------------
     erow_v = erow[:]  # (1, 128)
@@ -1286,7 +1316,32 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             bid_rec = f0 - 1.0
             u_rec = v_rec = f0
 
-        hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
+        if phase == "shade":
+            # closest hit from the traverse phase + XLA attr resolution
+            # (split driver) — same field contract as walk_closest
+            k = 0
+            hit = {"t": hin[0][:], "hit": hin[1][:] > 0.5,
+                   "nsx": hin[2][:], "nsy": hin[3][:], "nsz": hin[4][:],
+                   "ngx": hin[5][:], "ngy": hin[6][:], "ngz": hin[7][:],
+                   "eid": hin[8][:], "inva": hin[9][:]}
+            k = 10
+            if tri_only:
+                hit["sph"] = f0
+                hit["bid"] = hin[k][:]
+                k += 1
+            else:
+                hit["sph"] = hin[k][:]
+                hit["bid"] = hin[k + 1][:]
+                k += 2
+            if textured:
+                hit["uv"] = (hin[k][:], hin[k + 1][:])
+                k += 2
+            if has_media:
+                hit["mn"] = (hin[k][:], hin[k + 1][:])
+                k += 2
+            hit["cstat"] = ()
+        else:
+            hit = walk_closest(o_x, o_y, o_z, d_x, d_y, d_z, act > 0.5)
         hit_ok = hit["hit"] & (act > 0.5)
         if count_stats:
             stats = (stats[0] + hit["cstat"][0],
@@ -2497,6 +2552,45 @@ def pack_nodes_w8(wb) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def _pack_hit_matrix(scene: T.Scene) -> jnp.ndarray:
+    """(M, 32) f32 per-prim hit-resolution matrix for the SPLIT driver:
+    ONE XLA row gather by gid resolves everything the shade phase needs.
+    Cols: 0-2 n0, 3-5 n1, 6-8 n2, 9-11 cross(e1,e2) (raw geometric
+    normal), 12-14 p0 (sphere center), 15 eid, 16 bid, 17 inv_area,
+    18 is_sphere, 19 medium_in, 20 is_null, 21-26 uv0/uv1/uv2."""
+    import numpy as np
+
+    g = scene.geom
+    obj = np.asarray(g.obj_idx)
+    eid = np.asarray(scene.objects.emitter_id)[obj].astype(np.float32)
+    bid = np.maximum(np.asarray(scene.objects.bsdf_id)[obj], 0)
+    inva = np.asarray(scene.objects.inv_area)[obj]
+    sph = np.asarray(g.is_sphere, np.float32)
+    med, nul = _prim_medium_null(scene)
+    e1 = np.asarray(g.e1, np.float32)
+    e2 = np.asarray(g.e2, np.float32)
+    M = e1.shape[0]
+    out = np.zeros((max(M, 1), 32), np.float32)
+    if M:
+        out[:, 0:3] = np.asarray(g.n0, np.float32)
+        out[:, 3:6] = np.asarray(g.n1, np.float32)
+        out[:, 6:9] = np.asarray(g.n2, np.float32)
+        out[:, 9:12] = np.cross(e1, e2)
+        out[:, 12:15] = np.asarray(g.p0, np.float32)
+        out[:, 15] = eid
+        out[:, 16] = bid.astype(np.float32)
+        out[:, 17] = inva
+        out[:, 18] = sph
+        out[:, 19] = med
+        out[:, 20] = nul
+        uv0 = np.asarray(g.uv0, np.float32)
+        if uv0.size:
+            out[:, 21:23] = uv0
+            out[:, 23:25] = np.asarray(g.uv1, np.float32)
+            out[:, 25:27] = np.asarray(g.uv2, np.float32)
+    return jnp.asarray(out)
+
+
 def treelet_boxes_w8(wb, max_tl: int = 64) -> jnp.ndarray:
     """(max_tl, 8) f32 treelet-root AABBs [lo3, hi3, 0, 0] for the swf
     traversal-coherence sort key (swf_sort_key key_mode="tl*").
@@ -2720,6 +2814,7 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
     }
     if node_fmt == "w8":
         arrays["tlbox"] = tlbox_arr
+        arrays["g_hit"] = _pack_hit_matrix(scene)
     env_id = int(np.asarray(scene.env_emitter))
     has_env = env_id > 0
     if has_env:
@@ -2864,7 +2959,7 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
         pack.has_env, pack.has_disp, pack.textured, pack.has_media,
         MAX_MEDIA, float(pack.ambient_med), bool(count_stats),
-        False, str(ablate),
+        False, str(ablate), "",
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:
@@ -3043,7 +3138,8 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
                          interpret=None, tile: int | None = None,
                          nee_candidates: int = 1,
                          vmem_limit_bytes: int | None = None,
-                         key_mode: str = "dir_pos", ablate: str = ""):
+                         key_mode: str = "dir_pos", ablate: str = "",
+                         split: bool = False):
     """Sorted-wavefront fused trace: the SAME bounce_body as
     trace_megakernel, but run one bounce per pallas_call with the ray
     population re-sorted between bounces by swf_sort_key.
@@ -3120,6 +3216,13 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
     n_bsdfs = pack["brows"].shape[0] * SLOTS // 2
     if pack.has_media and int(nee_candidates) != 1:
         raise ValueError("fused VPT supports nee_candidates=1")
+    if split and "g_hit" not in pack.keys():
+        raise ValueError("split traversal needs a w8 pack (g_hit matrix)")
+    n_hit = 0
+    if split:
+        n_hit = (11 + (0 if pack.tri_only else 1)
+                 + (2 if pack.textured else 0)
+                 + (2 if pack.has_media else 0))
     kern = functools.partial(
         _kernel, int(md.max_depth), int(md.max_diffuse),
         int(md.max_specular), int(md.max_transmit),
@@ -3128,7 +3231,7 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
         pack.has_env, pack.has_disp, pack.textured, pack.has_media,
         MAX_MEDIA, float(pack.ambient_med), False,
-        True, str(ablate),
+        True, str(ablate), "shade" if split else "",
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:
@@ -3142,7 +3245,8 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
     call = pl.pallas_call(
         kern,
         grid=(T_,),
-        in_specs=scene_specs + [smem_spec] + [ray_spec] * n_state,
+        in_specs=(scene_specs + [smem_spec] + [ray_spec] * n_state
+                  + [ray_spec] * n_hit),
         out_specs=tuple([ray_spec] * n_state),
         out_shape=tuple(jax.ShapeDtypeStruct((T_, R, 128), dt)
                         for dt in state_dtypes),
@@ -3150,6 +3254,69 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         **({"scratch_shapes": scratch} if scratch else {}),
         **({"compiler_params": cparams} if cparams is not None else {}),
     )
+
+    if split:
+        # traverse-only kernel: slim walk -> (t, gid, u, v); scene tables
+        # beyond nodes/prims are unused 1-row dummies (DCE'd; no VMEM)
+        kern_t = functools.partial(
+            _kernel, int(md.max_depth), int(md.max_diffuse),
+            int(md.max_specular), int(md.max_transmit),
+            int(getattr(md, "max_volume", 64)),
+            int(max_leaf), rn, MAX_EMITTERS, n_bsdfs, 1,
+            pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
+            False, False, False, False,
+            MAX_MEDIA, -1.0, False,
+            False, "slimleaf", "traverse",
+        )
+        dummy = jnp.zeros((1, 128), jnp.float32)
+        trav_args = [pack["nodes"], pack["prims"], dummy, dummy, dummy,
+                     dummy]
+        trav_specs = [full_spec(a) for a in trav_args]
+        call_t = pl.pallas_call(
+            kern_t,
+            grid=(T_,),
+            in_specs=trav_specs + [ray_spec] * 7,
+            out_specs=tuple([ray_spec] * 4),
+            out_shape=tuple(jax.ShapeDtypeStruct((T_, R, 128), jnp.float32)
+                            for _ in range(4)),
+            interpret=interpret,
+            **({"scratch_shapes": scratch} if scratch else {}),
+            **({"compiler_params": cparams} if cparams is not None else {}),
+        )
+        ghit = pack["g_hit"]
+        M_ = ghit.shape[0]
+
+        def resolve_hit(st):
+            """traverse + ONE (Bp, 32) row gather -> shade input planes."""
+            tv, gidf, uu, vv = (x.reshape(-1) for x in call_t(
+                *trav_args,
+                *(st[i].reshape(T_, R, 128) for i in range(2, 8)),
+                st[14].reshape(T_, R, 128)))
+            gi = jnp.clip(gidf.astype(jnp.int32), 0, M_ - 1)
+            row = jnp.take(ghit, gi, axis=0)
+            hitf = jnp.where(gidf >= 0.0, 1.0, 0.0)
+            w0 = 1.0 - uu - vv
+            ns = (w0[:, None] * row[:, 0:3] + uu[:, None] * row[:, 3:6]
+                  + vv[:, None] * row[:, 6:9])
+            ng = row[:, 9:12]
+            if not pack.tri_only:
+                sphc = (row[:, 18] > 0.5)[:, None]
+                ns = jnp.where(sphc, row[:, 12:15], ns)
+                ng = jnp.where(sphc, row[:, 12:15], ng)
+            hplanes = [tv, hitf, ns[:, 0], ns[:, 1], ns[:, 2],
+                       ng[:, 0], ng[:, 1], ng[:, 2],
+                       row[:, 15], row[:, 17]]
+            if not pack.tri_only:
+                hplanes.append(row[:, 18])  # sph precedes bid (kernel order)
+            hplanes.append(row[:, 16])
+            if pack.textured:
+                uvi = (w0[:, None] * row[:, 21:23]
+                       + uu[:, None] * row[:, 23:25]
+                       + vv[:, None] * row[:, 25:27])
+                hplanes += [uvi[:, 0], uvi[:, 1]]
+            if pack.has_media:
+                hplanes += [row[:, 19], row[:, 20]]
+            return hplanes
 
     def prep(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
@@ -3209,8 +3376,11 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
                   + tuple(jax.lax.bitcast_convert_type(mat[:, i],
                                                        jnp.float32)
                           for i in range(2, n_state)))
+        extra = ()
+        if split:
+            extra = tuple(h.reshape(T_, R, 128) for h in resolve_hit(st))
         outs = call(*scene_args, jnp.full((1, 1), bounce, jnp.int32),
-                    *(a.reshape(T_, R, 128) for a in st))
+                    *(a.reshape(T_, R, 128) for a in st), *extra)
         st = tuple(x.reshape(-1) for x in outs)
         if pack.textured:
             # inline texel resolution for this bounce: one batched XLA
@@ -3288,11 +3458,48 @@ def _env_radiance(pack: "MKPack", d: jnp.ndarray) -> jnp.ndarray:
     return texv * pack["env_base"] * jnp.maximum(scale, 0.0)
 
 
+# Scene-size threshold for the driver auto-pick: boxes above this ride the
+# sorted-wavefront driver (per-bounce pos_dir re-sorting restores
+# primary-like walk coherence: bunny 1.35x / whiskey 1.68x on-chip,
+# EXP_R5_COHERENCE); below it the whole-path megakernel wins (sort glue
+# ~0.3-1.6 ms/bounce is pure overhead on cornell-class trees).
+SWF_AUTO_BOXES = 512
+
+
+def _pack_boxes(pack: "MKPack") -> int:
+    """Approximate box count of the pack's node table (any node format)."""
+    rows = pack["nodes"].shape[0]
+    if pack.node_fmt == "w8":
+        return rows * 8
+    return rows * (SLOTS16 if pack.node_fmt == "bf16" else SLOTS)
+
+
+def auto_trace(pack, md, o, d, rng, max_leaf: int | None = None,
+               interpret=None, nee_candidates: int = 1):
+    """Scene-size auto-pick between the whole-path megakernel and the
+    sorted-wavefront driver (key_mode='pos_dir', tile 4096 — the measured
+    big-scene optimum). Same estimator either way; per-lane results under
+    sorted regrouping are near-exact (trace_megakernel_swf docstring)."""
+    if _pack_boxes(pack) >= SWF_AUTO_BOXES:
+        return trace_megakernel_swf(pack, md, o, d, rng,
+                                    max_leaf=max_leaf, interpret=interpret,
+                                    nee_candidates=nee_candidates,
+                                    key_mode="pos_dir", tile=4096)
+    return trace_megakernel(pack, md, o, d, rng, max_leaf=max_leaf,
+                            interpret=interpret,
+                            nee_candidates=nee_candidates)
+
+
 def render_pack(pack, cam, md, spp: int, seed, max_leaf: int | None = None,
                 interpret=None, nee_candidates: int = 1):
     """spp-pass fused render from a prebuilt pack → (H, W, 3). Jittable in
     (pack, seed); same per-(pixel, sample) pcg streams as
-    models/path_tracer.render."""
+    models/path_tracer.render.
+
+    Big scenes (auto_trace → swf) batch ALL spp samples into ONE driver
+    call: 4x the lanes per sort quadruples each tile's post-sort
+    coherence and amortizes the per-bounce glue; streams are keyed by
+    (pixel, sample) either way, so the image is identical."""
     from ...core import camera as cam_mod
     from ...core import qmc
 
@@ -3302,12 +3509,22 @@ def render_pack(pack, cam, md, spp: int, seed, max_leaf: int | None = None,
     perm, inv = tile_swizzle(int(cam.width), int(cam.height))
     lane = perm
 
+    if _pack_boxes(pack) >= SWF_AUTO_BOXES and spp > 1:
+        lanes = jnp.tile(lane, spp)
+        idxs = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), B)
+        rng = qmc.make_state("pcg", seed, lanes, idxs)
+        o, d, rng = cam_mod.generate_rays(cam, lanes, rng)
+        L = auto_trace(pack, md, o, d, rng, max_leaf=max_leaf,
+                       interpret=interpret, nee_candidates=nee_candidates)
+        acc = jnp.sum(L.reshape(spp, B, 3), axis=0)
+        return (acc[inv] / spp).reshape(cam.height, cam.width, 3)
+
     def body(i, acc):
         rng = qmc.make_state("pcg", seed, lane, i)
         o, d, rng = cam_mod.generate_rays(cam, lane, rng)
-        L = trace_megakernel(pack, md, o, d, rng, max_leaf=max_leaf,
-                             interpret=interpret,
-                             nee_candidates=nee_candidates)
+        L = auto_trace(pack, md, o, d, rng, max_leaf=max_leaf,
+                       interpret=interpret,
+                       nee_candidates=nee_candidates)
         return acc + L
 
     acc = jax.lax.fori_loop(0, spp, body, jnp.zeros((B, 3), jnp.float32))
