@@ -102,8 +102,19 @@ def sample_distance_grid(scene: T.Scene, mid: jnp.ndarray, o: jnp.ndarray,
 
     Fixed-cap masked loop. Returns dict(t, is_medium, weight(B,3)), rng.
     """
-    B = o.shape[0]
     gid, scale, maj, albedo = _grid_params(scene, mid)
+    return sample_distance_arrays(scene.grids, gid, scale, maj, albedo,
+                                  o, d, t_surf, rng, active)
+
+
+def sample_distance_arrays(grids: T.GridMediumData, gid, scale, maj, albedo,
+                           o: jnp.ndarray, d: jnp.ndarray,
+                           t_surf: jnp.ndarray, rng: jnp.ndarray,
+                           active: jnp.ndarray):
+    """sample_distance_grid against raw arrays — shared by the composed
+    VPT (scene wrapper above) and the fused split driver (MKPack gr_*
+    refs, ops/pallas/megakernel.trace_megakernel_swf)."""
+    B = o.shape[0]
     inv_maj = 1.0 / maj
 
     def body(i, carry):
@@ -113,7 +124,7 @@ def sample_distance_grid(scene: T.Scene, mid: jnp.ndarray, o: jnp.ndarray,
         t_new = t + jax.lax.stop_gradient(step)
         pass_srf = t_new >= t_surf
         p = o + t_new[:, None] * d
-        dens = density_lookup(scene.grids, gid, p) * scale
+        dens = density_lookup(grids, gid, p) * scale
         ratio = jnp.clip(dens * inv_maj, 0.0, 1.0)
         real = u[..., 1] < jax.lax.stop_gradient(ratio)
         # attached weight for real collisions: sigma(x)/majorant over its
@@ -185,9 +196,19 @@ def transmittance_grid_residual(scene: T.Scene, mid: jnp.ndarray, o: jnp.ndarray
     σ_r = max(σ_c, maj − σ_c): the analytic control absorbs the bulk of
     the optical depth, so the stochastic residual product has far lower
     variance in dense, smooth regions than plain ratio tracking."""
-    B = o.shape[0]
     gid, scale, maj, _ = _grid_params(scene, mid)
-    sigma_c = scene.grids.avg_density[gid] * scale
+    return transmittance_residual_arrays(scene.grids, gid, scale, maj,
+                                         o, d, dist, rng, active)
+
+
+def transmittance_residual_arrays(grids: T.GridMediumData, gid, scale, maj,
+                                  o: jnp.ndarray, d: jnp.ndarray,
+                                  dist: jnp.ndarray, rng: jnp.ndarray,
+                                  active: jnp.ndarray):
+    """transmittance_grid_residual against raw arrays (shared with the
+    fused split driver, like sample_distance_arrays above)."""
+    B = o.shape[0]
+    sigma_c = grids.avg_density[gid] * scale
     sigma_r = jnp.maximum(jnp.maximum(sigma_c, maj - sigma_c), 1e-6)
     inv_maj = 1.0 / sigma_r
 
@@ -198,7 +219,7 @@ def transmittance_grid_residual(scene: T.Scene, mid: jnp.ndarray, o: jnp.ndarray
         t_new = t + jax.lax.stop_gradient(step)
         out = t_new >= dist
         p = o + t_new[:, None] * d
-        dens = density_lookup(scene.grids, gid, p) * scale
+        dens = density_lookup(grids, gid, p) * scale
         upd = ~done & ~out
         # signed residual factor — may exceed 1 when σ < σ_c, still unbiased
         tr = jnp.where(upd, tr * (1.0 - (dens - sigma_c) * inv_maj), tr)

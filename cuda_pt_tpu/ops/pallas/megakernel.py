@@ -195,7 +195,16 @@ def megakernel_ok(scene: T.Scene, md=None, strict: bool = False,
         if mt.shape[0] > MAX_MEDIA:
             return False
         if (mt == T.MEDIUM_GRID).any():
-            return False  # grid media (NanoVDB) stay composed
+            # grid media ride the SPLIT swf driver (round 5): delta-
+            # tracked flight + ratio-tracked NEE transmittance in XLA
+            # around the shade kernel. Not yet combined with: envmaps
+            # (escaping rays would skip the grid transmittance) or
+            # emissive grids (blackbody resolve stays composed).
+            if (np.asarray(scene.emitters.etype) == T.EMITTER_ENVMAP).any():
+                return False
+            es = np.asarray(scene.media.emission_scale)
+            if bool((es[mt == T.MEDIUM_GRID] > 0.0).any()):
+                return False
         pt_ = np.asarray(scene.media.phase_type)
         ok_phase = {T.PHASE_ISOTROPIC, T.PHASE_HG, T.PHASE_DUAL_HG,
                     T.PHASE_RAYLEIGH, T.PHASE_SGGX}
@@ -291,6 +300,16 @@ def pack_media(scene: T.Scene) -> jnp.ndarray:
     sa = np.asarray(m.sigma_a, np.float32) * sc
     ss = np.asarray(m.sigma_s, np.float32) * sc
     st = sa + ss
+    # grid media: the kernel must contribute NO analytic exp factor (the
+    # split driver delta-tracks flight in XLA and ratio-tracks NEE
+    # transmittance in the post-pass), so their sigma rows are zeroed —
+    # exp(-0*t) = 1 everywhere the hom code touches them. Field 13 flags
+    # them for the flight-override gate.
+    is_grid = (np.asarray(m.mtype) == T.MEDIUM_GRID).astype(np.float32)
+    gz = (1.0 - is_grid)[:, None]
+    sa = sa * gz
+    ss = ss * gz
+    st = st * gz
     cols = [
         sa[:, 0], sa[:, 1], sa[:, 2],
         ss[:, 0], ss[:, 1], ss[:, 2],
@@ -299,6 +318,7 @@ def pack_media(scene: T.Scene) -> jnp.ndarray:
         np.asarray(m.phase_g, np.float32)[:, 0],
         np.asarray(m.phase_g, np.float32)[:, 1],
         np.asarray(m.phase_w, np.float32),
+        is_grid,
     ]
     out = []
     for c in cols:
@@ -481,7 +501,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             max_volume, max_leaf, rn, n_eslots, n_bsdfs, nee_m,
             node_fmt, attr_fmt, prim_fmt, tri_only, has_env, has_disp,
             textured, has_media, n_media, ambient_med, count_stats,
-            seg, ablate, phase,
+            seg, ablate, phase, has_grid,
             nodes, prims, attrs, erow, eprims, brows,
             *refs):
     if node_fmt == "w8":
@@ -521,15 +541,19 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         # of an in-kernel walk.
         bounce_ref = refs[0]
         n_state = (21 + (6 if has_env else 0) + (5 if has_media else 0)
-                   + (6 if textured else 0))
+                   + (6 if textured else 0) + (9 if has_grid else 0))
         n_hit = 0
+        n_gf = 5 if (phase == "shade" and has_grid) else 0
         if phase == "shade":
             # t, hitf, ns(3), ng(3), eid, inva, bid [, sph][, uv2][, mn2]
             n_hit = (11 + (0 if tri_only else 1) + (2 if textured else 0)
                      + (2 if has_media else 0))
         sin = refs[1:1 + n_state]
         hin = refs[1 + n_state:1 + n_state + n_hit]
-        souts = refs[1 + n_state + n_hit:1 + 2 * n_state + n_hit]
+        # grid flight planes (t_med, is_med, weight rgb) follow the hit
+        hin_grid = refs[1 + n_state + n_hit:1 + n_state + n_hit + n_gf]
+        souts = refs[1 + n_state + n_hit + n_gf:
+                     1 + 2 * n_state + n_hit + n_gf]
         ox, oy, oz = sin[2], sin[3], sin[4]
         dx, dy, dz = sin[5], sin[6], sin[7]
         r0, r1 = sin[0], sin[1]
@@ -1231,7 +1255,14 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 pg1 = jnp.where(m, _mfield(i, 10), pg1)
                 pg2 = jnp.where(m, _mfield(i, 11), pg2)
                 pwv = jnp.where(m, _mfield(i, 12), pwv)
-            return ssr, ssg, ssb, st_r, st_g, st_b, pty, pg1, pg2, pwv
+            if has_grid:
+                grd = f0
+                for i in range(n_media):
+                    grd = jnp.where(midv == float(i), _mfield(i, 13), grd)
+                return (ssr, ssg, ssb, st_r, st_g, st_b, pty, pg1, pg2,
+                        pwv, grd)
+            return (ssr, ssg, ssb, st_r, st_g, st_b, pty, pg1, pg2, pwv,
+                    f0)
 
         def phase_value(pty, pg1, pg2, pwv, cos_t):
             """Phase value (= pdf) at cos_t (media/phase.phase_eval)."""
@@ -1358,7 +1389,7 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                                           jnp.where(mtop >= 0.0, stk0,
                                                     f0 + ambient_med)))
             (m_ssr, m_ssg, m_ssb, m_str, m_stg, m_stb,
-             m_pty, m_pg1, m_pg2, m_pwv) = medium_fields(cur_med)
+             m_pty, m_pg1, m_pg2, m_pwv, m_grd) = medium_fields(cur_med)
             in_med = (cur_med >= 0.0) & (act > 0.5)
             sx, sy = _pcg2d(sx, sy)
             u_ch = _u01(sx)
@@ -1369,6 +1400,18 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             t_med = -jnp.log(jnp.maximum(1.0 - u_t, 1e-12)) / st_c
             t_surf = jnp.where(hit_ok, hit["t"], 1e8)
             med_event = in_med & (t_med < t_surf)
+            if has_grid:
+                # grid-media flight arrives from the XLA delta-tracking
+                # pre-pass (split driver): event distance + flag +
+                # per-channel weight (albedo on real collisions, attached
+                # null-collision ratios otherwise). Grid rows carry zero
+                # sigmas, so every analytic exp below is exactly 1 for
+                # grid lanes and the hom weights reduce to 1/pdf_s = 1.
+                in_grid = in_med & (m_grd > 0.5)
+                g_tmed, g_ismed = hin_grid[0][:], hin_grid[1][:]
+                med_event = jnp.where(in_grid, (g_ismed > 0.5)
+                                      & (g_tmed < t_surf), med_event)
+                t_med = jnp.where(in_grid, g_tmed, t_med)
             srf_event = hit_ok & ~med_event
             t_evt = jnp.where(med_event, t_med, t_surf)
             e_r = jnp.exp(-m_str * t_evt)
@@ -1382,6 +1425,10 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                              e_g / jnp.maximum(pdf_s, 1e-12))
             mw_b = jnp.where(med_event, m_ssb * e_b / jnp.maximum(pdf_m, 1e-12),
                              e_b / jnp.maximum(pdf_s, 1e-12))
+            if has_grid:
+                mw_r = jnp.where(in_grid, hin_grid[2][:], mw_r)
+                mw_g = jnp.where(in_grid, hin_grid[3][:], mw_g)
+                mw_b = jnp.where(in_grid, hin_grid[4][:], mw_b)
             tr = jnp.where(in_med, tr * mw_r, tr)
             tg = jnp.where(in_med, tg * mw_g, tg)
             tb = jnp.where(in_med, tb * mw_b, tb)
@@ -1964,6 +2011,20 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             bid_rec = jnp.where(hit_ok, bidv, -1.0)
             u_rec = jnp.where(hit_ok, hit["uv"][0], 0.0)
             v_rec = jnp.where(hit_ok, hit["uv"][1], 0.0)
+        elif has_grid:
+            # grid-media scene: the NEE contribution still needs the grid
+            # transmittance along the shadow segment (the in-kernel
+            # interface walk contributed factor 1 — grid sigmas are zero
+            # in mrow). Record (contribution, event point, light point);
+            # the split driver ratio-tracks the clipped segment in XLA
+            # and adds contribution * Tr_grid to L.
+            gnee = (tr * f_r * le_r * scale,
+                    tg * f_g * le_g * scale,
+                    tb * f_b * le_b * scale,
+                    sh_ox, sh_oy, sh_oz,
+                    sh_ox + es_dx * sh_dist,
+                    sh_oy + es_dy * sh_dist,
+                    sh_oz + es_dz * sh_dist)
         else:
             Lr = Lr + tr * f_r * le_r * scale
             Lg = Lg + tg * f_g * le_g * scale
@@ -2359,6 +2420,9 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
             tex_state2 = (tuple(A), tuple(rec), mbv)
         elif inline_tex:
             tex_state2 = (nee_r, nee_g, nee_b, bid_rec, u_rec, v_rec)
+        elif has_grid:
+            # grid NEE record rides the (mutually-exclusive) tex slot
+            tex_state2 = gnee
         else:
             tex_state2 = ()
         med_state2 = ((stk0, stk1, stk2, mtop, n_vol) if has_media else ())
@@ -2382,11 +2446,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         #    the combination, so the -5 arithmetic above stays valid):
         #    per-call nee_r,nee_g,nee_b,bid_rec,u_rec,v_rec]
         b_idx = bounce_ref[0, 0]
-        med_in = (tuple(sin[len(sin) - 5 + i][:] for i in range(5))
+        med_base = 21 + (6 if has_env else 0)  # media block offset
+        med_in = (tuple(sin[med_base + i][:] for i in range(5))
                   if has_media else ())
-        # inline-tex records are per-call OUTPUTS (the kernel overwrites
-        # them every bounce); their input lanes exist only to keep the
-        # seg state pytree symmetric, so no carry-in here
+        # inline-tex / grid-NEE records are per-call OUTPUTS (the kernel
+        # overwrites them every bounce); their input lanes exist only to
+        # keep the seg state pytree symmetric, so no carry-in here
         tex_in = ((f0, f0, f0, f0 - 1.0, f0, f0) if inline_tex else ())
         env_in = (tuple(sin[21 + i][:] for i in range(6))
                   if has_env else (f0, f0, f1, f0, f0, f0))
@@ -2396,13 +2461,13 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
         res = bounce_body(carry)
         # res carry: 0 bounce+1, 1 sx, 2 sy, 3-5 o, 6-8 d, 9-11 thp,
         # 12-14 L, 15 act, 16 ppdf, 17 pdel, 18-20 nd/ns/nt, 21-26 env,
-        # 27 wl, 28 tex, 29 med, 30 stats
+        # 27 wl, 28 tex/grid-rec, 29 med, 30 stats
         flat = list(res[1:21]) + [res[27]]
         if has_env:
             flat += list(res[21:27])
         if has_media:
             flat += list(res[29])
-        if inline_tex:
+        if inline_tex or has_grid:
             flat += list(res[28])
         for ref, val in zip(souts, flat):
             ref[:] = val
@@ -2725,7 +2790,8 @@ class MKPack:
     def __init__(self, arrays, node_fmt="f32", attr_fmt="f32",
                  tri_only=False, prim_fmt="f32", has_env=False,
                  has_disp=False, textured=False, has_media=False,
-                 max_leaf=4, ambient_med=-1.0, max_stack=0):
+                 max_leaf=4, ambient_med=-1.0, max_stack=0,
+                 has_grid=False):
         self.arrays = dict(arrays)
         self.node_fmt = node_fmt
         self.attr_fmt = attr_fmt
@@ -2739,6 +2805,9 @@ class MKPack:
         self.ambient_med = float(ambient_med)
         # w8 node format: SMEM stack bound from the wide collapse
         self.max_stack = int(max_stack)
+        # grid (heterogeneous) media: flight + NEE transmittance resolve
+        # in XLA around the shade kernel (split swf driver only)
+        self.has_grid = bool(has_grid)
 
     def __getitem__(self, k):
         return self.arrays[k]
@@ -2758,14 +2827,15 @@ class MKPack:
                 (keys, self.node_fmt, self.attr_fmt, self.tri_only,
                  self.prim_fmt, self.has_env, self.has_disp,
                  self.textured, self.has_media, self.max_leaf,
-                 self.ambient_med, self.max_stack))
+                 self.ambient_med, self.max_stack, self.has_grid))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         keys, nf, af, to, pf, he, hd, tx, hm, ml, am = aux[:11]
         ms = aux[11] if len(aux) > 11 else 0
+        hg = aux[12] if len(aux) > 12 else False
         return cls(dict(zip(keys, children)), nf, af, to, pf, he, hd, tx,
-                   hm, ml, am, max_stack=ms)
+                   hm, ml, am, max_stack=ms, has_grid=hg)
 
 
 def make_pack(scene: T.Scene, node_fmt: str | None = None,
@@ -2843,15 +2913,46 @@ def make_pack(scene: T.Scene, node_fmt: str | None = None,
     has_media = bool(vpt) and (
         int(np.asarray(scene.objects.medium_in).max(initial=-1)) >= 0
         or int(np.asarray(scene.cam_medium)) >= 0)
+    has_grid = False
     if has_media:
         if textured:
             raise ValueError("fused VPT + deferred textures not supported")
         arrays["mrow"] = pack_media(scene)
+        mt = np.asarray(scene.media.mtype)
+        has_grid = bool((mt == T.MEDIUM_GRID).any())
+        if has_grid:
+            # XLA-side grid data (never enters the kernel): the split swf
+            # driver delta-tracks flight and ratio-tracks NEE
+            # transmittance with per-lane gathers (EXP_R5_MICRO: 54 ns
+            # per trilinear lookup at 262k lanes)
+            g = scene.grids
+            arrays["gr_density"] = g.density
+            arrays["gr_emis"] = g.emission
+            arrays["gr_bmin"] = g.bbox_min
+            arrays["gr_bmax"] = g.bbox_max
+            arrays["gr_major"] = g.majorant
+            arrays["gr_avg"] = g.avg_density
+            arrays["gr_gid"] = jnp.asarray(scene.media.grid_id)
+            arrays["gr_scale"] = jnp.asarray(scene.media.scale)
+            arrays["gr_albedo"] = jnp.asarray(scene.media.sigma_s)
+            arrays["gr_isg"] = jnp.asarray(
+                (mt == T.MEDIUM_GRID).astype(np.float32))
+            # per-GRID density scale (the NEE post-pass tracks per grid,
+            # not per medium): scale of the medium referencing grid j
+            gids_np = np.asarray(scene.media.grid_id)
+            sc_np = np.asarray(scene.media.scale, np.float32)
+            G = int(np.asarray(g.majorant).shape[0])
+            gsc = np.ones(G, np.float32)
+            for j in range(G):
+                ref = np.nonzero(gids_np == j)[0]
+                if ref.size:
+                    gsc[j] = sc_np[ref[0]]
+            arrays["gr_gscale"] = jnp.asarray(gsc)
     ambient = float(int(np.asarray(scene.cam_medium))) if vpt else -1.0
     return MKPack(arrays, node_fmt, attr_fmt, tri_only, prim_fmt, has_env,
                   has_disp, textured, has_media,
                   max_leaf=int(scene.bvh.max_leaf), ambient_med=ambient,
-                  max_stack=max_stack)
+                  max_stack=max_stack, has_grid=has_grid)
 
 
 def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
@@ -2868,6 +2969,11 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
     medium-cbox, max_leaf 8)."""
     if not isinstance(pack, MKPack):
         pack = MKPack(pack)
+    if pack.has_grid:
+        raise ValueError(
+            "grid-media packs need the split swf driver "
+            "(trace_megakernel_swf split=True): grid flight and NEE "
+            "transmittance resolve in XLA between kernel phases")
     if max_leaf is None:
         max_leaf = pack.max_leaf
     elif max_leaf < pack.max_leaf:
@@ -2959,7 +3065,7 @@ def trace_megakernel(pack, md, o, d, rng, max_leaf: int | None = None,
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
         pack.has_env, pack.has_disp, pack.textured, pack.has_media,
         MAX_MEDIA, float(pack.ambient_med), bool(count_stats),
-        False, str(ablate), "",
+        False, str(ablate), "", False,
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:
@@ -3210,15 +3316,19 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
 
     n_state = (21 + (6 if pack.has_env else 0)
                + (5 if pack.has_media else 0)
-               + (6 if pack.textured else 0))
+               + (6 if pack.textured else 0)
+               + (9 if pack.has_grid else 0))
     state_dtypes = [jnp.uint32, jnp.uint32] + [jnp.float32] * (n_state - 2)
 
     n_bsdfs = pack["brows"].shape[0] * SLOTS // 2
     if pack.has_media and int(nee_candidates) != 1:
         raise ValueError("fused VPT supports nee_candidates=1")
+    if pack.has_grid:
+        split = True  # grid flight/NEE transmittance resolve in XLA
     if split and "g_hit" not in pack.keys():
         raise ValueError("split traversal needs a w8 pack (g_hit matrix)")
     n_hit = 0
+    n_gf = 5 if (split and pack.has_grid) else 0
     if split:
         n_hit = (11 + (0 if pack.tri_only else 1)
                  + (2 if pack.textured else 0)
@@ -3231,7 +3341,7 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
         pack.has_env, pack.has_disp, pack.textured, pack.has_media,
         MAX_MEDIA, float(pack.ambient_med), False,
-        True, str(ablate), "shade" if split else "",
+        True, str(ablate), "shade" if split else "", pack.has_grid,
     )
     cparams = None
     if vmem_limit_bytes is not None and not interpret:
@@ -3246,7 +3356,7 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         kern,
         grid=(T_,),
         in_specs=(scene_specs + [smem_spec] + [ray_spec] * n_state
-                  + [ray_spec] * n_hit),
+                  + [ray_spec] * (n_hit + n_gf)),
         out_specs=tuple([ray_spec] * n_state),
         out_shape=tuple(jax.ShapeDtypeStruct((T_, R, 128), dt)
                         for dt in state_dtypes),
@@ -3266,7 +3376,7 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
             pack.node_fmt, pack.attr_fmt, pack.prim_fmt, pack.tri_only,
             False, False, False, False,
             MAX_MEDIA, -1.0, False,
-            False, "slimleaf", "traverse",
+            False, "slimleaf", "traverse", False,
         )
         dummy = jnp.zeros((1, 128), jnp.float32)
         trav_args = [pack["nodes"], pack["prims"], dummy, dummy, dummy,
@@ -3318,6 +3428,91 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
                 hplanes += [row[:, 19], row[:, 20]]
             return hplanes
 
+    if split and pack.has_grid:
+        from ...media import grid as gridmod
+
+        grids_sd = T.GridMediumData(
+            density=pack["gr_density"], emission=pack["gr_emis"],
+            bbox_min=pack["gr_bmin"], bbox_max=pack["gr_bmax"],
+            majorant=pack["gr_major"], avg_density=pack["gr_avg"])
+        Vm = pack["gr_isg"].shape[0]
+        Gm = pack["gr_major"].shape[0]
+        med_base = 21 + (6 if pack.has_env else 0)
+        grid_base = n_state - 9
+
+        def _side_rng(st):
+            # independent side stream for the XLA tracking loops: the
+            # kernel's pcg lanes advance a fixed per-bounce draw count
+            # regardless, so xor-derived states never collide with the
+            # in-kernel stream (documented draw-order difference vs the
+            # composed VPT; parity contract is mean agreement)
+            return jnp.stack(
+                [st[0] ^ jnp.uint32(0x9E3779B9),
+                 st[1] ^ jnp.uint32(0x85EBCA6B)], axis=-1)
+
+        def grid_flight(st, t_surf):
+            """XLA delta-tracking pre-pass -> 5 flight planes."""
+            cur = jnp.where(
+                st[med_base + 3] >= 2.0, st[med_base + 2],
+                jnp.where(st[med_base + 3] >= 1.0, st[med_base + 1],
+                          jnp.where(st[med_base + 3] >= 0.0, st[med_base],
+                                    jnp.float32(pack.ambient_med))))
+            curi = jnp.clip(cur.astype(jnp.int32), 0, Vm - 1)
+            in_grid = ((cur >= 0.0) & (pack["gr_isg"][curi] > 0.5)
+                       & (st[14] > 0.5))
+            o = jnp.stack([st[2], st[3], st[4]], axis=-1)
+            d = jnp.stack([st[5], st[6], st[7]], axis=-1)
+            gid = jnp.maximum(pack["gr_gid"][curi], 0)
+            scale = pack["gr_scale"][curi]
+            maj = jnp.maximum(pack["gr_major"][gid] * scale, 1e-6)
+            albedo = pack["gr_albedo"][curi]
+            res, _ = gridmod.sample_distance_arrays(
+                grids_sd, gid, scale, maj, albedo, o, d,
+                jnp.where(jnp.isfinite(t_surf), t_surf, 1e8),
+                _side_rng(st), in_grid)
+            w = res["weight"]
+            return [res["t"], jnp.where(res["is_medium"], 1.0, 0.0),
+                    w[:, 0], w[:, 1], w[:, 2]]
+
+        def grid_nee_resolve(st):
+            """XLA post-pass: ratio-track the recorded NEE segments
+            through every grid and add contribution * Tr to L."""
+            st = list(st)
+            c = [st[grid_base + i] for i in range(3)]
+            p = jnp.stack([st[grid_base + 3 + i] for i in range(3)], -1)
+            lpt = jnp.stack([st[grid_base + 6 + i] for i in range(3)], -1)
+            seg = lpt - p
+            dist = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
+            dirn = seg / jnp.maximum(dist, 1e-8)[:, None]
+            have = (c[0] + c[1] + c[2]) > 0.0
+            tr_tot = jnp.ones_like(dist)
+            rng_t = _side_rng(st) ^ jnp.uint32(0x51633E2D)
+            for g in range(Gm):
+                bmin = pack["gr_bmin"][g]
+                bmax = pack["gr_bmax"][g]
+                inv = 1.0 / jnp.where(
+                    jnp.abs(dirn) < 1e-9,
+                    jnp.where(dirn < 0, -1e-9, 1e-9), dirn)
+                t0s = (bmin[None, :] - p) * inv
+                t1s = (bmax[None, :] - p) * inv
+                tn = jnp.max(jnp.minimum(t0s, t1s), axis=-1)
+                tf = jnp.min(jnp.maximum(t0s, t1s), axis=-1)
+                t_in = jnp.maximum(tn, 0.0)
+                t_out = jnp.minimum(tf, dist)
+                seg_len = jnp.maximum(t_out - t_in, 0.0)
+                act_g = have & (seg_len > 1e-6)
+                gidv = jnp.full_like(dist, g).astype(jnp.int32)
+                scale = pack["gr_gscale"][g]
+                maj = jnp.maximum(pack["gr_major"][g] * scale, 1e-6)
+                tr_g, _ = gridmod.transmittance_residual_arrays(
+                    grids_sd, gidv, scale, maj,
+                    p + t_in[:, None] * dirn, dirn, seg_len,
+                    rng_t ^ jnp.uint32(g * 0x632BE5AB), act_g)
+                tr_tot = tr_tot * jnp.where(act_g, tr_g, 1.0)
+            for i in range(3):
+                st[11 + i] = st[11 + i] + c[i] * tr_tot
+            return tuple(st)
+
     def prep(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
@@ -3339,6 +3534,8 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
         state += [fz - 1.0, fz - 1.0, fz - 1.0, fz - 1.0, fz]
     if pack.textured:
         state += [fz, fz, fz, fz - 1.0, fz, fz]  # nee rgb, bid, u, v
+    if pack.has_grid:
+        state += [fz] * 9  # grid NEE record: contrib rgb, event p, light p
     state = tuple(state)
     pix0 = jnp.arange(Bp, dtype=jnp.int32)
 
@@ -3378,10 +3575,15 @@ def trace_megakernel_swf(pack, md, o, d, rng, max_leaf: int | None = None,
                           for i in range(2, n_state)))
         extra = ()
         if split:
-            extra = tuple(h.reshape(T_, R, 128) for h in resolve_hit(st))
+            hp = resolve_hit(st)
+            if pack.has_grid:
+                hp = hp + grid_flight(st, hp[0])
+            extra = tuple(h.reshape(T_, R, 128) for h in hp)
         outs = call(*scene_args, jnp.full((1, 1), bounce, jnp.int32),
                     *(a.reshape(T_, R, 128) for a in st), *extra)
         st = tuple(x.reshape(-1) for x in outs)
+        if pack.has_grid:
+            st = grid_nee_resolve(st)
         if pack.textured:
             # inline texel resolution for this bounce: one batched XLA
             # bilinear gather (per-lane texel fetches never enter the
@@ -3480,7 +3682,9 @@ def auto_trace(pack, md, o, d, rng, max_leaf: int | None = None,
     sorted-wavefront driver (key_mode='pos_dir', tile 4096 — the measured
     big-scene optimum). Same estimator either way; per-lane results under
     sorted regrouping are near-exact (trace_megakernel_swf docstring)."""
-    if _pack_boxes(pack) >= SWF_AUTO_BOXES:
+    if pack.has_grid or _pack_boxes(pack) >= SWF_AUTO_BOXES:
+        # grid packs ride swf regardless of size (the driver auto-enables
+        # the split pipeline their flight/transmittance passes need)
         return trace_megakernel_swf(pack, md, o, d, rng,
                                     max_leaf=max_leaf, interpret=interpret,
                                     nee_candidates=nee_candidates,

@@ -268,3 +268,41 @@ def furnace(width=32, height=32, albedo=1.0, btype=T.BSDF_LAMBERTIAN, **bsdf_kw)
         height=height,
     )
     return scene, cam, b
+
+
+def grid_smoke(width=16, height=16, n=16, sigma=4.0, light_scale=6.0):
+    """Smoke ball in a cube: a soft-sphere density grid medium inside a
+    null-interface (forward-BSDF) container under an area light — the
+    minimal grid-cbox-class scene (reference scene/xml/grid-cbox.xml; its
+    .nvdb asset is absent upstream, so the density is synthesized)."""
+    from .builder import MediumSpec
+
+    b = SceneBuilder()
+    white = b.add_bsdf(BSDFSpec(k_d=(0.7, 0.7, 0.7)))
+    fwd = b.add_bsdf(BSDFSpec(btype=T.BSDF_FORWARD))
+    em = b.add_emitter(EmitterSpec(etype=T.EMITTER_AREA,
+                                   emission=(1, 1, 1), scaler=light_scale))
+    b.add_mesh(quad([-1, 2, -1], [1, 2, -1], [1, 2, 1], [-1, 2, 1]),
+               white, emitter_id=em)
+    g = np.linspace(-1, 1, n)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    dens = np.maximum(0.0, 1.0 - np.sqrt(xx**2 + yy**2 + zz**2)) * sigma
+    gid = b.add_grid(dens.astype(np.float32), (-1, -1, -1), (1, 1, 1))
+    med = b.add_medium(MediumSpec(mtype=T.MEDIUM_GRID, grid_id=gid,
+                                  sigma_s=(0.9, 0.9, 0.9), scale=1.0))
+    cube = np.concatenate([
+        quad([-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1]),
+        quad([1, -1, 1], [-1, -1, 1], [-1, 1, 1], [1, 1, 1]),
+        quad([-1, -1, 1], [-1, -1, -1], [-1, 1, -1], [-1, 1, 1]),
+        quad([1, -1, -1], [1, -1, 1], [1, 1, 1], [1, 1, -1]),
+        quad([-1, 1, -1], [1, 1, -1], [1, 1, 1], [-1, 1, 1]),
+        quad([-1, -1, 1], [1, -1, 1], [1, -1, -1], [-1, -1, -1]),
+    ], axis=0)
+    b.add_mesh(cube, fwd, medium_in=med, cullable=True)
+    # floor catches scattered light (keeps the image non-trivial)
+    b.add_mesh(quad([-3, -1.2, -3], [3, -1.2, -3], [3, -1.2, 3],
+                    [-3, -1.2, 3]), white)
+    scene = b.compile()
+    cam = cam_mod.make_camera((0, 0.2, -4), (0, 0, 0), fov=35,
+                              width=width, height=height)
+    return scene, cam, b

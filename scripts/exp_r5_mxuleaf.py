@@ -30,7 +30,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 R = 32  # 4096 lanes
-NLEAF = 400  # leaf pops per kernel call (amortizes launch overhead)
+NLEAF = 2000  # leaf pops per kernel call (amortizes launch overhead)
 NP8 = 8  # prims per leaf
 
 
@@ -97,10 +97,10 @@ def main() -> None:
         return row[0, idx]
 
     def kern_scalar(prows, o1, o2, o3, d1, d2, d3, out):
-        t_best = jnp.full((R, 128), jnp.inf)
         ox, oy, oz = o1[:], o2[:], o3[:]
         dx, dy, dz = d1[:], d2[:], d3[:]
-        for lf in range(NLEAF):
+
+        def leaf(lf, t_best):
             row = prows[pl.ds(lf, 1), :]
             for k in range(NP8):
                 pb = k * 9
@@ -130,7 +130,10 @@ def main() -> None:
                 ok = ((jnp.abs(aa) > 1e-12) & (u >= 0.0) & (v >= 0.0)
                       & (u + v <= 1.0) & (t > 1e-4))
                 t_best = jnp.where(ok & (t < t_best), t, t_best)
-        out[:] = t_best
+            return t_best
+
+        out[:] = jax.lax.fori_loop(0, NLEAF, leaf,
+                                   jnp.full((R, 128), jnp.inf))
 
     # ---------------- MXU kernel --------------------------------------
     def kern_mxu(coefs, o1, o2, o3, d1, d2, d3, out):
@@ -141,8 +144,8 @@ def main() -> None:
         planes = [oy * dz - oz * dy, oz * dx - ox * dz, ox * dy - oy * dx,
                   dx, dy, dz, ox, oy, oz, f1] + [f0] * 6
         feat = jnp.stack(planes, axis=0)  # (16, R, 128)
-        t_best = jnp.full((R, 128), jnp.inf)
-        for lf in range(NLEAF):
+
+        def leaf(lf, t_best):
             lhs = coefs[pl.ds(lf * 32, 32), :]  # (32, 16)
             outm = jax.lax.dot_general(
                 lhs, feat, (((1,), (0,)), ((), ())),
@@ -159,7 +162,10 @@ def main() -> None:
                 ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
                       & (u + v <= 1.0) & (t > 1e-4))
                 t_best = jnp.where(ok & (t < t_best), t, t_best)
-        out[:] = t_best
+            return t_best
+
+        out[:] = jax.lax.fori_loop(0, NLEAF, leaf,
+                                   jnp.full((R, 128), jnp.inf))
 
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     o_j = [jnp.asarray(o_np[..., i]) for i in range(3)]
