@@ -175,7 +175,13 @@ def transmittance_estimate(scene, p, dirn, dist, mid0, rng, active, use_bvh):
             cur_med == med_obj, jnp.int32(T.MEDIUM_NONE), med_obj
         )
         cur_med = jnp.where(crossed & (med_obj >= 0), toggled, cur_med)
-        remaining = jnp.where(crossed, remaining - t_step, remaining)
+        # decrement by the FULL advance (t_step + the 1e-3 origin offset):
+        # `remaining` must stay equal to the true distance-to-light from the
+        # advanced origin, or after 2+ crossings the accumulated offsets
+        # push the light inside the (1-1e-3) relative gate and the
+        # destination itself reads as a blocker — NEE through any null
+        # interface silently lost (round-5 fused-grid A/B found it)
+        remaining = jnp.where(crossed, remaining - t_step - 1e-3, remaining)
         cur_p = jnp.where(crossed[:, None], p_hit + dirn * 1e-3, cur_p)
         alive = alive & crossed & (remaining > 1e-4)
 

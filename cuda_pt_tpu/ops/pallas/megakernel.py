@@ -1321,7 +1321,12 @@ def _kernel(max_depth, max_diffuse, max_specular, max_transmit,
                 cox = jnp.where(crossed, cox + adv * wdx, cox)
                 coy = jnp.where(crossed, coy + adv * wdy, coy)
                 coz = jnp.where(crossed, coz + adv * wdz, coz)
-                rem = jnp.where(crossed, rem - t_step, rem)
+                # rem -= FULL advance (incl. the 1e-3 offset) so rem stays
+                # the true distance-to-light from the advanced origin;
+                # decrementing by t_step alone lets offsets accumulate
+                # until the destination light passes the (1-1e-3) gate and
+                # blocks its own shadow ray (volume_pt same fix)
+                rem = jnp.where(crossed, rem - adv, rem)
                 alive = alive & crossed & (rem > 1e-4)
             return trr, trg, trb, tcs
 
