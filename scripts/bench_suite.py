@@ -98,7 +98,8 @@ elif name == "cornell_wf_nosort":
     fn = jax.jit(lambda s, i: wavefront.render(
         s, cam, md, spp=spp, seed=i, use_bvh=True, sort_rays=False, compact=False))
     counter = (lambda s: pt.count_rays(s, cam, md, spp=spp, seed=1, use_bvh=True))
-elif name in ("bunny_fused", "whiskey_fused", "kitchen_fused"):
+elif name in ("bunny_fused", "whiskey_fused", "kitchen_fused",
+              "vader_fused"):
     # mesh/kitchen-class scenes through the fused in-kernel megakernel.
     # Round 4 compact packs (bf16 nodes/attrs + t9 prims) brought whiskey
     # from a ~10.7 MB faulting pack to ~5.3 MB; kitchen rides the deferred
@@ -296,7 +297,7 @@ def main():
     ap.add_argument("--scenes", nargs="*", default=[
         "cornell_mega", "cornell_fused", "cornell_wf", "cornell_wf_nosort",
         "bunny", "bunny_fused", "whiskey", "whiskey_fused",
-        "kitchen", "kitchen_fused", "vader",
+        "kitchen", "kitchen_fused", "vader", "vader_fused",
         "cornell_vpt", "cornell_vpt_fused", "medium_cbox_vpt",
         "medium_cbox_vpt_fused", "cornell_grad",
     ])
