@@ -189,6 +189,19 @@ def main() -> None:
 
             f = jax.jit(lambda p: mk.trace_megakernel(p, md, o, d, rng))
             t_frame = timing.timeit(f, pack, reps=3)
+            if t_frame < 0.005:
+                # sub-fence frames (cornell-class): amortize K in-order
+                # dispatches per readback fence, or the baseline
+                # subtraction clamps to ~0 and the model fraction blows up
+                K = 64
+
+                def fmany(p):
+                    out = None
+                    for _ in range(K):
+                        out = f(p)
+                    return out
+
+                t_frame = timing.timeit(fmany, pack, reps=3) / K
 
             fs = jax.jit(lambda p: mk.trace_megakernel(
                 p, md, o, d, rng, count_stats=True)[1])
